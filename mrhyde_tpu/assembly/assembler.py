@@ -1,0 +1,316 @@
+"""Assembler: residuals and Jacobians over batched elements.
+
+TPU-native replacement for the reference AssemblyManager's hot path
+(reference: src/managers/assemblyManager.cpp — performGather :3441, AD
+seeding via workset.cpp:559, physics volumeResidual, atomic scatter
+:3943/:3882, AD-type dispatch :2045):
+
+- gather:    u_elem = u_global[lids]                     (one XLA gather)
+- seed:      u_eval = alpha_u*u_stage + beta_u,
+             u_dot  = alpha_t*u_stage + beta_t           (SURVEY App. B)
+- residual:  pure per-element function, vmapped
+- Jacobian:  jax.vmap(jax.jacfwd(...)) — forward-mode over exactly the
+             element's dof count; the reference's AD2..AD64 autotune
+             ladder is subsumed by trace-time specialization
+- scatter:   jax.ops.segment_sum (deterministic; no atomics)
+
+Dirichlet rows use symmetric elimination: residual rows masked, unit
+diagonal in operators (reference: isFixedDOF masking,
+assemblyManager.cpp:3963, updateJacDBC).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrhyde_tpu.assembly.discretization import Discretization
+from mrhyde_tpu.assembly.workset import Workset
+
+__all__ = ["Assembler", "TimeCoeffs", "BlockJacobian", "PointContext"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TimeCoeffs:
+    """Stage-solution seeding coefficients (SURVEY.md Appendix B).
+
+    u_eval = alpha_u * u_stage + beta_u (vector)
+    u_dot  = alpha_t * u_stage + beta_t (vector)
+    """
+    alpha_u: jax.Array
+    beta_u: jax.Array
+    alpha_t: jax.Array
+    beta_t: jax.Array
+    time: jax.Array
+
+    @staticmethod
+    def steady(n_dof, time=0.0, dtype=jnp.float64):
+        z = jnp.zeros(n_dof, dtype=dtype)
+        one = jnp.asarray(1.0, dtype=dtype)
+        zero = jnp.asarray(0.0, dtype=dtype)
+        return TimeCoeffs(one, z, zero, z, jnp.asarray(time, dtype=dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class BlockJacobian:
+    """Element-block Jacobian consumed matrix-free (or densified).
+
+    The TPU analog of the reference's Tpetra CRS: never a global sparse
+    matrix — per-element dense blocks + index arrays, applied with
+    gather/einsum/segment-sum.
+    """
+    vol: jax.Array                    # (E, nd, nd)
+    vol_lids: jax.Array               # (E, nd)
+    bnd: list                         # list of (B, nd, nd)
+    bnd_lids: list                    # list of (B, nd)
+    fixed: jax.Array                  # (n_dof,) bool
+
+    @property
+    def n_dof(self):
+        return self.fixed.shape[0]
+
+    def apply(self, v):
+        """J @ v with Dirichlet identity rows."""
+        vm = jnp.where(self.fixed, 0.0, v)
+        out = _scatter_vec(
+            jnp.einsum("eij,ej->ei", self.vol, vm[self.vol_lids]),
+            self.vol_lids, self.n_dof)
+        for blocks, lids in zip(self.bnd, self.bnd_lids):
+            out = out + _scatter_vec(
+                jnp.einsum("eij,ej->ei", blocks, vm[lids]),
+                lids, self.n_dof)
+        return jnp.where(self.fixed, v, out)
+
+    def diag(self):
+        d = _scatter_vec(_block_diag(self.vol), self.vol_lids, self.n_dof)
+        for blocks, lids in zip(self.bnd, self.bnd_lids):
+            d = d + _scatter_vec(_block_diag(blocks), lids, self.n_dof)
+        return jnp.where(self.fixed, 1.0, d)
+
+    def dense(self):
+        n = self.n_dof
+        A = jnp.zeros((n, n), dtype=self.vol.dtype)
+        A = A.at[self.vol_lids[:, :, None],
+                 self.vol_lids[:, None, :]].add(self.vol)
+        for blocks, lids in zip(self.bnd, self.bnd_lids):
+            A = A.at[lids[:, :, None], lids[:, None, :]].add(blocks)
+        mask = self.fixed[:, None] | self.fixed[None, :]
+        A = jnp.where(mask, 0.0, A)
+        A = A + jnp.diag(jnp.where(self.fixed, 1.0, 0.0))
+        return A
+
+
+def _block_diag(blocks):
+    return jnp.diagonal(blocks, axis1=1, axis2=2)
+
+
+def _scatter_vec(vals, lids, n_dof):
+    return jax.ops.segment_sum(vals.ravel(), lids.ravel(), num_segments=n_dof)
+
+
+class PointContext:
+    """Expression-leaf resolver at bare points (no solution fields).
+
+    Used for true solutions, Dirichlet data, and initial conditions.
+    """
+
+    def __init__(self, pts, time=0.0, params=None, extra=None):
+        self.pts = pts
+        self.time = time
+        self.params = params or {}
+        self.extra = extra or {}
+
+    def resolve(self, leaf):
+        ax = {"x": 0, "y": 1, "z": 2}.get(leaf)
+        if ax is not None and ax < self.pts.shape[-1]:
+            return self.pts[..., ax]
+        if leaf == "t":
+            return self.time
+        if leaf in self.params:
+            return self.params[leaf]
+        if leaf in self.extra:
+            return self.extra[leaf]
+        raise KeyError(f"cannot resolve leaf {leaf!r} at points")
+
+
+class Assembler:
+    """Owns the volume + boundary element kernels for one block."""
+
+    def __init__(self, disc: Discretization, modules, fm, params=None,
+                 fixed_dofs=None, dtype=None):
+        self.disc = disc
+        self.modules = modules
+        self.fm = fm
+        self.params = params or {}
+        self.dtype = dtype or jnp.zeros(0).dtype
+        dt = self.dtype
+
+        self.lids = jnp.asarray(disc.lids)
+        self.n_dof = disc.n_dof
+        self.ndof_elem = disc.ndof_elem
+
+        fixed = np.zeros(disc.n_dof, dtype=bool)
+        if fixed_dofs is not None and len(fixed_dofs):
+            fixed[np.asarray(fixed_dofs)] = True
+        self.fixed = jnp.asarray(fixed)
+
+        # static (per-element-batch) geometry as device arrays
+        self.g_wts = jnp.asarray(disc.wts, dtype=dt)
+        self.g_ip = jnp.asarray(disc.ip, dtype=dt)
+        self.g_bv = {k: jnp.asarray(v, dtype=dt)
+                     for k, v in disc.basis_vals.items()}
+        self.g_bg = {k: jnp.asarray(v, dtype=dt)
+                     for k, v in disc.basis_grads.items()}
+
+        self._bnd = []
+        for bg in disc.boundary_groups:
+            self._bnd.append(dict(
+                sideset=bg.sideset, side=bg.side,
+                lids=jnp.asarray(bg.lids),
+                wts=jnp.asarray(bg.wts, dtype=dt),
+                ip=jnp.asarray(bg.ip, dtype=dt),
+                normals=jnp.asarray(bg.normals, dtype=dt),
+                bv=bg.basis_vals,
+                bg={k: jnp.asarray(v, dtype=dt)
+                    for k, v in bg.basis_grads.items()},
+            ))
+        # var -> {sideset -> bctype} filled by the physics/solver setup
+        self.var_bcs: dict[str, dict[str, str]] = {}
+        # jitted entry points (traced once per TimeCoeffs/pvec structure)
+        self.residual_jit = jax.jit(self.residual)
+        self.jacobian_jit = jax.jit(self.jacobian)
+
+    # ------------------------------------------------------------------
+    # element kernels
+    # ------------------------------------------------------------------
+
+    def _make_workset(self, u_eval, u_dot, wts, ip, bg_slices, time, pvec,
+                      normals=None, side_name=None, bcs=None):
+        params = dict(self.params)
+        params.update(pvec or {})
+        return Workset(
+            dim=self.disc.mesh.dim, wts=wts, ip=ip,
+            basis_vals=self.g_bv, basis_grads=bg_slices,
+            offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
+            u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
+            params=params, normals=normals, side_name=side_name, bcs=bcs)
+
+    def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,
+                       alpha_u, alpha_t, time, pvec):
+        u_eval = alpha_u * u_st + beta_u
+        u_dot = alpha_t * u_st + beta_t
+        wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
+                                pvec)
+        for m in self.modules:
+            m.volume_residual(wk)
+        return wk.res
+
+    def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
+                        bg_slices, alpha_u, alpha_t, time, pvec):
+        u_eval = alpha_u * u_st + beta_u
+        u_dot = alpha_t * u_st + beta_t
+        bcs = {v: self.var_bcs.get(v, {}).get(group["sideset"])
+               for v in self.disc.var_names}
+        wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
+                                pvec, normals=normals,
+                                side_name=group["sideset"], bcs=bcs)
+        for m in self.modules:
+            m.boundary_residual(wk)
+        return wk.res
+
+    # ------------------------------------------------------------------
+    # global assembly
+    # ------------------------------------------------------------------
+
+    def _gathered(self, u_st, tc: TimeCoeffs, lids):
+        return u_st[lids], tc.beta_u[lids], tc.beta_t[lids]
+
+    def residual(self, u_st, tc: TimeCoeffs, pvec=None):
+        """Global residual (n_dof,) with Dirichlet rows zeroed."""
+        u_e, bu_e, bt_e = self._gathered(u_st, tc, self.lids)
+        fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+        res_e = jax.vmap(fn)(u_e, bu_e, bt_e, self.g_wts, self.g_ip,
+                             self.g_bg)
+        r = _scatter_vec(res_e, self.lids, self.n_dof)
+        for group in self._active_bnd_groups():
+            u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"])
+            bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
+                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+            res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, group["wts"],
+                                  group["ip"], group["normals"],
+                                  group["bg"])
+            r = r + _scatter_vec(res_b, group["lids"], self.n_dof)
+        return jnp.where(self.fixed, 0.0, r)
+
+    def jacobian(self, u_st, tc: TimeCoeffs, pvec=None) -> BlockJacobian:
+        """Element-block Jacobian d(residual)/d(u_stage)."""
+        u_e, bu_e, bt_e = self._gathered(u_st, tc, self.lids)
+        fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+        jac_e = jax.vmap(jax.jacfwd(fn, argnums=0))(
+            u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg)
+        bnd_blocks, bnd_lids = [], []
+        for group in self._active_bnd_groups():
+            u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"])
+            bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
+                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+            jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
+                u_b, bu_b, bt_b, group["wts"], group["ip"],
+                group["normals"], group["bg"])
+            bnd_blocks.append(jac_b)
+            bnd_lids.append(group["lids"])
+        return BlockJacobian(vol=jac_e, vol_lids=self.lids, bnd=bnd_blocks,
+                             bnd_lids=bnd_lids, fixed=self.fixed)
+
+    def _active_bnd_groups(self):
+        """Boundary groups with at least one non-strong BC to assemble."""
+        out = []
+        for g in self._bnd:
+            for v in self.disc.var_names:
+                bct = self.var_bcs.get(v, {}).get(g["sideset"])
+                if bct in ("Neumann", "weak Dirichlet", "Robin", "Far-field",
+                           "Slip", "Flux"):
+                    out.append(g)
+                    break
+        return out
+
+    # ------------------------------------------------------------------
+    # mass / projections
+    # ------------------------------------------------------------------
+
+    def mass_jacobian(self, var=None) -> BlockJacobian:
+        """Block mass matrix as a BlockJacobian (no Dirichlet rows)."""
+        M = jnp.asarray(self.disc.mass_blocks(var), dtype=self.dtype)
+        if var is None:
+            return BlockJacobian(vol=M, vol_lids=self.lids, bnd=[],
+                                 bnd_lids=[],
+                                 fixed=jnp.zeros(self.n_dof, dtype=bool))
+        # single-var mass on the var's own dof block
+        raise NotImplementedError("per-var mass: use var=None block form")
+
+    def l2_rhs(self, exprs: dict, time=0.0):
+        """RHS for global L2 projection: b_i = sum_q f(x_q) phi_i w_q.
+
+        exprs: var -> expression string (missing vars get 0).
+        """
+        disc = self.disc
+        b = jnp.zeros(self.n_dof, dtype=self.dtype)
+        ctx = PointContext(self.g_ip, time=time, params=self.params)
+        for var in disc.var_names:
+            if var not in exprs:
+                continue
+            vals = self.fm.evaluate_expr(exprs[var], ctx)  # (E, Q) or scalar
+            vals = jnp.broadcast_to(vals, self.g_wts.shape)
+            phi = self.g_bv[disc.basis_keys[var]]          # (nd, Q)
+            contrib = jnp.einsum("iq,eq->ei", phi, vals * self.g_wts)
+            st, nd = disc.offsets[var]
+            lids_v = self.lids[:, st:st + nd]
+            b = b + _scatter_vec(contrib, lids_v, self.n_dof)
+        return b

@@ -1,0 +1,162 @@
+"""Discretization cache: everything static the assembly loop consumes.
+
+Combines mesh + bases + quadrature + geometry + DOF maps into batched
+arrays. This plays the role of the reference's DiscretizationInterface +
+GroupMetaData + stored Group basis values (reference:
+src/interfaces/discretizationInterface.cpp, src/tools/groupMetaData.hpp),
+with one crucial difference: instead of workset-size chunks iterated
+serially (assemblyManager.cpp:2356 "Cannot parallelize over groups"),
+ALL elements live in one batched array so the TPU sees a single large
+contraction.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from mrhyde_tpu.fem.basis import get_basis
+from mrhyde_tpu.fem.dofmap import DofMap, build_dofmap
+from mrhyde_tpu.fem.geometry import (FaceGeometry, face_geometry,
+                                     physical_grad, volume_geometry)
+from mrhyde_tpu.fem.quadrature import cell_quadrature, side_quadrature
+from mrhyde_tpu.fem.topology import cell_topology
+from mrhyde_tpu.mesh.structured import Mesh
+
+__all__ = ["Discretization", "BoundaryGroup"]
+
+
+@dataclass
+class BoundaryGroup:
+    """All sides of one sideset sharing a local side index.
+
+    The analog of the reference's BoundaryGroup (src/tools/boundaryGroup.hpp)
+    — grouping by local side keeps every array in the batch the same shape.
+    """
+    sideset: str
+    side: int
+    elems: np.ndarray                  # (B,)
+    lids: np.ndarray                   # (B, ndof_total)
+    ip: np.ndarray                     # (B, Qf, dim)
+    wts: np.ndarray                    # (B, Qf)
+    normals: np.ndarray                # (B, Qf, dim)
+    basis_vals: dict[tuple, np.ndarray]    # key -> (ndof, Qf)
+    basis_grads: dict[tuple, np.ndarray]   # key -> (B, ndof, Qf, dim)
+
+
+class Discretization:
+    """Per-block discretization data.
+
+    variables: list of (name, basis_space, order).
+    """
+
+    def __init__(self, mesh: Mesh, variables: list[tuple[str, str, int]],
+                 quadrature_degree: int | None = None,
+                 side_quadrature_degree: int | None = None):
+        self.mesh = mesh
+        self.variables = list(variables)
+        self.topo = cell_topology(mesh.cell_type)
+        max_order = max(v[2] for v in variables)
+        if quadrature_degree is None:
+            quadrature_degree = 2 * max_order
+        self.quadrature_degree = int(quadrature_degree)
+        if side_quadrature_degree is None:
+            side_quadrature_degree = self.quadrature_degree
+        self.side_quadrature_degree = int(side_quadrature_degree)
+
+        self.dofmap: DofMap = build_dofmap(mesh, variables)
+        self.lids = self.dofmap.lids
+        self.offsets = self.dofmap.offsets
+        self.n_dof = self.dofmap.n_dof
+        self.ndof_elem = self.lids.shape[1]
+        self.var_names = [v[0] for v in variables]
+
+        # distinct bases in play
+        self.basis_keys = {}
+        for (name, space, order) in variables:
+            self.basis_keys[name] = (space.upper(), order)
+        unique_keys = sorted(set(self.basis_keys.values()))
+
+        # volume quadrature + geometry
+        ref_pts, ref_wts = cell_quadrature(mesh.cell_type,
+                                           self.quadrature_degree)
+        self.ref_pts, self.ref_wts = ref_pts, ref_wts
+        coords = mesh.nodes[mesh.conn]                # (E, nc, dim)
+        self.coords = coords
+        vol = volume_geometry(coords, mesh.cell_type, ref_pts, ref_wts)
+        self.ip = vol.ip                              # (E, Q, dim)
+        self.wts = vol.wts                            # (E, Q)
+        self.nqp = ref_pts.shape[0]
+
+        self.basis_vals: dict[tuple, np.ndarray] = {}
+        self.basis_grads: dict[tuple, np.ndarray] = {}
+        for key in unique_keys:
+            b = get_basis(mesh.cell_type, key[0], key[1])
+            self.basis_vals[key] = b.eval(ref_pts)            # (nd, Q)
+            self.basis_grads[key] = physical_grad(b, ref_pts, vol.jac_inv)
+
+        # face quadrature per local side (for face norms / face terms)
+        s_pts, s_wts = side_quadrature(mesh.cell_type,
+                                       self.side_quadrature_degree)
+        self.side_pts, self.side_wts = s_pts, s_wts
+        self.faces: list[FaceGeometry] = []
+        self.face_basis_vals: list[dict] = []
+        self.face_basis_grads: list[dict] = []
+        for s in range(self.topo.n_side):
+            fg = face_geometry(coords, mesh.cell_type, s, s_pts, s_wts)
+            self.faces.append(fg)
+            bv, bg = {}, {}
+            for key in unique_keys:
+                b = get_basis(mesh.cell_type, key[0], key[1])
+                bv[key] = b.eval(fg.ref_pts)
+                # physical grads at face qps
+                gvol = volume_geometry(coords, mesh.cell_type, fg.ref_pts,
+                                       np.ones(fg.ref_pts.shape[0]))
+                bg[key] = physical_grad(b, fg.ref_pts, gvol.jac_inv)
+            self.face_basis_vals.append(bv)
+            self.face_basis_grads.append(bg)
+
+        # boundary groups per sideset, split by local side
+        self.boundary_groups: list[BoundaryGroup] = []
+        for name, ss in mesh.sidesets.items():
+            if ss.shape[0] == 0:
+                continue
+            for s in np.unique(ss[:, 1]):
+                elems = ss[ss[:, 1] == s, 0]
+                s = int(s)
+                fg = self.faces[s]
+                self.boundary_groups.append(BoundaryGroup(
+                    sideset=name, side=s, elems=elems,
+                    lids=self.lids[elems],
+                    ip=fg.ip[elems], wts=fg.wts[elems],
+                    normals=fg.normals[elems],
+                    basis_vals=self.face_basis_vals[s],
+                    basis_grads={k: v[elems] for k, v in
+                                 self.face_basis_grads[s].items()},
+                ))
+
+    # ---- helpers ----
+
+    def var_basis(self, var: str):
+        return self.basis_keys[var]
+
+    def mass_blocks(self, var: str | None = None,
+                    weight: np.ndarray | None = None) -> np.ndarray:
+        """Per-element mass blocks.
+
+        With var=None: (E, ndof_total, ndof_total) block-diagonal over all
+        variables. weight: optional (E, Q) density at quadrature points.
+        """
+        w = self.wts if weight is None else self.wts * weight
+        if var is not None:
+            phi = self.basis_vals[self.basis_keys[var]]
+            return np.einsum("iq,jq,eq->eij", phi, phi, w)
+        E = self.mesh.n_elem
+        M = np.zeros((E, self.ndof_elem, self.ndof_elem))
+        for vname in self.var_names:
+            st, nd = self.offsets[vname]
+            phi = self.basis_vals[self.basis_keys[vname]]
+            M[:, st:st + nd, st:st + nd] = np.einsum(
+                "iq,jq,eq->eij", phi, phi, w)
+        return M

@@ -1,0 +1,148 @@
+"""Workset: the per-element view physics modules read from and write to.
+
+TPU-native analog of the reference Workset (src/tools/workset.hpp:22-588):
+solution/gradient/time-derivative fields at quadrature points, basis
+tables, residual accumulation. One Workset instance exists per *traced
+element* inside vmap — all arrays here carry no element dimension, and
+all "mutation" is functional accumulation into `self._res`.
+
+Field-name resolution matches the reference's getSolutionField labels:
+"e", "grad(e)[x]", "e_t", "x", "y", "z", "t", "n[x]" (side normals),
+plus parameter and user-function names via the FunctionManager.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["Workset"]
+
+_AXES = {"x": 0, "y": 1, "z": 2}
+
+
+class Workset:
+    def __init__(self, *, dim, wts, ip, basis_vals, basis_grads, offsets,
+                 var_keys, u_eval, u_dot=None, time=0.0, fm=None,
+                 params=None, normals=None, side_name=None, bcs=None,
+                 extra_fields=None, dtype=None):
+        self.dim = dim
+        self.wts = wts                      # (Q,)
+        self.ip = ip                        # (Q, dim)
+        self._bv = basis_vals               # key -> (ndof, Q)
+        self._bg = basis_grads              # key -> (ndof, Q, dim)
+        self.offsets = offsets              # var -> (start, ndof)
+        self._var_keys = var_keys           # var -> basis key
+        self.u = u_eval                     # (ndof_total,)
+        self.u_dot = u_dot                  # (ndof_total,) or None
+        self.time = time
+        self.fm = fm
+        self.params = params or {}
+        self.normals = normals              # (Q, dim) on side worksets
+        self.side_name = side_name
+        self.bcs = bcs or {}                # var -> bctype (side worksets)
+        self.extra_fields = extra_fields or {}
+        ndof_total = sum(nd for (_s, nd) in offsets.values())
+        self._res = jnp.zeros(ndof_total, dtype=u_eval.dtype)
+        self._sol_cache = {}
+
+    # ---- field access (used by physics + expression leaves) ----
+
+    def basis(self, var):
+        return self._bv[self._var_keys[var]]
+
+    def basis_grad(self, var):
+        return self._bg[self._var_keys[var]]
+
+    def _dofs(self, vec, var):
+        st, nd = self.offsets[var]
+        return vec[st:st + nd]
+
+    def sol(self, var):
+        """Solution at quadrature points, (Q,)."""
+        key = ("sol", var)
+        if key not in self._sol_cache:
+            self._sol_cache[key] = self._dofs(self.u, var) @ self.basis(var)
+        return self._sol_cache[key]
+
+    def sol_dot(self, var):
+        key = ("dot", var)
+        if key not in self._sol_cache:
+            if self.u_dot is None:
+                self._sol_cache[key] = jnp.zeros_like(self.sol(var))
+            else:
+                self._sol_cache[key] = (self._dofs(self.u_dot, var)
+                                        @ self.basis(var))
+        return self._sol_cache[key]
+
+    def grad(self, var):
+        """Solution gradient at quadrature points, (Q, dim)."""
+        key = ("grad", var)
+        if key not in self._sol_cache:
+            self._sol_cache[key] = jnp.einsum(
+                "i,iqd->qd", self._dofs(self.u, var), self.basis_grad(var))
+        return self._sol_cache[key]
+
+    def f(self, name, location="ip"):
+        """Evaluate a FunctionManager expression at this workset."""
+        return self.fm.evaluate(name, self, location)
+
+    def resolve(self, leaf: str):
+        """Leaf resolution for the expression DSL."""
+        if leaf in _AXES and _AXES[leaf] < self.dim:
+            return self.ip[:, _AXES[leaf]]
+        if leaf == "t":
+            return self.time
+        if leaf in self.offsets:
+            return self.sol(leaf)
+        if leaf.startswith("grad(") and leaf.endswith("]"):
+            var = leaf[5:leaf.index(")")]
+            ax = _AXES[leaf[-2]]
+            return self.grad(var)[:, ax]
+        if leaf.endswith("_t") and leaf[:-2] in self.offsets:
+            return self.sol_dot(leaf[:-2])
+        if leaf.startswith("n[") and self.normals is not None:
+            return self.normals[:, _AXES[leaf[2]]]
+        if leaf in ("nx", "ny", "nz") and self.normals is not None:
+            return self.normals[:, _AXES[leaf[1]]]
+        if leaf in self.params:
+            return self.params[leaf]
+        if leaf in self.extra_fields:
+            return self.extra_fields[leaf]
+        raise KeyError(f"cannot resolve expression leaf {leaf!r}")
+
+    def qp(self, v):
+        """Broadcast a scalar-or-(Q,) value to quadrature-point shape."""
+        return jnp.broadcast_to(jnp.asarray(v, dtype=self.u.dtype),
+                                self.wts.shape)
+
+    # ---- residual accumulation (used by physics) ----
+
+    def add_source(self, var, svals):
+        """res_i += sum_q svals(q) * phi_i(q) * w(q)   (i.e. (s, v))."""
+        st, nd = self.offsets[var]
+        contrib = self.basis(var) @ (self.qp(svals) * self.wts)
+        self._res = self._res.at[st:st + nd].add(contrib)
+
+    def add_flux(self, var, fvals):
+        """res_i += sum_q f(q,:) . grad(phi_i)(q,:) * w(q)  ((F, grad v))."""
+        st, nd = self.offsets[var]
+        contrib = jnp.einsum("iqd,qd->i", self.basis_grad(var),
+                             fvals * self.wts[:, None])
+        self._res = self._res.at[st:st + nd].add(contrib)
+
+    @property
+    def res(self):
+        return self._res
+
+    # convenience coordinates
+    @property
+    def x(self):
+        return self.ip[:, 0]
+
+    @property
+    def y(self):
+        return self.ip[:, 1]
+
+    @property
+    def z(self):
+        return self.ip[:, 2]

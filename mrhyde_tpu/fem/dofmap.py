@@ -1,0 +1,186 @@
+"""DOF management: global numbering, element LIDs, offsets, boundary dofs.
+
+The TPU-native replacement for the Panzer DOFManager the reference builds
+per physics set (reference: src/interfaces/discretizationInterface.cpp:2324
+buildDOFManagers; LID/offset layout described in SURVEY.md Appendix B).
+Everything is a static numpy index array produced at setup; assembly
+consumes them via gather (u_local = u_global[lids]) and
+scatter (segment_sum over lids), replacing the reference's
+gather/atomic-scatter (src/managers/assemblyManager.cpp:3441, 3943).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from mrhyde_tpu.fem.basis import Basis, get_basis
+from mrhyde_tpu.fem.topology import cell_topology
+from mrhyde_tpu.mesh.structured import Mesh
+
+__all__ = ["VarDofMap", "DofMap", "build_dofmap"]
+
+
+@dataclass
+class VarDofMap:
+    name: str
+    basis: Basis
+    n_dof: int                 # number of global dofs for this variable
+    eldofs: np.ndarray         # (n_elem, ndof_per_elem) within-var global ids
+    dof_coords: np.ndarray     # (n_dof, dim) physical coords (nodal bases)
+
+
+@dataclass
+class DofMap:
+    mesh: Mesh
+    vars: list[VarDofMap]
+    var_start: np.ndarray      # (n_var,) offset of each var's dof block
+    n_dof: int                 # total global dofs
+    lids: np.ndarray           # (n_elem, ndof_total) global dof ids
+    offsets: dict[str, tuple[int, int]]  # var -> (start, ndof) in element vec
+
+    def var(self, name: str) -> VarDofMap:
+        for v in self.vars:
+            if v.name == name:
+                return v
+        raise KeyError(name)
+
+    def var_index(self, name: str) -> int:
+        for i, v in enumerate(self.vars):
+            if v.name == name:
+                return i
+        raise KeyError(name)
+
+    def global_dofs(self, var: str, within_var_ids: np.ndarray) -> np.ndarray:
+        return self.var_start[self.var_index(var)] + within_var_ids
+
+    def sideset_dofs(self, var: str, sideset: np.ndarray) -> np.ndarray:
+        """Unique global dof ids of `var` on a sideset ((n,2) elem/side)."""
+        v = self.var(var)
+        if sideset.shape[0] == 0:
+            return np.zeros(0, dtype=np.int64)
+        ids = []
+        for side in np.unique(sideset[:, 1]):
+            elems = sideset[sideset[:, 1] == side, 0]
+            cols = v.basis.side_dofs(int(side))
+            if cols:
+                ids.append(v.eldofs[elems][:, cols].ravel())
+        if not ids:
+            return np.zeros(0, dtype=np.int64)
+        return self.global_dofs(var, np.unique(np.concatenate(ids)))
+
+    def all_dofs(self, var: str) -> np.ndarray:
+        i = self.var_index(var)
+        return self.var_start[i] + np.arange(self.vars[i].n_dof)
+
+
+def _edge_numbering(mesh: Mesh):
+    """Global edge ids. Returns (n_edges, elem_edges (n_elem, n_loc_edges),
+    edge_flipped (n_elem, n_loc_edges) bool, edge_nodes (n_edges, 2))."""
+    topo = cell_topology(mesh.cell_type)
+    le = np.array(topo.edges)                        # (n_loc_edges, 2)
+    pairs = mesh.conn[:, le]                         # (n_elem, n_le, 2)
+    flipped = pairs[:, :, 0] > pairs[:, :, 1]
+    sorted_pairs = np.sort(pairs, axis=2)
+    flat = sorted_pairs.reshape(-1, 2)
+    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+    elem_edges = inv.reshape(pairs.shape[0], pairs.shape[1])
+    return uniq.shape[0], elem_edges, flipped, uniq
+
+
+def _face_numbering(mesh: Mesh):
+    """Global face ids for 3D cells (sorted node tuple as key)."""
+    topo = cell_topology(mesh.cell_type)
+    lf = [list(f) for f in topo.faces]
+    n_fn = max(len(f) for f in lf)
+    keys = []
+    for f in lf:
+        fk = np.sort(mesh.conn[:, f], axis=1)
+        if fk.shape[1] < n_fn:
+            fk = np.pad(fk, ((0, 0), (0, n_fn - fk.shape[1])),
+                        constant_values=-1)
+        keys.append(fk)
+    flat = np.stack(keys, axis=1).reshape(-1, n_fn)   # (n_elem*n_lf, n_fn)
+    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+    elem_faces = inv.reshape(mesh.n_elem, len(lf))
+    return uniq.shape[0], elem_faces
+
+
+def _build_var(mesh: Mesh, name: str, basis: Basis) -> VarDofMap:
+    topo = cell_topology(mesh.cell_type)
+    ents = basis.dof_entities()
+    n_elem = mesh.n_elem
+
+    if basis.space == "HVOL":
+        eldofs = np.arange(n_elem, dtype=np.int64)[:, None]
+        # dof coord = element centroid
+        cent = mesh.nodes[mesh.conn].mean(axis=1)
+        return VarDofMap(name, basis, n_elem, eldofs, cent)
+
+    per_edge = basis.order - 1
+    need_edges = any(k == "edge" for k, _, _ in ents)
+    need_faces = any(k == "face" for k, _, _ in ents)
+    elem_edges = edge_flip = None
+    n_edges = 0
+    if need_edges:
+        n_edges, elem_edges, edge_flip, _ = _edge_numbering(mesh)
+    if need_faces:
+        n_faces, elem_faces = _face_numbering(mesh)
+        per_face = sum(1 for k, i, _ in ents if k == "face" and i == 0)
+    else:
+        n_faces, per_face = 0, 0
+    per_cell = sum(1 for k, _, _ in ents if k == "cell")
+
+    node_base = 0
+    edge_base = mesh.n_nodes
+    face_base = edge_base + n_edges * per_edge
+    cell_base = face_base + n_faces * per_face
+    n_dof = cell_base + n_elem * per_cell
+
+    eldofs = np.zeros((n_elem, basis.ndof), dtype=np.int64)
+    for j, (kind, idx, k) in enumerate(ents):
+        if kind == "node":
+            eldofs[:, j] = mesh.conn[:, idx]
+        elif kind == "edge":
+            # orientation: interior edge dofs are numbered low-corner ->
+            # high-corner in global node order; flip k where the element's
+            # local direction disagrees (matters for order >= 3)
+            kk = np.where(edge_flip[:, idx], per_edge - 1 - k, k)
+            eldofs[:, j] = edge_base + elem_edges[:, idx] * per_edge + kk
+        elif kind == "face":
+            if per_face > 1:
+                raise NotImplementedError(
+                    "face-interior dof orientation for order >= 3 in 3D")
+            eldofs[:, j] = face_base + elem_faces[:, idx] * per_face + k
+        else:  # cell
+            eldofs[:, j] = cell_base + np.arange(n_elem) * per_cell + k
+
+    # dof physical coordinates via the linear geometric map
+    geo = get_basis(mesh.cell_type, "HGRAD", 1)
+    gvals = geo.eval(basis.dof_coords)               # (n_corner, ndof)
+    coords_el = np.einsum("ecd,cj->ejd", mesh.nodes[mesh.conn], gvals)
+    dof_coords = np.zeros((n_dof, topo.dim))
+    dof_coords[eldofs.ravel()] = coords_el.reshape(-1, topo.dim)
+    return VarDofMap(name, basis, n_dof, eldofs, dof_coords)
+
+
+def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
+    """variables: list of (name, basis space, order)."""
+    vars_ = []
+    for (name, space, order) in variables:
+        basis = get_basis(mesh.cell_type, space, order)
+        vars_.append(_build_var(mesh, name, basis))
+    var_start = np.zeros(len(vars_), dtype=np.int64)
+    tot = 0
+    offsets = {}
+    estart = 0
+    for i, v in enumerate(vars_):
+        var_start[i] = tot
+        tot += v.n_dof
+        offsets[v.name] = (estart, v.basis.ndof)
+        estart += v.basis.ndof
+    lids = np.concatenate(
+        [var_start[i] + v.eldofs for i, v in enumerate(vars_)], axis=1)
+    return DofMap(mesh=mesh, vars=vars_, var_start=var_start, n_dof=tot,
+                  lids=lids.astype(np.int64), offsets=offsets)

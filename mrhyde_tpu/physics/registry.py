@@ -1,0 +1,48 @@
+"""Physics module registry: input-deck name -> module class.
+
+Reference: src/physics/physicsImporter.cpp:48-199.
+"""
+
+from __future__ import annotations
+
+__all__ = ["register", "import_physics", "available_modules"]
+
+_REGISTRY: dict[str, type] = {}
+
+
+def register(deck_name: str):
+    def deco(cls):
+        _REGISTRY[deck_name] = cls
+        return cls
+    return deco
+
+
+def available_modules():
+    _ensure_imported()
+    return sorted(_REGISTRY)
+
+
+def import_physics(names, settings=None, dim=2):
+    """Instantiate physics modules from deck names (comma list or list)."""
+    _ensure_imported()
+    if isinstance(names, str):
+        names = [n.strip() for n in names.split(",") if n.strip()]
+    modules = []
+    for n in names:
+        if n not in _REGISTRY:
+            raise KeyError(f"unknown physics module {n!r}; "
+                           f"available: {available_modules()}")
+        modules.append(_REGISTRY[n](settings or {}, dim))
+    return modules
+
+
+def _ensure_imported():
+    # import all module files so their @register decorators run
+    import importlib
+    for mod in ("thermal", "ode", "cdr", "burgers", "linearelasticity",
+                "stokes", "navierstokes", "shallowwater", "helmholtz",
+                "porous", "maxwell"):
+        try:
+            importlib.import_module(f"mrhyde_tpu.physics.{mod}")
+        except ImportError:
+            pass

@@ -1,0 +1,116 @@
+"""Verification error norms against manufactured ("True") solutions.
+
+Reproduces PostprocessManager::computeError semantics (reference:
+src/managers/postprocessManager.cpp:1168-1480, printing :1054-1140):
+
+- 'var':           L2 volume norm of (u_h - true)
+- 'grad(var)[d]':  combined L2 norm over the given gradient components
+- 'var face':      L2-face norm accumulated over EVERY element side with
+                   weight 0.5/facemeasure (postprocessManager.cpp:1467)
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax.numpy as jnp
+
+from mrhyde_tpu.assembly.assembler import PointContext
+
+__all__ = ["ErrorCalculator"]
+
+_GRAD_RE = re.compile(r"^grad\((\w+)\)\[([xyz])\]$")
+_AX = {"x": 0, "y": 1, "z": 2}
+
+
+class ErrorCalculator:
+    def __init__(self, disc, fm, true_solutions: dict, params=None):
+        self.disc = disc
+        self.fm = fm
+        self.params = params or {}
+        self.l2_exprs = {}
+        self.grad_exprs = {}     # var -> {axis: expr}
+        self.face_exprs = {}
+        self.div_exprs = {}
+        self.curl_exprs = {}
+        for key, expr in (true_solutions or {}).items():
+            m = _GRAD_RE.match(key.strip())
+            if m:
+                self.grad_exprs.setdefault(m.group(1), {})[
+                    _AX[m.group(2)]] = expr
+            elif key.endswith(" face"):
+                self.face_exprs[key[:-5].strip()] = expr
+            elif key.startswith("div(") and key.endswith(")"):
+                self.div_exprs[key[4:-1]] = expr
+            elif key.startswith("curl(") and key.endswith(")"):
+                self.curl_exprs[key[5:-1]] = expr
+            else:
+                self.l2_exprs[key] = expr
+
+    def compute(self, u, time=0.0) -> dict:
+        """Returns {(kind, var): error} with kind in L2 / L2-grad / L2-face."""
+        if not hasattr(self, "_compute_jit"):
+            import jax
+            self._compute_jit = jax.jit(self._compute)
+        out = self._compute_jit(u, time)
+        return {k: float(v) for k, v in out.items()}
+
+    def _compute(self, u, time) -> dict:
+        disc = self.disc
+        out = {}
+        u_e = u[jnp.asarray(disc.lids)]               # (E, nd_total)
+
+        for var, expr in self.l2_exprs.items():
+            st, nd = disc.offsets[var]
+            phi = jnp.asarray(disc.basis_vals[disc.basis_keys[var]])
+            uh = u_e[:, st:st + nd] @ phi              # (E, Q)
+            ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
+            tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                   uh.shape)
+            err2 = jnp.sum(jnp.asarray(disc.wts) * (uh - tru) ** 2)
+            out[("L2", var)] = jnp.sqrt(err2)
+
+        for var, comps in self.grad_exprs.items():
+            st, nd = disc.offsets[var]
+            dphi = jnp.asarray(disc.basis_grads[disc.basis_keys[var]])
+            duh = jnp.einsum("ei,eiqd->eqd", u_e[:, st:st + nd], dphi)
+            ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
+            err2 = 0.0
+            for ax, expr in comps.items():
+                tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                       duh.shape[:2])
+                err2 = err2 + jnp.sum(jnp.asarray(disc.wts)
+                                      * (duh[:, :, ax] - tru) ** 2)
+            out[("L2-grad", var)] = jnp.sqrt(err2)
+
+        for var, expr in self.face_exprs.items():
+            st, nd = disc.offsets[var]
+            err2 = 0.0
+            for s in range(disc.topo.n_side):
+                phi_f = jnp.asarray(disc.face_basis_vals[s][
+                    disc.basis_keys[var]])               # (nd, Qf)
+                fg = disc.faces[s]
+                uh = u_e[:, st:st + nd] @ phi_f          # (E, Qf)
+                ctx = PointContext(jnp.asarray(fg.ip), time, self.params)
+                tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                       uh.shape)
+                wts = jnp.asarray(fg.wts)                # (E, Qf)
+                fmeas = jnp.sum(wts, axis=1, keepdims=True)
+                err2 = err2 + jnp.sum(0.5 / fmeas * (uh - tru) ** 2 * wts)
+            out[("L2-face", var)] = jnp.sqrt(err2)
+
+        return out
+
+    @staticmethod
+    def format_report(history) -> str:
+        """history: list of (time, {(kind, var): err}) — reference style."""
+        lines = ["*********************************************************",
+                 "***** Computing errors ******", ""]
+        for time, errs in history:
+            for (kind, var), val in errs.items():
+                label = {"L2": f"L2 norm of the error for {var}",
+                         "L2-grad": f"L2 norm of the error for grad({var})",
+                         "L2-face":
+                             f"L2-face norm of the error for {var}"}[kind]
+                lines.append(f"***** {label} = {val:.6g}  (time = {time:g})")
+        return "\n".join(lines)

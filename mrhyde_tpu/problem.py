@@ -1,0 +1,257 @@
+"""Problem: wires config -> mesh -> physics -> assembly -> solve -> report.
+
+The TPU-native equivalent of the reference driver + manager construction
+sequence (reference: src/driver.cpp:62-212) and the forward paths of
+SolverManager (solverManager.cpp:1107 forwardModel, :1156 steadySolver,
+:1229 transientSolver) and AnalysisManager (analysisManager.cpp:62-95).
+
+The configuration is a nested dict with the same sublists as the
+reference input deck: Mesh, Physics, Functions, Discretization, Solver,
+Analysis, Postprocess, Parameters (SURVEY.md Appendix A).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrhyde_tpu.assembly.assembler import Assembler, TimeCoeffs
+from mrhyde_tpu.assembly.discretization import Discretization
+from mrhyde_tpu.functions.manager import FunctionManager
+from mrhyde_tpu.mesh.structured import box_mesh
+from mrhyde_tpu.physics.registry import import_physics
+from mrhyde_tpu.postprocess.errors import ErrorCalculator
+from mrhyde_tpu.solvers.bcs import BoundaryConditions
+from mrhyde_tpu.solvers.linear import solve_linear
+from mrhyde_tpu.solvers.nonlinear import newton_solve
+from mrhyde_tpu.solvers.time_integration import TransientIntegrator
+
+__all__ = ["Problem", "ForwardResult"]
+
+
+@dataclass
+class ForwardResult:
+    u: object
+    time: float
+    error_history: list = field(default_factory=list)
+    solution_history: list = field(default_factory=list)
+
+    @property
+    def errors(self):
+        """Errors at the final recorded time."""
+        return self.error_history[-1][1] if self.error_history else {}
+
+    def report(self) -> str:
+        return ErrorCalculator.format_report(self.error_history)
+
+
+class Problem:
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        mesh_cfg = cfg.get("Mesh", {})
+        dim = int(mesh_cfg.get("dimension", 2))
+        cell = mesh_cfg.get("element type", "quad")
+        self.mesh = box_mesh(
+            cell,
+            nx=int(mesh_cfg.get("NX", 1)), ny=int(mesh_cfg.get("NY", 1)),
+            nz=int(mesh_cfg.get("NZ", 1)),
+            xmin=float(mesh_cfg.get("xmin", 0.0)),
+            xmax=float(mesh_cfg.get("xmax", 1.0)),
+            ymin=float(mesh_cfg.get("ymin", 0.0)),
+            ymax=float(mesh_cfg.get("ymax", 1.0)),
+            zmin=float(mesh_cfg.get("zmin", 0.0)),
+            zmax=float(mesh_cfg.get("zmax", 1.0)))
+
+        phys_cfg = cfg.get("Physics", {})
+        self.modules = import_physics(phys_cfg.get("modules", ""),
+                                      phys_cfg, dim)
+
+        # variables + orders
+        disc_cfg = cfg.get("Discretization", {})
+        orders = disc_cfg.get("order", {}) or {}
+        variables = []
+        for m in self.modules:
+            for (name, space, default_order) in m.variables():
+                order = int(orders.get(name, default_order))
+                if space == "HVOL":
+                    order = 0
+                variables.append((name, space, max(order, 0) or
+                                  (0 if space == "HVOL" else 1)))
+        self.variables = variables
+
+        # functions
+        self.fm = FunctionManager()
+        fs = cfg.get("Functions", {}) or {}
+        for name, expr in fs.items():
+            self.fm.add_function(name, expr, "ip")
+            self.fm.add_function(name, expr, "side ip")
+        for m in self.modules:
+            m.define_functions(self.fm, fs)
+
+        # parameters (scalar only here; discretized params live in
+        # mrhyde_tpu.analysis.parameters)
+        self.params = {}
+        for pname, sub in (cfg.get("Parameters", {}) or {}).items():
+            if isinstance(sub, dict) and "value" in sub:
+                self.params[pname] = float(sub["value"])
+
+        qdeg = disc_cfg.get("quadrature")
+        self.disc = Discretization(self.mesh, variables,
+                                   None if qdeg is None else int(qdeg))
+
+        use_weak = bool(phys_cfg.get("use weak Dirichlet", False))
+        self.bcs = BoundaryConditions.from_config(
+            self.disc.dofmap, self.fm, phys_cfg, self.params,
+            use_weak_dirichlet=use_weak)
+
+        self.assembler = Assembler(self.disc, self.modules, self.fm,
+                                   self.params,
+                                   fixed_dofs=self.bcs.fixed_dofs)
+        self.assembler.var_bcs = self.bcs.var_bcs
+
+        pp_cfg = cfg.get("Postprocess", {}) or {}
+        self.compute_errors = bool(pp_cfg.get("compute errors", False))
+        self.error_calc = ErrorCalculator(
+            self.disc, self.fm, pp_cfg.get("True solutions", {}) or {},
+            self.params)
+
+        self.solver_cfg = cfg.get("Solver", {}) or {}
+
+    # ------------------------------------------------------------------
+
+    @property
+    def n_dof(self):
+        return self.disc.n_dof
+
+    def initial_state(self, time=0.0):
+        """Initial condition by L2 projection (reference default,
+        solverManager.cpp:1974 setInitial) or nodal interpolation."""
+        if not hasattr(self, "_ic_jit"):
+            ics = self.cfg.get("Physics", {}).get("Initial conditions",
+                                                  {}) or {}
+            ics = {k: v for k, v in ics.items() if k != "scalar data"}
+            ic_type = self.solver_cfg.get("initial type", "L2-projection")
+
+            def _ic(t):
+                u = jnp.zeros(self.n_dof)
+                if ics and ic_type == "L2-projection":
+                    M = self.assembler.mass_jacobian()
+                    b = self.assembler.l2_rhs(ics, time=t)
+                    u = solve_linear(M, b, method=self._proj_method())
+                elif ics:  # interpolation
+                    from mrhyde_tpu.assembly.assembler import PointContext
+                    for var, expr in ics.items():
+                        vdm = self.disc.dofmap.var(var)
+                        gdofs = self.disc.dofmap.all_dofs(var)
+                        ctx = PointContext(jnp.asarray(vdm.dof_coords), t,
+                                           self.params)
+                        vals = jnp.broadcast_to(
+                            self.fm.evaluate_expr(expr, ctx), (gdofs.size,))
+                        u = u.at[jnp.asarray(gdofs)].set(vals)
+                return self.bcs.apply(u, t)
+
+            self._ic_jit = jax.jit(_ic)
+        return self._ic_jit(time)
+
+    def _proj_method(self):
+        return "direct" if self.n_dof <= 6000 else "cg"
+
+    def _linear_method(self):
+        if bool(self.solver_cfg.get("use direct solver", False)):
+            return "direct"
+        if self.n_dof <= 4000:
+            return "direct"
+        return "gmres"
+
+    # ------------------------------------------------------------------
+
+    def solve_steady(self, record=True) -> ForwardResult:
+        u0 = self.initial_state()
+        tc = TimeCoeffs.steady(self.n_dof, dtype=u0.dtype)
+        result = newton_solve(
+            self.assembler, u0, tc,
+            tol=float(self.solver_cfg.get("nonlinear TOL", 1e-6)),
+            abstol=float(self.solver_cfg.get("absolute nonlinear TOL",
+                                             1e-100)),
+            maxiter=int(self.solver_cfg.get("max nonlinear iters", 10)),
+            linear_method=self._linear_method(),
+            linear_tol=float(self.solver_cfg.get("linear TOL", 1e-12)),
+            backtracking=bool(self.solver_cfg.get("allow backtracking",
+                                                  True)))
+        out = ForwardResult(u=result.u, time=0.0)
+        if record and self.compute_errors:
+            out.error_history.append(
+                (0.0, self.error_calc.compute(result.u, 0.0)))
+        return out
+
+    def solve_transient(self, record=True) -> ForwardResult:
+        sc = self.solver_cfg
+        t0 = float(sc.get("initial time", 0.0))
+        t_end = float(sc.get("final time", 1.0))
+        nsteps = int(sc.get("number of steps", 1))
+        dt = sc.get("delta t")
+        dt = float(dt) if dt is not None else (t_end - t0) / nsteps
+
+        custom = None
+        if sc.get("transient Butcher tableau") == "custom":
+            custom = (_parse_matrix(sc.get("transient Butcher A", "1.0")),
+                      _parse_vector(sc.get("transient Butcher b", "1.0")),
+                      _parse_vector(sc.get("transient Butcher c", "1.0")))
+
+        integ = TransientIntegrator(
+            assembler=self.assembler,
+            tableau=sc.get("transient Butcher tableau", "BWE"),
+            bdf_order=int(sc.get("transient BDF order", 1)),
+            startup_tableau=sc.get("transient startup Butcher tableau"),
+            startup_bdf_order=(int(sc["transient startup BDF order"])
+                               if "transient startup BDF order" in sc
+                               else None),
+            startup_steps=int(sc.get("transient startup steps", 0)),
+            custom_tableau=custom,
+            nonlinear_tol=float(sc.get("nonlinear TOL", 1e-6)),
+            abs_tol=float(sc.get("absolute nonlinear TOL", 1e-100)),
+            max_nonlinear_iters=int(sc.get("max nonlinear iters", 10)),
+            linear_method=self._linear_method(),
+            linear_tol=float(sc.get("linear TOL", 1e-12)),
+            max_cuts=int(sc.get("maximum time step cuts", 5)),
+            backtracking=bool(sc.get("allow backtracking", True)),
+            set_dirichlet=self.bcs.apply)
+
+        out = ForwardResult(u=None, time=t0)
+
+        def observer(u, time, step):
+            if record and self.compute_errors:
+                out.error_history.append(
+                    (time, self.error_calc.compute(u, time)))
+
+        u0 = self.initial_state(time=t0)
+        u, t = integ.run(u0, t0=t0, t_end=t_end, dt=dt, num_steps=nsteps,
+                         observer=observer)
+        out.u, out.time = u, t
+        return out
+
+    def forward(self) -> ForwardResult:
+        mode = self.solver_cfg.get("solver", "steady-state")
+        if mode == "transient":
+            return self.solve_transient()
+        return self.solve_steady()
+
+    def run(self) -> ForwardResult:
+        analysis = self.cfg.get("Analysis", {}).get("analysis type",
+                                                    "forward")
+        if analysis in ("forward", "dry run"):
+            return self.forward()
+        raise NotImplementedError(
+            f"analysis type {analysis!r} (see mrhyde_tpu.analysis)")
+
+
+def _parse_vector(s):
+    return np.array([float(x) for x in str(s).split(",")])
+
+
+def _parse_matrix(s):
+    return np.array([[float(x) for x in row.split(",")]
+                     for row in str(s).split(";")])

@@ -1,0 +1,21 @@
+"""Runtime/dtype configuration.
+
+The reference framework compiles with ScalarT = double by default and
+float with MrHyDE_SINGLE_PRECISION (reference: src/preferences.hpp:40-44).
+On TPU, float32 (with float64 emulation available through JAX x64 mode on
+CPU backends for verification) is the native choice; all framework code
+takes its working dtype from here rather than hard-coding.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def fp64(enable: bool = True) -> None:
+    """Enable (or disable) 64-bit mode globally. Call before any tracing."""
+    jax.config.update("jax_enable_x64", enable)
+
+
+def default_dtype():
+    """The current default floating dtype (f64 iff x64 mode is on)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32

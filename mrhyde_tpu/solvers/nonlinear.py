@@ -1,0 +1,80 @@
+"""Newton solver with optional backtracking line search.
+
+Mirrors the reference's SolverManager::nonlinearSolver
+(src/managers/solverManager.cpp:1465-1714): residual norm check with
+relative+absolute tolerances, J du = -R solve, backtracking halving on
+residual increase. The outer iteration runs on host (iteration counts
+are data-dependent); each (assemble J, R; solve) step is ONE jitted XLA
+program cached on the assembler.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from mrhyde_tpu.solvers.linear import solve_linear
+
+__all__ = ["newton_solve", "NewtonResult"]
+
+
+@dataclass
+class NewtonResult:
+    u: object
+    iterations: int
+    norm0: float
+    norm: float
+    converged: bool
+
+
+def _newton_step_fn(assembler, linear_method, linear_tol, linear_maxiter):
+    """One fused (residual, Jacobian, linear solve) step, jit-cached."""
+    cache = assembler.__dict__.setdefault("_newton_step_cache", {})
+    key = (linear_method, linear_tol, linear_maxiter)
+    if key not in cache:
+        def step(u, tc, pvec):
+            r = assembler.residual(u, tc, pvec)
+            J = assembler.jacobian(u, tc, pvec)
+            du = solve_linear(J, -r, method=linear_method, tol=linear_tol,
+                              maxiter=linear_maxiter)
+            return du, jnp.linalg.norm(r)
+        cache[key] = jax.jit(step)
+    return cache[key]
+
+
+def newton_solve(assembler, u0, tc, pvec=None, *, tol=1e-6, abstol=1e-100,
+                 maxiter=10, linear_method="direct", linear_tol=1e-12,
+                 linear_maxiter=2000, backtracking=True, verbose=0):
+    u = u0
+    step = _newton_step_fn(assembler, linear_method, linear_tol,
+                           linear_maxiter)
+    res_fn = getattr(assembler, "residual_jit", assembler.residual)
+    norm0 = None
+    norm = None
+    it = 0
+    while it < maxiter:
+        du, norm_j = step(u, tc, pvec)
+        norm = float(norm_j)
+        if norm0 is None:
+            norm0 = norm if norm > 0 else 1.0
+        if verbose > 1:
+            print(f"  Newton iter {it}: ||r|| = {norm:.6e}")
+        if norm < max(tol * norm0, abstol):
+            return NewtonResult(u, it, norm0, norm, True)
+        if backtracking:
+            alpha = 1.0
+            for _cut in range(8):
+                rn = res_fn(u + alpha * du, tc, pvec)
+                if float(jnp.linalg.norm(rn)) <= norm or alpha < 1e-3:
+                    break
+                alpha *= 0.5
+            u = u + alpha * du
+        else:
+            u = u + du
+        it += 1
+    rn = res_fn(u, tc, pvec)
+    norm = float(jnp.linalg.norm(rn))
+    converged = norm < max(tol * norm0, abstol)
+    return NewtonResult(u, it, norm0, norm, converged)
