@@ -1,0 +1,141 @@
+"""Multi-chip distribution via jax.sharding over a device Mesh.
+
+TPU-native replacement for the reference's MPI domain decomposition +
+Tpetra owned/overlapped Import/Export (reference:
+src/interfaces/linearAlgebraInterface.cpp:145-309, SURVEY.md section
+2.10): elements are sharded across the 'dp' mesh axis (spatial domain
+decomposition), the global DOF vector is replicated, and assembly's
+segment-sum scatter becomes a local partial-sum + XLA all-reduce
+(the "replicated-assembly + psum" design, SURVEY.md section 5.8).
+Krylov dot products reduce over ICI automatically. An optional 'ep'
+axis shards UQ ensemble members (the reference's SplitComm analog,
+src/tools/split_mpi_communicators.cpp).
+
+XLA inserts all collectives from the sharding annotations — there is no
+hand-written communication here, and none is needed until DOF-sharded
+halo exchange (v2) for meshes too large to replicate a vector.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "shard_assembler_arrays", "sharded_newton_cg_step",
+           "pad_elements"]
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp",
+              devices=None) -> Mesh:
+    devs = devices if devices is not None else jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def pad_elements(n_elem: int, n_shards: int) -> int:
+    """Elements per shard after padding to an even split."""
+    return -(-n_elem // n_shards) * n_shards
+
+
+def shard_assembler_arrays(assembler, mesh: Mesh, axis: str = "dp"):
+    """Pad + shard the assembler's per-element arrays across `axis`.
+
+    Padding elements get zero quadrature weights so they contribute
+    nothing to residual/Jacobian, and their LIDs point at dof 0 (the
+    segment-sum adds zeros there). Returns a dict of sharded arrays that
+    the caller threads into jitted steps.
+    """
+    n_shards = mesh.shape[axis]
+    E = assembler.lids.shape[0]
+    Epad = pad_elements(E, n_shards)
+    pad = Epad - E
+
+    def padded(x, fill=0):
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    shard = NamedSharding(mesh, P(axis))
+
+    arrays = {
+        "lids": jax.device_put(padded(assembler.lids), shard),
+        "wts": jax.device_put(padded(assembler.g_wts), shard),
+        "ip": jax.device_put(padded(assembler.g_ip), shard),
+        "bg": {k: jax.device_put(padded(v), shard)
+               for k, v in assembler.g_bg.items()},
+    }
+    return arrays
+
+
+def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
+                           cg_iters: int = 25):
+    """Build a jitted, element-sharded Newton-CG step: u -> u'.
+
+    One full implicit solver step: assemble the element-block Jacobian
+    and residual over sharded elements, then run a fixed-iteration
+    Jacobi-preconditioned CG on the matrix-free operator. All
+    cross-shard reduction is XLA-inserted (segment-sum over replicated
+    dof ids + dot products).
+    """
+    arrays = shard_assembler_arrays(assembler, mesh, axis)
+    n_dof = assembler.n_dof
+    fixed = assembler.fixed
+    repl = NamedSharding(mesh, P())
+
+    from functools import partial
+
+    def step(u, tc, pvec=None):
+        lids = arrays["lids"]
+        u_e = u[lids]
+        bu_e = tc.beta_u[lids]
+        bt_e = tc.beta_t[lids]
+        fn = partial(assembler._elem_residual, alpha_u=tc.alpha_u,
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+        res_e = jax.vmap(fn)(u_e, bu_e, bt_e, arrays["wts"], arrays["ip"],
+                             arrays["bg"])
+        jac_e = jax.vmap(jax.jacfwd(fn, argnums=0))(
+            u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"])
+        r = jax.ops.segment_sum(res_e.ravel(), lids.ravel(),
+                                num_segments=n_dof)
+        r = jnp.where(fixed, 0.0, r)
+
+        def apply(v):
+            vm = jnp.where(fixed, 0.0, v)
+            av = jax.ops.segment_sum(
+                jnp.einsum("eij,ej->ei", jac_e, vm[lids]).ravel(),
+                lids.ravel(), num_segments=n_dof)
+            return jnp.where(fixed, v, av)
+
+        diag = jax.ops.segment_sum(
+            jnp.diagonal(jac_e, axis1=1, axis2=2).ravel(), lids.ravel(),
+            num_segments=n_dof)
+        dinv = jnp.where(fixed, 1.0, 1.0 / jnp.where(diag == 0, 1.0, diag))
+
+        # fixed-iteration preconditioned CG (static control flow)
+        b = -r
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        z0 = dinv * r0
+        p0 = z0
+
+        def body(_, state):
+            x, rr, z, p = state
+            Ap = apply(p)
+            alpha = jnp.vdot(rr, z) / jnp.where(
+                jnp.vdot(p, Ap) == 0, 1.0, jnp.vdot(p, Ap))
+            x1 = x + alpha * p
+            r1 = rr - alpha * Ap
+            z1 = dinv * r1
+            beta = jnp.vdot(r1, z1) / jnp.where(
+                jnp.vdot(rr, z) == 0, 1.0, jnp.vdot(rr, z))
+            return (x1, r1, z1, z1 + beta * p)
+
+        x, *_ = jax.lax.fori_loop(0, cg_iters, body, (x0, r0, z0, p0))
+        return u + x, jnp.linalg.norm(r)
+
+    jstep = jax.jit(step, out_shardings=(repl, repl))
+    return jstep, arrays

@@ -1,0 +1,33 @@
+"""Multi-chip sharding dry run on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_dryrun_multichip_8():
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_sharded_step_matches_single_device():
+    import __graft_entry__ as ge
+    from mrhyde_tpu.assembly.assembler import TimeCoeffs
+    from mrhyde_tpu.parallel.sharding import (make_mesh,
+                                              sharded_newton_cg_step)
+
+    p = ge._build_problem(nx=6, ny=6)
+    u0 = p.initial_state()
+    tc = TimeCoeffs.steady(p.n_dof, dtype=u0.dtype)
+
+    mesh8 = make_mesh(8)
+    step8, _ = sharded_newton_cg_step(p.assembler, mesh8, cg_iters=30)
+    u8, _ = step8(u0, tc, None)
+
+    mesh1 = make_mesh(1)
+    step1, _ = sharded_newton_cg_step(p.assembler, mesh1, cg_iters=30)
+    u1, _ = step1(u0, tc, None)
+
+    np.testing.assert_allclose(np.asarray(u8), np.asarray(u1),
+                               rtol=1e-10, atol=1e-12)
+    assert jnp.isfinite(u8).all()
