@@ -47,13 +47,15 @@ class TimeCoeffs:
     alpha_t: jax.Array
     beta_t: jax.Array
     time: jax.Array
+    deltat: jax.Array
 
     @staticmethod
     def steady(n_dof, time=0.0, dtype=jnp.float64):
         z = jnp.zeros(n_dof, dtype=dtype)
         one = jnp.asarray(1.0, dtype=dtype)
         zero = jnp.asarray(0.0, dtype=dtype)
-        return TimeCoeffs(one, z, zero, z, jnp.asarray(time, dtype=dtype))
+        return TimeCoeffs(one, z, zero, z, jnp.asarray(time, dtype=dtype),
+                          one)
 
 
 @jax.tree_util.register_dataclass
@@ -176,7 +178,8 @@ class Assembler:
                 wts=jnp.asarray(bg.wts, dtype=dt),
                 ip=jnp.asarray(bg.ip, dtype=dt),
                 normals=jnp.asarray(bg.normals, dtype=dt),
-                bv=bg.basis_vals,
+                bv={k: jnp.asarray(v, dtype=dt)
+                    for k, v in bg.basis_vals.items()},
                 bg={k: jnp.asarray(v, dtype=dt)
                     for k, v in bg.basis_grads.items()},
             ))
@@ -191,35 +194,39 @@ class Assembler:
     # ------------------------------------------------------------------
 
     def _make_workset(self, u_eval, u_dot, wts, ip, bg_slices, time, pvec,
-                      normals=None, side_name=None, bcs=None):
+                      normals=None, side_name=None, bcs=None, deltat=1.0,
+                      basis_vals=None):
         params = dict(self.params)
         params.update(pvec or {})
         return Workset(
             dim=self.disc.mesh.dim, wts=wts, ip=ip,
-            basis_vals=self.g_bv, basis_grads=bg_slices,
+            basis_vals=self.g_bv if basis_vals is None else basis_vals,
+            basis_grads=bg_slices,
             offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
             u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
-            params=params, normals=normals, side_name=side_name, bcs=bcs)
+            params=params, normals=normals, side_name=side_name, bcs=bcs,
+            deltat=deltat)
 
     def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,
-                       alpha_u, alpha_t, time, pvec):
+                       alpha_u, alpha_t, time, pvec, deltat=1.0):
         u_eval = alpha_u * u_st + beta_u
         u_dot = alpha_t * u_st + beta_t
         wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
-                                pvec)
+                                pvec, deltat=deltat)
         for m in self.modules:
             m.volume_residual(wk)
         return wk.res
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
-                        bg_slices, alpha_u, alpha_t, time, pvec):
+                        bg_slices, alpha_u, alpha_t, time, pvec, deltat=1.0):
         u_eval = alpha_u * u_st + beta_u
         u_dot = alpha_t * u_st + beta_t
         bcs = {v: self.var_bcs.get(v, {}).get(group["sideset"])
                for v in self.disc.var_names}
         wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
                                 pvec, normals=normals,
-                                side_name=group["sideset"], bcs=bcs)
+                                side_name=group["sideset"], bcs=bcs,
+                                deltat=deltat, basis_vals=group["bv"])
         for m in self.modules:
             m.boundary_residual(wk)
         return wk.res
@@ -235,14 +242,16 @@ class Assembler:
         """Global residual (n_dof,) with Dirichlet rows zeroed."""
         u_e, bu_e, bt_e = self._gathered(u_st, tc, self.lids)
         fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
-                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                     deltat=tc.deltat)
         res_e = jax.vmap(fn)(u_e, bu_e, bt_e, self.g_wts, self.g_ip,
                              self.g_bg)
         r = _scatter_vec(res_e, self.lids, self.n_dof)
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"])
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
-                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                          deltat=tc.deltat)
             res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, group["wts"],
                                   group["ip"], group["normals"],
                                   group["bg"])
@@ -253,14 +262,16 @@ class Assembler:
         """Element-block Jacobian d(residual)/d(u_stage)."""
         u_e, bu_e, bt_e = self._gathered(u_st, tc, self.lids)
         fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
-                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                     deltat=tc.deltat)
         jac_e = jax.vmap(jax.jacfwd(fn, argnums=0))(
             u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg)
         bnd_blocks, bnd_lids = [], []
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"])
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
-                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
+                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                          deltat=tc.deltat)
             jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
                 u_b, bu_b, bt_b, group["wts"], group["ip"],
                 group["normals"], group["bg"])

@@ -24,8 +24,9 @@ class Workset:
     def __init__(self, *, dim, wts, ip, basis_vals, basis_grads, offsets,
                  var_keys, u_eval, u_dot=None, time=0.0, fm=None,
                  params=None, normals=None, side_name=None, bcs=None,
-                 extra_fields=None, dtype=None):
+                 extra_fields=None, dtype=None, deltat=1.0):
         self.dim = dim
+        self.deltat = deltat
         self.wts = wts                      # (Q,)
         self.ip = ip                        # (Q, dim)
         self._bv = basis_vals               # key -> (ndof, Q)
@@ -133,6 +134,12 @@ class Workset:
     @property
     def res(self):
         return self._res
+
+    @property
+    def h(self):
+        """Element size h = volume^(1/dim) (reference:
+        workset.cpp:2666 getElementSize). Scalar per element."""
+        return jnp.sum(self.wts) ** (1.0 / self.dim)
 
     # convenience coordinates
     @property

@@ -83,6 +83,8 @@ def side_ref_points(cell_type: str, side: int,
     topo = cell_topology(cell_type)
     side_nodes = list(topo.sides[side])
     side_corner_coords = topo.corners[side_nodes]    # (n_sc, dim)
+    if topo.side_cell == "point":                    # 1D: side is a vertex
+        return side_corner_coords.reshape(1, -1)
     sgeo = get_basis(topo.side_cell, "HGRAD", 1)
     svals = sgeo.eval(side_pts)                      # (n_sc, nq)
     return np.einsum("cd,cq->qd", side_corner_coords, svals)
@@ -96,6 +98,16 @@ def face_geometry(coords: np.ndarray, cell_type: str, side: int,
     gvals, ggrad = _cell_map_tables(cell_type, ref_pts)
     ip = np.einsum("ecd,cq->eqd", coords, gvals)
     jac = np.einsum("ecd,cqr->eqdr", coords, ggrad)  # (e, q, dim, dim)
+
+    if topo.dim == 1:
+        # a side is a single vertex: unit weight, normal = +-1 outward
+        E = coords.shape[0]
+        wts = np.ones((E, 1))
+        cell_cent = coords.mean(axis=1)
+        sign = np.sign(ip[:, 0, 0] - cell_cent[:, 0])
+        normals = np.where(sign == 0, 1.0, sign)[:, None, None]
+        return FaceGeometry(ip=ip, wts=wts, normals=normals,
+                            ref_pts=ref_pts)
 
     # tangents of the side embedding in reference space
     sgeo = get_basis(topo.side_cell, "HGRAD", 1)

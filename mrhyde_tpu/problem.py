@@ -53,7 +53,13 @@ class Problem:
         self.cfg = cfg
         mesh_cfg = cfg.get("Mesh", {})
         dim = int(mesh_cfg.get("dimension", 2))
-        cell = mesh_cfg.get("element type", "quad")
+        cell = mesh_cfg.get("element type",
+                            mesh_cfg.get("shape", "quad"))
+        cell = {"interval": "line", "quadrilateral": "quad",
+                "triangle": "tri", "hexahedron": "hex",
+                "tetrahedron": "tet"}.get(cell, cell)
+        if dim == 1:
+            cell = "line"
         self.mesh = box_mesh(
             cell,
             nx=int(mesh_cfg.get("NX", 1)), ny=int(mesh_cfg.get("NY", 1)),
@@ -65,12 +71,13 @@ class Problem:
             zmin=float(mesh_cfg.get("zmin", 0.0)),
             zmax=float(mesh_cfg.get("zmax", 1.0)))
 
-        phys_cfg = cfg.get("Physics", {})
+        phys_cfg = _unwrap_block(cfg.get("Physics", {}), "modules")
+        self.phys_cfg = phys_cfg
         self.modules = import_physics(phys_cfg.get("modules", ""),
                                       phys_cfg, dim)
 
         # variables + orders
-        disc_cfg = cfg.get("Discretization", {})
+        disc_cfg = _unwrap_block(cfg.get("Discretization", {}), "order")
         orders = disc_cfg.get("order", {}) or {}
         variables = []
         for m in self.modules:
@@ -104,7 +111,7 @@ class Problem:
 
         use_weak = bool(phys_cfg.get("use weak Dirichlet", False))
         self.bcs = BoundaryConditions.from_config(
-            self.disc.dofmap, self.fm, phys_cfg, self.params,
+            self.disc, self.fm, phys_cfg, self.params,
             use_weak_dirichlet=use_weak)
 
         self.assembler = Assembler(self.disc, self.modules, self.fm,
@@ -130,8 +137,7 @@ class Problem:
         """Initial condition by L2 projection (reference default,
         solverManager.cpp:1974 setInitial) or nodal interpolation."""
         if not hasattr(self, "_ic_jit"):
-            ics = self.cfg.get("Physics", {}).get("Initial conditions",
-                                                  {}) or {}
+            ics = self.phys_cfg.get("Initial conditions", {}) or {}
             ics = {k: v for k, v in ics.items() if k != "scalar data"}
             ic_type = self.solver_cfg.get("initial type", "L2-projection")
 
@@ -246,6 +252,25 @@ class Problem:
             return self.forward()
         raise NotImplementedError(
             f"analysis type {analysis!r} (see mrhyde_tpu.analysis)")
+
+
+def _unwrap_block(cfg: dict, marker: str) -> dict:
+    """Flatten a per-block sublist ({'eblock-0_0': {...}}) if present.
+
+    The reference allows Physics/Discretization settings nested under
+    element-block names (userInterface.hpp; e.g.
+    regression/thermal/2D_verification_highorder/input.yaml).
+    """
+    cfg = cfg or {}
+    if marker in cfg:
+        return cfg
+    for v in cfg.values():
+        if isinstance(v, dict) and marker in v:
+            merged = {k: val for k, val in cfg.items()
+                      if not isinstance(val, dict) or marker not in val}
+            merged.update(v)
+            return merged
+    return cfg
 
 
 def _parse_vector(s):

@@ -5,23 +5,31 @@ weak), Neumann, Far-field, Slip, Flux (reference:
 src/interfaces/discretizationInterface.cpp:2533-2593 setBCData; strong
 DBC row masking at assemblyManager.cpp:3963).
 
-Strong Dirichlet values are imposed by nodal interpolation at dof
-coordinates (exact for the polynomial/constant boundary data of the
-regression suite; the reference's L2 boundary projection is available
-via project=True for non-polynomial data).
+Strong Dirichlet values follow the reference exactly
+(solverManager.cpp:1876 setDirichlet): scalar data is written directly
+to the fixed dofs; expression data is L2-projected on the boundary
+(projectDirichlet :1060 — a boundary-mass solve per variable).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mrhyde_tpu.assembly.assembler import PointContext
-from mrhyde_tpu.fem.dofmap import DofMap
 
 __all__ = ["BoundaryConditions"]
+
+
+def _is_number(x):
+    try:
+        float(x)
+        return True
+    except (TypeError, ValueError):
+        return False
 
 
 @dataclass
@@ -29,25 +37,25 @@ class _DirichletEntry:
     var: str
     sideset: str
     expr: object
-    dofs: np.ndarray
-    coords: np.ndarray
+    dofs: np.ndarray         # global dof ids on this sideset
 
 
 @dataclass
 class BoundaryConditions:
     """Parsed BC config for one physics set/block."""
 
-    dofmap: DofMap
+    disc: object
     fm: object
     params: dict = field(default_factory=dict)
     strong: list = field(default_factory=list)       # _DirichletEntry
     var_bcs: dict = field(default_factory=dict)      # var->{sideset->type}
 
     @classmethod
-    def from_config(cls, dofmap: DofMap, fm, physics_cfg: dict,
+    def from_config(cls, disc, fm, physics_cfg: dict,
                     params=None, use_weak_dirichlet=False):
         """physics_cfg: the 'Physics' sublist of the input deck."""
-        self = cls(dofmap=dofmap, fm=fm, params=params or {})
+        self = cls(disc=disc, fm=fm, params=params or {})
+        dofmap = disc.dofmap
         mesh = dofmap.mesh
         all_sidesets = list(mesh.sidesets)
 
@@ -76,14 +84,9 @@ class BoundaryConditions:
                         if eff == "Dirichlet":
                             dofs = dofmap.sideset_dofs(var,
                                                        mesh.sidesets[ss])
-                            vdm = dofmap.var(var)
-                            within = dofs - dofmap.var_start[
-                                dofmap.var_index(var)]
-                            coords = vdm.dof_coords[within]
                             self.strong.append(_DirichletEntry(
-                                var, ss, expr, dofs, coords))
+                                var, ss, expr, dofs))
                         else:
-                            # register the boundary expression for physics
                             fm.add_function(f"{eff} {var} {ss}", expr,
                                             "side ip")
         return self
@@ -94,16 +97,63 @@ class BoundaryConditions:
             return np.zeros(0, dtype=np.int64)
         return np.unique(np.concatenate([e.dofs for e in self.strong]))
 
-    def dirichlet_values(self, time=0.0, n_dof=None):
-        """Vector with g(x, t) at strongly-fixed dofs, 0 elsewhere."""
-        n = n_dof or self.dofmap.n_dof
-        vals = jnp.zeros(n)
+    # ------------------------------------------------------------------
+
+    def _var_entries(self):
+        """var -> list of its strong entries."""
+        out = {}
         for e in self.strong:
-            ctx = PointContext(jnp.asarray(e.coords), time=time,
-                               params=self.params)
-            g = self.fm.evaluate_expr(e.expr, ctx)
-            g = jnp.broadcast_to(g, (e.dofs.shape[0],))
-            vals = vals.at[jnp.asarray(e.dofs)].set(g)
+            out.setdefault(e.var, []).append(e)
+        return out
+
+    def _groups_for(self, var, sideset):
+        return [g for g in self.disc.boundary_groups
+                if g.sideset == sideset]
+
+    def dirichlet_values(self, time=0.0):
+        """Vector with g at strongly-fixed dofs, 0 elsewhere.
+
+        Scalar entries are set directly; expression entries are
+        L2-projected on the boundary (per variable), matching the
+        reference's projectDirichlet.
+        """
+        disc = self.disc
+        n = disc.n_dof
+        vals = jnp.zeros(n)
+        for var, entries in self._var_entries().items():
+            if all(_is_number(e.expr) for e in entries):
+                for e in entries:
+                    vals = vals.at[jnp.asarray(e.dofs)].set(float(e.expr))
+                continue
+            # boundary L2 projection over the union of this var's
+            # Dirichlet sidesets
+            fdofs = np.unique(np.concatenate([e.dofs for e in entries]))
+            nfix = fdofs.shape[0]
+            st, nd = disc.offsets[var]
+            key = disc.basis_keys[var]
+            from mrhyde_tpu.fem.basis import get_basis
+            basis = get_basis(disc.mesh.cell_type, key[0], key[1])
+            M = jnp.zeros((nfix, nfix))
+            b = jnp.zeros(nfix)
+            for e in entries:
+                for g in self._groups_for(var, e.sideset):
+                    cols = basis.side_dofs(g.side)
+                    if not cols:
+                        continue
+                    gdofs = g.lids[:, st:st + nd][:, cols]   # (B, k)
+                    idx = np.searchsorted(fdofs, gdofs)
+                    phi = jnp.asarray(g.basis_vals[key][cols])  # (k, Qf)
+                    w = jnp.asarray(g.wts)                      # (B, Qf)
+                    ctx = PointContext(jnp.asarray(g.ip), time, self.params)
+                    gv = jnp.broadcast_to(
+                        self.fm.evaluate_expr(e.expr, ctx), w.shape)
+                    Mloc = jnp.einsum("iq,jq,bq->bij", phi, phi, w)
+                    bloc = jnp.einsum("iq,bq->bi", phi, gv * w)
+                    idxj = jnp.asarray(idx)
+                    M = M.at[idxj[:, :, None], idxj[:, None, :]].add(Mloc)
+                    b = b.at[idxj].add(bloc)
+            a = jnp.linalg.solve(M, b)
+            vals = vals.at[jnp.asarray(fdofs)].set(a)
         return vals
 
     def apply(self, u, time=0.0):
@@ -111,7 +161,7 @@ class BoundaryConditions:
         fixed = self.fixed_dofs
         if fixed.size == 0:
             return u
-        vals = self.dirichlet_values(time, u.shape[0])
-        mask = jnp.zeros(u.shape[0], dtype=bool).at[jnp.asarray(fixed)
-                                                    ].set(True)
-        return jnp.where(mask, vals, u)
+        vals = self.dirichlet_values(time)
+        mask = jnp.zeros(u.shape[0],
+                         dtype=bool).at[jnp.asarray(fixed)].set(True)
+        return jnp.where(mask, vals.astype(u.dtype), u)

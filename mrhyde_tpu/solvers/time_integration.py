@@ -184,7 +184,8 @@ class TransientIntegrator:
                 t_stage = t + c[s] * dt
                 tc = TimeCoeffs(jnp.asarray(alpha_u, u.dtype), beta_u,
                                 jnp.asarray(alpha_t, u.dtype), beta_t,
-                                jnp.asarray(t_stage, u.dtype))
+                                jnp.asarray(t_stage, u.dtype),
+                                jnp.asarray(dt, u.dtype))
                 if self.set_dirichlet is not None:
                     z0 = self.set_dirichlet(z0, t_stage)
                 result = newton_solve(
