@@ -1,0 +1,101 @@
+"""Differentiable implicit solves: the adjoint machinery.
+
+The reference implements adjoints by hand: reverse time sweep over
+stored forward states, transposed Jacobian solves, and AD-seeded
+parameter sensitivities (reference: src/managers/solverManager.cpp:1181
+adjointModel, :1387-1460; src/managers/postprocessManager.cpp:4237
+computeSensitivities; SURVEY.md section 3.3).
+
+Here the same mathematics falls out of jax.grad through an
+implicit-function custom_vjp on the per-stage Newton solve:
+
+  forward:  z solves Rtilde(z; tc, pvec, g) = 0
+            Rtilde = where(fixed, z - g, R(z, tc, pvec))
+  backward: lambda = J~^{-T} zbar  (the adjoint solve)
+            theta_bar = -(dRtilde/dtheta)^T lambda  (via jax.vjp of R)
+
+Composing stage solves in a traced time loop gives the full transient
+adjoint (the reference's reverse sweep) without storing hand-derived
+formulas — XLA retains (or rematerializes) the forward states.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["make_stage_solver"]
+
+
+def _dense_rowfix(J):
+    """Dense Jacobian with identity Dirichlet ROWS but live columns.
+
+    (BlockJacobian.dense() also zeroes columns — symmetric elimination —
+    which is right for the forward solve but loses the free-row
+    dependence on fixed dofs needed for exact adjoints.)
+    """
+    n = J.n_dof
+    A = jnp.zeros((n, n), dtype=J.vol.dtype)
+    A = A.at[J.vol_lids[:, :, None], J.vol_lids[:, None, :]].add(J.vol)
+    for blocks, lids in zip(J.bnd, J.bnd_lids):
+        A = A.at[lids[:, :, None], lids[:, None, :]].add(blocks)
+    A = jnp.where(J.fixed[:, None], 0.0, A)
+    A = A + jnp.diag(jnp.where(J.fixed, 1.0, 0.0))
+    return A
+
+
+def make_stage_solver(assembler, *, tol=1e-10, maxiter=10):
+    """Returns stage_solve(z0, tc, pvec, g) -> z with exact custom VJP.
+
+    g: Dirichlet values vector (only entries at fixed dofs used).
+    pvec: dict of active scalar parameters (differentiable).
+    The forward Newton runs a fixed-shape lax.while_loop with a dense
+    direct solve (regression-scale; swap for Krylov at scale).
+    """
+    fixed = assembler.fixed
+
+    def newton(z0, tc, pvec, g):
+        z0 = jnp.where(fixed, g, z0)
+
+        def cond(state):
+            z, it, rn = state
+            return (rn > tol) & (it < maxiter)
+
+        def body(state):
+            z, it, _ = state
+            r = assembler.residual(z, tc, pvec)
+            J = assembler.jacobian(z, tc, pvec)
+            du = jnp.linalg.solve(J.dense(), -r)
+            z = z + du
+            rn = jnp.linalg.norm(assembler.residual(z, tc, pvec))
+            return (z, it + 1, rn)
+
+        r0 = jnp.linalg.norm(assembler.residual(z0, tc, pvec))
+        z, _, _ = jax.lax.while_loop(cond, body, (z0, 0, r0))
+        return z
+
+    @jax.custom_vjp
+    def stage_solve(z0, tc, pvec, g):
+        return newton(z0, tc, pvec, g)
+
+    def fwd(z0, tc, pvec, g):
+        z = newton(z0, tc, pvec, g)
+        return z, (z, tc, pvec)
+
+    def bwd(resids, zbar):
+        z, tc, pvec = resids
+        J = assembler.jacobian(z, tc, pvec)
+        A = _dense_rowfix(J)
+        lam = jnp.linalg.solve(A.T, zbar)
+        lam_free = jnp.where(fixed, 0.0, lam)
+        _, vjp_fn = jax.vjp(
+            lambda tc_, p_: assembler.residual(z, tc_, p_), tc, pvec)
+        tc_bar, pvec_bar = vjp_fn(-lam_free)
+        g_bar = jnp.where(fixed, lam, 0.0)
+        z0_bar = jnp.zeros_like(z)
+        return (z0_bar, tc_bar, pvec_bar, g_bar)
+
+    stage_solve.defvjp(fwd, bwd)
+    return stage_solve

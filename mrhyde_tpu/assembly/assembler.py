@@ -185,6 +185,8 @@ class Assembler:
             ))
         # var -> {sideset -> bctype} filled by the physics/solver setup
         self.var_bcs: dict[str, dict[str, str]] = {}
+        # static flag: transient solves stabilize with the C3/dt term
+        self.is_transient = False
         # jitted entry points (traced once per TimeCoeffs/pvec structure)
         self.residual_jit = jax.jit(self.residual)
         self.jacobian_jit = jax.jit(self.jacobian)
@@ -205,7 +207,7 @@ class Assembler:
             offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
             u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
             params=params, normals=normals, side_name=side_name, bcs=bcs,
-            deltat=deltat)
+            deltat=deltat, is_transient=self.is_transient)
 
     def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,
                        alpha_u, alpha_t, time, pvec, deltat=1.0):

@@ -24,9 +24,11 @@ class Workset:
     def __init__(self, *, dim, wts, ip, basis_vals, basis_grads, offsets,
                  var_keys, u_eval, u_dot=None, time=0.0, fm=None,
                  params=None, normals=None, side_name=None, bcs=None,
-                 extra_fields=None, dtype=None, deltat=1.0):
+                 extra_fields=None, dtype=None, deltat=1.0,
+                 is_transient=False):
         self.dim = dim
         self.deltat = deltat
+        self.is_transient = is_transient
         self.wts = wts                      # (Q,)
         self.ip = ip                        # (Q, dim)
         self._bv = basis_vals               # key -> (ndof, Q)

@@ -1,0 +1,82 @@
+"""CLI driver: `mrhyde-tpu input.yaml` (or `python -m mrhyde_tpu.driver`).
+
+The analog of the reference driver (src/driver.cpp:24-233): parse the
+input deck, build the problem, dispatch the analysis mode, print the
+postprocess report, and optionally dump a timer profile.
+
+Supports the reference's split-deck convention: `<Sublist> input file`
+keys merge per-subsystem YAML files into the master deck
+(reference: src/interfaces/userInterface.hpp:93-388).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+__all__ = ["load_input_deck", "main"]
+
+_SUBLISTS = ("Mesh", "Physics", "Discretization", "Solver", "Analysis",
+             "Postprocess", "Parameters", "Functions", "Subgrid",
+             "Aux Physics", "Aux Discretization")
+
+
+def load_input_deck(path: str) -> dict:
+    import yaml
+    with open(path) as f:
+        cfg = yaml.safe_load(f)
+    # the reference wraps everything in an ANONYMOUS root
+    if isinstance(cfg, dict) and set(cfg) == {"ANONYMOUS"}:
+        cfg = cfg["ANONYMOUS"]
+    base = os.path.dirname(os.path.abspath(path))
+    for sub in _SUBLISTS:
+        key = f"{sub} input file"
+        if key in cfg:
+            with open(os.path.join(base, cfg.pop(key))) as f:
+                extra = yaml.safe_load(f)
+            if isinstance(extra, dict) and set(extra) == {"ANONYMOUS"}:
+                extra = extra["ANONYMOUS"]
+            merged = extra.get(sub, extra) if isinstance(extra, dict) else {}
+            cfg.setdefault(sub, {}).update(merged or {})
+    return cfg
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: mrhyde-tpu <input.yaml> [--profile] [--fp64]")
+        return 0
+    path = argv[0]
+    opts = set(argv[1:])
+
+    if "--fp64" in opts:
+        from mrhyde_tpu.runtime import fp64
+        fp64(True)
+
+    from mrhyde_tpu.problem import Problem
+    from mrhyde_tpu.utils.profiling import timer_report, timed
+
+    cfg = load_input_deck(path)
+    verbosity = int(cfg.get("verbosity", 0))
+
+    with timed("driver::total"):
+        with timed("driver::setup"):
+            problem = Problem(cfg)
+        with timed("driver::run"):
+            result = problem.run()
+
+    if problem.compute_errors:
+        print(result.report())
+    if "--profile" in opts or cfg.get("profile", False):
+        report = timer_report()
+        print(report)
+        with open("mrhyde_tpu.profile", "w") as f:
+            f.write(report)
+    if verbosity > 0:
+        print(f"n_dof = {problem.n_dof}, final time = {result.time}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

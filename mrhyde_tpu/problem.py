@@ -118,6 +118,8 @@ class Problem:
                                    self.params,
                                    fixed_dofs=self.bcs.fixed_dofs)
         self.assembler.var_bcs = self.bcs.var_bcs
+        self.assembler.is_transient = (
+            cfg.get("Solver", {}).get("solver") == "transient")
 
         pp_cfg = cfg.get("Postprocess", {}) or {}
         self.compute_errors = bool(pp_cfg.get("compute errors", False))
