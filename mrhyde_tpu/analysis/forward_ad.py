@@ -1,0 +1,144 @@
+"""Differentiable forward model: J(p) and dJ/dp by jax.grad.
+
+This is the TPU-native replacement for the reference's
+forward+adjoint analysis (reference: src/managers/analysisManager.cpp
+forwardSolve/adjointSolve; SURVEY.md section 3.3): the entire forward —
+initial condition, every time stage (as an implicit-function
+custom_vjp solve), and the objective accumulation — is one traced
+function of the active parameters. jax.grad then performs exactly the
+reference's reverse time sweep with transposed stage solves, without
+any hand-written adjoint code.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mrhyde_tpu.assembly.assembler import TimeCoeffs
+from mrhyde_tpu.analysis.adjoint import make_stage_solver
+from mrhyde_tpu.solvers.time_integration import bdf_weights, butcher_tableau
+
+__all__ = ["DifferentiableForward"]
+
+
+class DifferentiableForward:
+    """Builds objective(pvec) as a pure jax function over the full solve.
+
+    objective_fn(u, time, pvec) -> scalar contribution at one record
+    time (e.g. ObjectiveManager.value). Transient runs sum over steps.
+    """
+
+    def __init__(self, problem, objective_fn, *, newton_tol=1e-10,
+                 newton_maxiter=10):
+        self.problem = problem
+        self.objective_fn = objective_fn
+        self.stage_solve = make_stage_solver(
+            problem.assembler, tol=newton_tol, maxiter=newton_maxiter)
+        sc = problem.solver_cfg
+        self.mode = sc.get("solver", "steady-state")
+        self.t0 = float(sc.get("initial time", 0.0))
+        self.t_end = float(sc.get("final time", 1.0))
+        nsteps = int(sc.get("number of steps", 1))
+        dt = sc.get("delta t")
+        self.dt = float(dt) if dt is not None else \
+            (self.t_end - self.t0) / nsteps
+        self.nsteps = nsteps if dt is None else \
+            int(round((self.t_end - self.t0) / self.dt))
+        self.tableau = sc.get("transient Butcher tableau", "BWE")
+        self.bdf_order = int(sc.get("transient BDF order", 1))
+        self.startup_tableau = sc.get("transient startup Butcher tableau")
+        self.startup_bdf = sc.get("transient startup BDF order")
+        self.startup_steps = int(sc.get("transient startup steps", 0))
+
+    # ------------------------------------------------------------------
+
+    def _tables(self, step):
+        if (self.startup_steps and step < self.startup_steps
+                and self.startup_tableau is not None):
+            A, b, c = butcher_tableau(self.startup_tableau)
+            w = bdf_weights(int(self.startup_bdf or 1))
+        else:
+            A, b, c = butcher_tableau(self.tableau)
+            w = bdf_weights(self.bdf_order)
+        return A, b, c, w
+
+    def objective(self, pvec) -> jnp.ndarray:
+        """Total objective as a traced function of active params."""
+        p = self.problem
+        u0 = p.initial_state(self.t0)
+        n = u0.shape[0]
+        dtype = u0.dtype
+        if self.mode != "transient":
+            tc = TimeCoeffs.steady(n, time=self.t0, dtype=dtype)
+            g = p.bcs.dirichlet_values(self.t0).astype(dtype)
+            u = self.stage_solve(u0, tc, pvec, g)
+            return self.objective_fn(u, self.t0, pvec)
+
+        dt = self.dt
+        u = u0
+        hist = max(len(bdf_weights(self.bdf_order)) - 1, 1)
+        u_prev = jnp.tile(u[None, :], (hist, 1))
+        total = jnp.asarray(0.0, dtype=dtype)
+        t = self.t0
+        for step in range(self.nsteps):
+            A, b, c, w = self._tables(step)
+            nstage = len(b)
+            u_prev = jnp.roll(u_prev, 1, axis=0).at[0].set(u)
+            u_step_start = u
+            u_stages = []
+            u_new = u
+            for s in range(nstage):
+                alpha_u = A[s, s] / b[s]
+                beta_u = (1.0 - alpha_u) * u_prev[0]
+                for r in range(s):
+                    beta_u = beta_u + (A[s, r] / b[r]) * (u_stages[r]
+                                                          - u_prev[0])
+                timewt = 1.0 / (dt * b[s])
+                alpha_t = w[0] * timewt
+                beta_t = jnp.zeros(n, dtype=dtype)
+                for k in range(1, len(w)):
+                    beta_t = beta_t + w[k] * u_prev[k - 1]
+                beta_t = beta_t * timewt
+                t_stage = t + c[s] * dt
+                tc = TimeCoeffs(jnp.asarray(alpha_u, dtype), beta_u,
+                                jnp.asarray(alpha_t, dtype), beta_t,
+                                jnp.asarray(t_stage, dtype),
+                                jnp.asarray(dt, dtype))
+                g = p.bcs.dirichlet_values(t_stage).astype(dtype)
+                z = self.stage_solve(u_step_start, tc, pvec, g)
+                u_stages.append(z)
+                if nstage > 1:
+                    u_new = u_new + z - u_prev[0]
+                else:
+                    u_new = z
+            u = u_new
+            t = t + dt
+            total = total + self.objective_fn(u, t, pvec)
+        return total
+
+    def gradient(self, pvec):
+        return jax.grad(self.objective)(pvec)
+
+    def value_and_gradient(self, pvec):
+        return jax.value_and_grad(self.objective)(pvec)
+
+    def fd_gradient(self, pvec, eps=1e-6):
+        """Central finite-difference gradient (the reference's ROL
+        checkGradient analog) for verification."""
+        out = {}
+        for name in pvec:
+            base = np.atleast_1d(np.asarray(pvec[name], dtype=float))
+            g = np.zeros_like(base)
+            for i in range(base.size):
+                for sgn in (+1, -1):
+                    pp = {k: jnp.asarray(v) for k, v in pvec.items()}
+                    pert = base.copy()
+                    pert[i] += sgn * eps
+                    pp[name] = jnp.asarray(
+                        pert if base.size > 1 else pert[0])
+                    g[i] += sgn * float(self.objective(pp))
+            g /= (2 * eps)
+            out[name] = g if base.size > 1 else g[0]
+        return out

@@ -1,0 +1,149 @@
+"""Analysis-mode dispatch: forward / forward+adjoint / UQ / ROL / DCI.
+
+TPU-native analog of AnalysisManager (reference:
+src/managers/analysisManager.cpp:62-95 run, :269 UQSolve, :417 ROLSolve,
+:798 DCISolve, :831 restartSolve).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mrhyde_tpu.analysis.forward_ad import DifferentiableForward
+from mrhyde_tpu.analysis.optimization import check_gradient, lbfgs_solve
+from mrhyde_tpu.analysis.uq import UQManager, kde, rejection_sampling
+
+__all__ = ["AnalysisManager"]
+
+
+class AnalysisManager:
+    def __init__(self, problem):
+        self.problem = problem
+        self.cfg = problem.cfg.get("Analysis", {}) or {}
+        self.mode = self.cfg.get("analysis type", "forward")
+
+    def run(self):
+        mode = self.mode
+        if mode in ("forward", "dry run"):
+            return self.problem.forward()
+        if mode == "forward+adjoint":
+            return self.adjoint_solve()
+        if mode == "UQ":
+            return self.uq_solve()
+        if mode in ("ROL", "ROL2"):
+            return self.rol_solve()
+        if mode == "DCI":
+            return self.dci_solve()
+        raise NotImplementedError(f"analysis type {mode!r}")
+
+    # ------------------------------------------------------------------
+
+    def _differentiable(self):
+        p = self.problem
+        if p.objective_manager is None:
+            raise ValueError("no 'Objective functions' defined in "
+                             "Postprocess for gradient-based analysis")
+        return DifferentiableForward(p, p.objective_manager.value)
+
+    def adjoint_solve(self):
+        """Forward + objective gradient wrt active scalar params."""
+        p = self.problem
+        fwd_result = p.forward()
+        dfwd = self._differentiable()
+        pvec = p.param_manager.pvec()
+        value, grad = dfwd.value_and_gradient(pvec)
+        fwd_result.objective = float(value)
+        fwd_result.gradient = {k: np.asarray(v) for k, v in grad.items()}
+        return fwd_result
+
+    def uq_solve(self, verbose=0):
+        """Monte-Carlo sampling loop (reference UQSolve)."""
+        p = self.problem
+        uq_cfg = self.cfg.get("UQ", {}) or {}
+        uq = UQManager(p.param_manager, uq_cfg)
+
+        def forward_sample(sample):
+            # samples flow through the traced pvec argument, so the
+            # jitted assembly is compiled ONCE and reused per sample
+            # (unlike the reference's per-sample re-assembly)
+            p.param_manager.update(sample)
+            pvec = {k: jnp.asarray(v) for k, v in sample.items()}
+            res = p.forward(pvec=pvec)
+            return self._collect_response(res, pvec)
+
+        samples, responses = uq.run(forward_sample,
+                                    verbose=int(uq_cfg.get(
+                                        "verbosity", verbose)) or verbose)
+        stats = uq.moments(responses)
+        if uq_cfg.get("write samples", False):
+            cols = [samples[k] for k in sorted(samples)]
+            np.savetxt("sample_output.dat",
+                       np.column_stack(cols + [responses]))
+        return {"samples": samples, "responses": responses, "stats": stats}
+
+    def _collect_response(self, res, pvec=None):
+        p = self.problem
+        if p.objective_manager is not None:
+            return float(p.objective_manager.value(
+                res.u, res.time, pvec or p.param_manager.pvec()))
+        return float(jnp.linalg.norm(res.u))
+
+    def rol_solve(self, verbose=0):
+        """Bound-constrained L-BFGS optimization over active params."""
+        p = self.problem
+        dfwd = self._differentiable()
+        pm = p.param_manager
+        rol_cfg = self.cfg.get("ROL", self.cfg.get("ROL2", {})) or {}
+
+        def vag(xflat):
+            pvec = pm.unflatten(jnp.asarray(xflat))
+            v, g = dfwd.value_and_gradient(pvec)
+            return float(v), np.asarray(pm.flatten(g))
+
+        x0 = np.asarray(pm.flatten(pm.pvec()))
+        if rol_cfg.get("Do grad+hessvec check", False) or \
+                rol_cfg.get("check gradient", False):
+            errs = check_gradient(vag, x0, verbose=verbose)
+            if max(errs) > 1e-5:
+                raise AssertionError(f"gradient check failed: {errs}")
+        bounds = None
+        if rol_cfg.get("Bound Optimization Variables", False) or \
+                rol_cfg.get("bound constraints", False):
+            bounds = pm.bounds()
+        result = lbfgs_solve(
+            vag, x0, bounds=bounds,
+            maxiter=int(rol_cfg.get("Maximum Number of Iterations",
+                                    rol_cfg.get("max iterations", 100))),
+            gtol=float(rol_cfg.get("Gradient Tolerance", 1e-8)),
+            ftol=float(rol_cfg.get("Step Tolerance", 1e-14)),
+            verbose=verbose)
+        pm.update(pm.unflatten(result.x))
+        return result
+
+    def dci_solve(self):
+        """Data-consistent inversion: UQ ensemble -> predicted density ->
+        rejection sampling against the observed density
+        (reference: analysisManager.cpp:798 DCISolve)."""
+        dci_cfg = self.cfg.get("DCI", {}) or {}
+        uq_out = self.uq_solve()
+        pred = np.asarray(uq_out["responses"], dtype=float).reshape(-1)
+        obs_type = dci_cfg.get("observed type", "Gaussian")
+        if obs_type == "Gaussian":
+            mean = float(dci_cfg.get("observed mean", 0.0))
+            var = float(dci_cfg.get("observed variance", 1.0))
+            obs_dens = (np.exp(-0.5 * (pred - mean) ** 2 / var)
+                        / np.sqrt(2 * np.pi * var))
+        elif obs_type == "uniform":
+            lo = float(dci_cfg.get("observed min", 0.0))
+            hi = float(dci_cfg.get("observed max", 1.0))
+            obs_dens = ((pred >= lo) & (pred <= hi)) / max(hi - lo, 1e-300)
+        else:
+            raise NotImplementedError(f"observed type {obs_type!r}")
+        pred_dens = kde(pred, pred)
+        ratios = obs_dens / np.maximum(pred_dens, 1e-300)
+        accept = rejection_sampling(ratios,
+                                    seed=int(dci_cfg.get("seed", 1234)))
+        uq_out["dci"] = {"ratios": ratios, "accepted": accept,
+                         "acceptance_rate": float(accept.mean())}
+        return uq_out

@@ -50,13 +50,19 @@ def box_mesh(cell_type: str, *, nx: int = 1, ny: int = 1, nz: int = 1,
              zmin: float = 0.0, zmax: float = 1.0) -> Mesh:
     """Uniform box mesh with boundary sidesets."""
     if cell_type == "line":
-        return _line_mesh(nx, xmin, xmax)
-    if cell_type in ("quad", "tri"):
-        return _quad_or_tri_mesh(cell_type, nx, ny, xmin, xmax, ymin, ymax)
-    if cell_type in ("hex", "tet"):
-        return _hex_or_tet_mesh(cell_type, nx, ny, nz, xmin, xmax,
+        mesh = _line_mesh(nx, xmin, xmax)
+        mesh.box_info = {"bounds": [(xmin, xmax, nx)]}
+    elif cell_type in ("quad", "tri"):
+        mesh = _quad_or_tri_mesh(cell_type, nx, ny, xmin, xmax, ymin, ymax)
+        mesh.box_info = {"bounds": [(xmin, xmax, nx), (ymin, ymax, ny)]}
+    elif cell_type in ("hex", "tet"):
+        mesh = _hex_or_tet_mesh(cell_type, nx, ny, nz, xmin, xmax,
                                 ymin, ymax, zmin, zmax)
-    raise ValueError(f"unknown cell type {cell_type!r}")
+        mesh.box_info = {"bounds": [(xmin, xmax, nx), (ymin, ymax, ny),
+                                    (zmin, zmax, nz)]}
+    else:
+        raise ValueError(f"unknown cell type {cell_type!r}")
+    return mesh
 
 
 def _line_mesh(nx, xmin, xmax):

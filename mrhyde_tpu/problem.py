@@ -98,12 +98,11 @@ class Problem:
         for m in self.modules:
             m.define_functions(self.fm, fs)
 
-        # parameters (scalar only here; discretized params live in
-        # mrhyde_tpu.analysis.parameters)
-        self.params = {}
-        for pname, sub in (cfg.get("Parameters", {}) or {}).items():
-            if isinstance(sub, dict) and "value" in sub:
-                self.params[pname] = float(sub["value"])
+        # parameters: full taxonomy in the ParameterManager; the flat
+        # dict feeds expression-leaf resolution
+        from mrhyde_tpu.analysis.parameters import ParameterManager
+        self.param_manager = ParameterManager(cfg.get("Parameters"))
+        self.params = self.param_manager.all_values()
 
         qdeg = disc_cfg.get("quadrature")
         self.disc = Discretization(self.mesh, variables,
@@ -126,6 +125,16 @@ class Problem:
         self.error_calc = ErrorCalculator(
             self.disc, self.fm, pp_cfg.get("True solutions", {}) or {},
             self.params)
+
+        self.objective_manager = None
+        obj_cfg = pp_cfg.get("Objective functions", {}) or {}
+        if obj_cfg:
+            from mrhyde_tpu.postprocess.objectives import (ObjectiveManager,
+                                                           ObjectiveSpec)
+            specs = [ObjectiveSpec.from_config(name, sub)
+                     for name, sub in obj_cfg.items()]
+            self.objective_manager = ObjectiveManager(
+                self.disc, self.fm, specs, self.params)
 
         self.solver_cfg = cfg.get("Solver", {}) or {}
 
@@ -176,11 +185,11 @@ class Problem:
 
     # ------------------------------------------------------------------
 
-    def solve_steady(self, record=True) -> ForwardResult:
+    def solve_steady(self, record=True, pvec=None) -> ForwardResult:
         u0 = self.initial_state()
         tc = TimeCoeffs.steady(self.n_dof, dtype=u0.dtype)
         result = newton_solve(
-            self.assembler, u0, tc,
+            self.assembler, u0, tc, pvec,
             tol=float(self.solver_cfg.get("nonlinear TOL", 1e-6)),
             abstol=float(self.solver_cfg.get("absolute nonlinear TOL",
                                              1e-100)),
@@ -195,7 +204,7 @@ class Problem:
                 (0.0, self.error_calc.compute(result.u, 0.0)))
         return out
 
-    def solve_transient(self, record=True) -> ForwardResult:
+    def solve_transient(self, record=True, pvec=None) -> ForwardResult:
         sc = self.solver_cfg
         t0 = float(sc.get("initial time", 0.0))
         t_end = float(sc.get("final time", 1.0))
@@ -226,7 +235,7 @@ class Problem:
             linear_tol=float(sc.get("linear TOL", 1e-12)),
             max_cuts=int(sc.get("maximum time step cuts", 5)),
             backtracking=bool(sc.get("allow backtracking", True)),
-            set_dirichlet=self.bcs.apply)
+            set_dirichlet=self.bcs.apply, pvec=pvec)
 
         out = ForwardResult(u=None, time=t0)
 
@@ -241,19 +250,19 @@ class Problem:
         out.u, out.time = u, t
         return out
 
-    def forward(self) -> ForwardResult:
+    def forward(self, pvec=None) -> ForwardResult:
         mode = self.solver_cfg.get("solver", "steady-state")
         if mode == "transient":
-            return self.solve_transient()
-        return self.solve_steady()
+            return self.solve_transient(pvec=pvec)
+        return self.solve_steady(pvec=pvec)
 
-    def run(self) -> ForwardResult:
+    def run(self):
         analysis = self.cfg.get("Analysis", {}).get("analysis type",
                                                     "forward")
         if analysis in ("forward", "dry run"):
             return self.forward()
-        raise NotImplementedError(
-            f"analysis type {analysis!r} (see mrhyde_tpu.analysis)")
+        from mrhyde_tpu.analysis.manager import AnalysisManager
+        return AnalysisManager(self).run()
 
 
 def _unwrap_block(cfg: dict, marker: str) -> dict:

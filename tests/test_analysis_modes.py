@@ -1,0 +1,124 @@
+"""Analysis modes: UQ sampling, optimization (ROL analog), DCI, driver CLI."""
+
+import numpy as np
+import pytest
+
+from mrhyde_tpu.problem import Problem
+
+
+def thermal_cfg(extra_params=None, analysis=None, objectives=None,
+                nx=6):
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": nx, "NY": nx},
+        "Functions": {"thermal diffusion": "a", "thermal source": "b"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"scalar data": True,
+                                             "e": {"all boundaries": 0.0}},
+                    "Initial conditions": {"scalar data": True, "e": 0.0}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state", "nonlinear TOL": 1e-7,
+                   "max nonlinear iters": 2},
+        "Parameters": extra_params or {},
+        "Analysis": analysis or {"analysis type": "forward"},
+        "Postprocess": {"compute errors": False},
+    }
+    if objectives:
+        cfg["Postprocess"]["Objective functions"] = objectives
+    return cfg
+
+
+def test_uq_sampling():
+    params = {
+        "a": {"type": "scalar", "value": 1.0, "usage": "stochastic",
+              "distribution": "uniform", "min": 1.0, "max": 2.0},
+        "b": {"type": "scalar", "value": 0.0, "usage": "stochastic",
+              "distribution": "Gaussian", "mean": 0.0, "variance": 1.0},
+    }
+    cfg = thermal_cfg(params, {"analysis type": "UQ",
+                               "UQ": {"samples": 5, "seed": 123}})
+    out = Problem(cfg).run()
+    assert out["responses"].shape[0] == 5
+    assert np.isfinite(out["responses"]).all()
+    # same seed reproduces samples
+    out2 = Problem(cfg).run()
+    np.testing.assert_allclose(out["responses"], out2["responses"])
+    assert np.std(out["responses"]) > 0
+
+
+def test_optimization_recovers_parameter():
+    # target response generated with src_mag = 1.5; optimizer starts at
+    # 0.5 and must recover the generating value
+    target_cfg = thermal_cfg(
+        {"b": {"type": "scalar", "value": 1.5, "usage": "inactive"},
+         "a": {"type": "scalar", "value": 1.0, "usage": "inactive"}})
+    p = Problem(target_cfg)
+    res = p.forward()
+    from mrhyde_tpu.postprocess.objectives import (ObjectiveManager,
+                                                   ObjectiveSpec)
+    spec = ObjectiveSpec(name="resp", otype="integrated response",
+                         weight=1.0, target=0.0, response="e")
+    om = ObjectiveManager(p.disc, p.fm, [spec], p.params)
+    import jax.numpy as jnp
+    target_val = float(jnp.sqrt(om.value(res.u, 0.0)))  # = integral of e
+
+    opt_cfg = thermal_cfg(
+        {"b": {"type": "scalar", "value": 0.5, "usage": "active",
+               "min": 0.0, "max": 10.0},
+         "a": {"type": "scalar", "value": 1.0, "usage": "inactive"}},
+        {"analysis type": "ROL",
+         "ROL": {"check gradient": True, "Maximum Number of Iterations": 40}},
+        {"resp": {"type": "integrated response", "weight": 1.0,
+                  "target": target_val, "response": "e"}})
+    result = Problem(opt_cfg).run()
+    # objective is weight*(integral - target)^2, linear in b => exact
+    assert result.value < 1e-14
+    assert np.isclose(result.x[0], 1.5, atol=1e-4)
+
+
+def test_dci_runs():
+    params = {
+        "a": {"type": "scalar", "value": 1.0, "usage": "stochastic",
+              "distribution": "uniform", "min": 1.0, "max": 2.0},
+        "b": {"type": "scalar", "value": 1.0, "usage": "inactive"},
+    }
+    cfg = thermal_cfg(params,
+                      {"analysis type": "DCI",
+                       "UQ": {"samples": 8, "seed": 7},
+                       "DCI": {"observed type": "Gaussian",
+                               "observed mean": 0.02,
+                               "observed variance": 1e-4}},
+                      {"resp": {"type": "integrated control",
+                                "response": "e"}})
+    out = Problem(cfg).run()
+    assert "dci" in out
+    assert 0.0 <= out["dci"]["acceptance_rate"] <= 1.0
+
+
+def test_driver_cli(tmp_path, capsys):
+    import yaml
+    deck = {
+        "ANONYMOUS": {
+            "Mesh": {"dimension": 2, "element type": "quad",
+                     "NX": 10, "NY": 10},
+            "Functions": {"thermal source":
+                          "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"},
+            "Physics": {"modules": "thermal",
+                        "Dirichlet conditions": {
+                            "scalar data": True,
+                            "e": {"all boundaries": 0.0}}},
+            "Discretization": {"order": {"e": 1}, "quadrature": 2},
+            "Solver": {"solver": "steady-state",
+                       "max nonlinear iters": 2},
+            "Analysis": {"analysis type": "forward"},
+            "Postprocess": {"compute errors": True,
+                            "True solutions":
+                                {"e": "sin(2*pi*x)*sin(2*pi*y)"}},
+        }
+    }
+    path = tmp_path / "input.yaml"
+    path.write_text(yaml.safe_dump(deck))
+    from mrhyde_tpu.driver import main
+    assert main([str(path)]) == 0
+    out = capsys.readouterr().out
+    assert "L2 norm of the error for e" in out
