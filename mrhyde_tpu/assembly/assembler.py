@@ -162,26 +162,64 @@ class Assembler:
             fixed[np.asarray(fixed_dofs)] = True
         self.fixed = jnp.asarray(fixed)
 
-        # static (per-element-batch) geometry as device arrays
-        self.g_wts = jnp.asarray(disc.wts, dtype=dt)
+        # static (per-element-batch) geometry as device arrays.
+        # Basis-database compression (reference: buildDatabase,
+        # assemblyManager.cpp:4249-4310): on affine-uniform meshes every
+        # element shares ONE geometry, so quadrature weights and physical
+        # basis gradients are stored once and broadcast (vmap in_axes
+        # None). XLA then lowers the basis contractions to batched
+        # (E,Q)x(Q,nd) matmuls on the MXU instead of per-element loads.
+        wts0 = disc.wts[0]
+        self.uniform = bool(
+            np.allclose(disc.wts, wts0[None, :], rtol=1e-13, atol=1e-15)
+            and all(np.allclose(v, v[0][None], rtol=1e-13, atol=1e-15)
+                    for v in disc.basis_grads.values()))
+        vec_uniform = all(
+            np.allclose(v, v[0][None], rtol=1e-13, atol=1e-15)
+            for d in (disc.vec_vals, disc.div_vals, disc.curl_vals)
+            for v in d.values())
+        self.uniform = self.uniform and vec_uniform
+        if self.uniform:
+            self.g_wts = jnp.asarray(wts0, dtype=dt)
+            tbl = lambda d: {k: jnp.asarray(v[0], dtype=dt)
+                             for k, v in d.items()}
+            self._wts_ax = None
+            self._bg_ax = None
+        else:
+            self.g_wts = jnp.asarray(disc.wts, dtype=dt)
+            tbl = lambda d: {k: jnp.asarray(v, dtype=dt)
+                             for k, v in d.items()}
+            self._wts_ax = 0
+            self._bg_ax = 0
+        self.g_bg = {"grad": tbl(disc.basis_grads),
+                     "vec": tbl(disc.vec_vals),
+                     "div": tbl(disc.div_vals),
+                     "curl": tbl(disc.curl_vals)}
+        self.signs = jnp.asarray(disc.dofmap.signs, dtype=dt)
+        self.has_signs = bool(np.any(disc.dofmap.signs != 1.0))
         self.g_ip = jnp.asarray(disc.ip, dtype=dt)
         self.g_bv = {k: jnp.asarray(v, dtype=dt)
                      for k, v in disc.basis_vals.items()}
-        self.g_bg = {k: jnp.asarray(v, dtype=dt)
-                     for k, v in disc.basis_grads.items()}
 
         self._bnd = []
         for bg in disc.boundary_groups:
+            bvals, bvecs = {}, {}
+            for k, v in bg.basis_vals.items():
+                if k[0] in ("HDIV", "HCURL"):
+                    bvecs[k] = jnp.asarray(v, dtype=dt)
+                else:
+                    bvals[k] = jnp.asarray(v, dtype=dt)
             self._bnd.append(dict(
                 sideset=bg.sideset, side=bg.side,
                 lids=jnp.asarray(bg.lids),
+                signs=jnp.asarray(disc.dofmap.signs[bg.elems], dtype=dt),
                 wts=jnp.asarray(bg.wts, dtype=dt),
                 ip=jnp.asarray(bg.ip, dtype=dt),
                 normals=jnp.asarray(bg.normals, dtype=dt),
-                bv={k: jnp.asarray(v, dtype=dt)
-                    for k, v in bg.basis_vals.items()},
-                bg={k: jnp.asarray(v, dtype=dt)
-                    for k, v in bg.basis_grads.items()},
+                bv=bvals,
+                bg={"grad": {k: jnp.asarray(v, dtype=dt)
+                             for k, v in bg.basis_grads.items()},
+                    "vec": bvecs, "div": {}, "curl": {}},
             ))
         # var -> {sideset -> bctype} filled by the physics/solver setup
         self.var_bcs: dict[str, dict[str, str]] = {}
@@ -203,21 +241,29 @@ class Assembler:
         return Workset(
             dim=self.disc.mesh.dim, wts=wts, ip=ip,
             basis_vals=self.g_bv if basis_vals is None else basis_vals,
-            basis_grads=bg_slices,
+            basis_grads=bg_slices["grad"],
+            basis_vecs=bg_slices.get("vec"),
+            basis_divs=bg_slices.get("div"),
+            basis_curls=bg_slices.get("curl"),
             offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
             u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
             params=params, normals=normals, side_name=side_name, bcs=bcs,
             deltat=deltat, is_transient=self.is_transient)
 
-    def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,
-                       alpha_u, alpha_t, time, pvec, deltat=1.0):
-        u_eval = alpha_u * u_st + beta_u
-        u_dot = alpha_t * u_st + beta_t
+    def _elem_residual_uv(self, u_eval, u_dot, wts, ip, bg_slices,
+                          time, pvec, deltat=1.0):
         wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
                                 pvec, deltat=deltat)
         for m in self.modules:
             m.volume_residual(wk)
         return wk.res
+
+    def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,
+                       alpha_u, alpha_t, time, pvec, deltat=1.0):
+        u_eval = alpha_u * u_st + beta_u
+        u_dot = alpha_t * u_st + beta_t
+        return self._elem_residual_uv(u_eval, u_dot, wts, ip, bg_slices,
+                                      time, pvec, deltat=deltat)
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
                         bg_slices, alpha_u, alpha_t, time, pvec, deltat=1.0):
@@ -237,7 +283,12 @@ class Assembler:
     # global assembly
     # ------------------------------------------------------------------
 
-    def _gathered(self, u_st, tc: TimeCoeffs, lids):
+    def _gathered(self, u_st, tc: TimeCoeffs, lids, signs=None):
+        if signs is None:
+            signs = self.signs if lids is self.lids else None
+        if signs is not None and self.has_signs:
+            return (u_st[lids] * signs, tc.beta_u[lids] * signs,
+                    tc.beta_t[lids] * signs)
         return u_st[lids], tc.beta_u[lids], tc.beta_t[lids]
 
     def residual(self, u_st, tc: TimeCoeffs, pvec=None):
@@ -246,17 +297,23 @@ class Assembler:
         fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
                      alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                      deltat=tc.deltat)
-        res_e = jax.vmap(fn)(u_e, bu_e, bt_e, self.g_wts, self.g_ip,
-                             self.g_bg)
+        res_e = jax.vmap(fn, in_axes=(0, 0, 0, self._wts_ax, 0,
+                                      self._bg_ax))(
+            u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg)
+        if self.has_signs:
+            res_e = res_e * self.signs
         r = _scatter_vec(res_e, self.lids, self.n_dof)
         for group in self._active_bnd_groups():
-            u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"])
+            u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
+                                             signs=group["signs"])
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
             res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, group["wts"],
                                   group["ip"], group["normals"],
                                   group["bg"])
+            if self.has_signs:
+                res_b = res_b * group["signs"]
             r = r + _scatter_vec(res_b, group["lids"], self.n_dof)
         return jnp.where(self.fixed, 0.0, r)
 
@@ -266,17 +323,25 @@ class Assembler:
         fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
                      alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                      deltat=tc.deltat)
-        jac_e = jax.vmap(jax.jacfwd(fn, argnums=0))(
+        jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
+                         in_axes=(0, 0, 0, self._wts_ax, 0,
+                                  self._bg_ax))(
             u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg)
+        if self.has_signs:
+            jac_e = jac_e * self.signs[:, :, None] * self.signs[:, None, :]
         bnd_blocks, bnd_lids = [], []
         for group in self._active_bnd_groups():
-            u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"])
+            u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
+                                             signs=group["signs"])
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
             jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
                 u_b, bu_b, bt_b, group["wts"], group["ip"],
                 group["normals"], group["bg"])
+            if self.has_signs:
+                jac_b = jac_b * group["signs"][:, :, None] \
+                    * group["signs"][:, None, :]
             bnd_blocks.append(jac_b)
             bnd_lids.append(group["lids"])
         return BlockJacobian(vol=jac_e, vol_lids=self.lids, bnd=bnd_blocks,
@@ -308,6 +373,35 @@ class Assembler:
         # single-var mass on the var's own dof block
         raise NotImplementedError("per-var mass: use var=None block form")
 
+    def weighted_mass_blocks(self, u_st, tc: TimeCoeffs, pvec=None):
+        """Physics-weighted mass blocks M = d(residual)/d(u_dot).
+
+        The reference assembles these separately per module
+        (getWeightedMass, assemblyManager.cpp); here they are the exact
+        jacfwd of the element residual wrt the time-derivative argument,
+        so any rho*cp-style weights come along automatically.
+        """
+        u_e, bu_e, bt_e = self._gathered(u_st, tc, self.lids)
+        u_eval = tc.alpha_u * u_e + bu_e
+        u_dot = tc.alpha_t * u_e + bt_e
+
+        def fn(udot_e, ueval_e, wts, ip, bg):
+            return self._elem_residual_uv(ueval_e, udot_e, wts, ip, bg,
+                                          tc.time, pvec, tc.deltat)
+
+        M = jax.vmap(jax.jacfwd(fn, argnums=0),
+                     in_axes=(0, 0, self._wts_ax, 0, self._bg_ax))(
+            u_dot, u_eval, self.g_wts, self.g_ip, self.g_bg)
+        if self.has_signs:
+            M = M * self.signs[:, :, None] * self.signs[:, None, :]
+        return M
+
+    def lumped_mass(self, u_st, tc: TimeCoeffs, pvec=None):
+        """Row-sum lumped weighted mass vector (n_dof,)."""
+        M = self.weighted_mass_blocks(u_st, tc, pvec)
+        d = _scatter_vec(jnp.sum(M, axis=2), self.lids, self.n_dof)
+        return jnp.where(self.fixed, 1.0, jnp.where(d == 0, 1.0, d))
+
     def l2_rhs(self, exprs: dict, time=0.0):
         """RHS for global L2 projection: b_i = sum_q f(x_q) phi_i w_q.
 
@@ -316,13 +410,14 @@ class Assembler:
         disc = self.disc
         b = jnp.zeros(self.n_dof, dtype=self.dtype)
         ctx = PointContext(self.g_ip, time=time, params=self.params)
+        wtsE = jnp.asarray(disc.wts, dtype=self.dtype)     # (E, Q)
         for var in disc.var_names:
             if var not in exprs:
                 continue
             vals = self.fm.evaluate_expr(exprs[var], ctx)  # (E, Q) or scalar
-            vals = jnp.broadcast_to(vals, self.g_wts.shape)
+            vals = jnp.broadcast_to(vals, wtsE.shape)
             phi = self.g_bv[disc.basis_keys[var]]          # (nd, Q)
-            contrib = jnp.einsum("iq,eq->ei", phi, vals * self.g_wts)
+            contrib = jnp.einsum("iq,eq->ei", phi, vals * wtsE)
             st, nd = disc.offsets[var]
             lids_v = self.lids[:, st:st + nd]
             b = b + _scatter_vec(contrib, lids_v, self.n_dof)

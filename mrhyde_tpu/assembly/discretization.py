@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from mrhyde_tpu.fem.basis import get_basis
+from mrhyde_tpu.fem.vector_basis import get_vector_basis
 from mrhyde_tpu.fem.dofmap import DofMap, build_dofmap
 from mrhyde_tpu.fem.geometry import (FaceGeometry, face_geometry,
                                      physical_grad, volume_geometry)
@@ -91,7 +92,35 @@ class Discretization:
 
         self.basis_vals: dict[tuple, np.ndarray] = {}
         self.basis_grads: dict[tuple, np.ndarray] = {}
+        # vector bases (HDIV/HCURL): Piola-transformed physical tables
+        self.vec_vals: dict[tuple, np.ndarray] = {}    # (E, nd, Q, dim)
+        self.div_vals: dict[tuple, np.ndarray] = {}    # (E, nd, Q)
+        self.curl_vals: dict[tuple, np.ndarray] = {}   # (E,nd,Q[,3])
         for key in unique_keys:
+            if key[0] in ("HDIV", "HCURL"):
+                vb = get_vector_basis(mesh.cell_type, key[0], key[1])
+                ref_v = vb.eval(ref_pts)               # (nd, Q, dim)
+                det = vol.jac_det                      # (E, Q)
+                if key[0] == "HDIV":
+                    # contravariant Piola: v = J v_ref / det J
+                    self.vec_vals[key] = np.einsum(
+                        "eqdr,iqr->eiqd", vol.jac, ref_v) / det[:, None, :,
+                                                                None]
+                    self.div_vals[key] = (vb.div(ref_pts)[None, :, :]
+                                          / det[:, None, :])
+                else:
+                    # covariant: v = J^{-T} v_ref
+                    self.vec_vals[key] = np.einsum(
+                        "eqrd,iqr->eiqd", vol.jac_inv, ref_v)
+                    c = vb.curl(ref_pts)
+                    if self.topo.dim == 2:
+                        self.curl_vals[key] = (c[None, :, :]
+                                               / det[:, None, :])
+                    else:
+                        self.curl_vals[key] = np.einsum(
+                            "eqdr,iqr->eiqd", vol.jac, c[:, :, :]
+                        ) / det[:, None, :, None]
+                continue
             b = get_basis(mesh.cell_type, key[0], key[1])
             self.basis_vals[key] = b.eval(ref_pts)            # (nd, Q)
             self.basis_grads[key] = physical_grad(b, ref_pts, vol.jac_inv)
@@ -108,11 +137,20 @@ class Discretization:
             self.faces.append(fg)
             bv, bg = {}, {}
             for key in unique_keys:
-                b = get_basis(mesh.cell_type, key[0], key[1])
-                bv[key] = b.eval(fg.ref_pts)
-                # physical grads at face qps
                 gvol = volume_geometry(coords, mesh.cell_type, fg.ref_pts,
                                        np.ones(fg.ref_pts.shape[0]))
+                if key[0] in ("HDIV", "HCURL"):
+                    vb = get_vector_basis(mesh.cell_type, key[0], key[1])
+                    ref_v = vb.eval(fg.ref_pts)
+                    if key[0] == "HDIV":
+                        bv[key] = np.einsum(
+                            "eqdr,iqr->eiqd", gvol.jac, ref_v)                             / gvol.jac_det[:, None, :, None]
+                    else:
+                        bv[key] = np.einsum(
+                            "eqrd,iqr->eiqd", gvol.jac_inv, ref_v)
+                    continue
+                b = get_basis(mesh.cell_type, key[0], key[1])
+                bv[key] = b.eval(fg.ref_pts)
                 bg[key] = physical_grad(b, fg.ref_pts, gvol.jac_inv)
             self.face_basis_vals.append(bv)
             self.face_basis_grads.append(bg)

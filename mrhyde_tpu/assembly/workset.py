@@ -25,10 +25,14 @@ class Workset:
                  var_keys, u_eval, u_dot=None, time=0.0, fm=None,
                  params=None, normals=None, side_name=None, bcs=None,
                  extra_fields=None, dtype=None, deltat=1.0,
-                 is_transient=False):
+                 is_transient=False, basis_vecs=None, basis_divs=None,
+                 basis_curls=None):
         self.dim = dim
         self.deltat = deltat
         self.is_transient = is_transient
+        self._bvec = basis_vecs or {}       # key -> (ndof, Q, dim)
+        self._bdiv = basis_divs or {}       # key -> (ndof, Q)
+        self._bcurl = basis_curls or {}     # key -> (ndof, Q[,3])
         self.wts = wts                      # (Q,)
         self.ip = ip                        # (Q, dim)
         self._bv = basis_vals               # key -> (ndof, Q)
@@ -56,15 +60,52 @@ class Workset:
     def basis_grad(self, var):
         return self._bg[self._var_keys[var]]
 
+    def basis_vec(self, var):
+        return self._bvec[self._var_keys[var]]
+
+    def basis_div(self, var):
+        return self._bdiv[self._var_keys[var]]
+
+    def basis_curl(self, var):
+        return self._bcurl[self._var_keys[var]]
+
+    def is_vector_var(self, var):
+        return self._var_keys[var][0] in ("HDIV", "HCURL")
+
     def _dofs(self, vec, var):
         st, nd = self.offsets[var]
         return vec[st:st + nd]
 
     def sol(self, var):
-        """Solution at quadrature points, (Q,)."""
+        """Solution at quadrature points: (Q,), or (Q, dim) for
+        HDIV/HCURL variables."""
         key = ("sol", var)
         if key not in self._sol_cache:
-            self._sol_cache[key] = self._dofs(self.u, var) @ self.basis(var)
+            if self.is_vector_var(var):
+                self._sol_cache[key] = jnp.einsum(
+                    "i,iqd->qd", self._dofs(self.u, var),
+                    self.basis_vec(var))
+            else:
+                self._sol_cache[key] = (self._dofs(self.u, var)
+                                        @ self.basis(var))
+        return self._sol_cache[key]
+
+    def div(self, var):
+        """Divergence of an HDIV variable, (Q,)."""
+        key = ("div", var)
+        if key not in self._sol_cache:
+            self._sol_cache[key] = jnp.einsum(
+                "i,iq->q", self._dofs(self.u, var), self.basis_div(var))
+        return self._sol_cache[key]
+
+    def curl(self, var):
+        """Curl of an HCURL variable: (Q,) in 2D, (Q, 3) in 3D."""
+        key = ("curl", var)
+        if key not in self._sol_cache:
+            bc = self.basis_curl(var)
+            sub = "iq->q" if bc.ndim == 2 else "iqd->qd"
+            self._sol_cache[key] = jnp.einsum(
+                "i," + sub, self._dofs(self.u, var), bc)
         return self._sol_cache[key]
 
     def sol_dot(self, var):
@@ -72,6 +113,10 @@ class Workset:
         if key not in self._sol_cache:
             if self.u_dot is None:
                 self._sol_cache[key] = jnp.zeros_like(self.sol(var))
+            elif self.is_vector_var(var):
+                self._sol_cache[key] = jnp.einsum(
+                    "i,iqd->qd", self._dofs(self.u_dot, var),
+                    self.basis_vec(var))
             else:
                 self._sol_cache[key] = (self._dofs(self.u_dot, var)
                                         @ self.basis(var))
@@ -97,6 +142,18 @@ class Workset:
             return self.time
         if leaf in self.offsets:
             return self.sol(leaf)
+        if leaf.endswith("]") and "[" in leaf \
+                and leaf[:leaf.index("[")] in self.offsets:
+            var = leaf[:leaf.index("[")]
+            ax = _AXES[leaf[-2]]
+            return self.sol(var)[:, ax]
+        if leaf.startswith("div(") and leaf.endswith(")"):
+            return self.div(leaf[4:-1])
+        if leaf.startswith("curl(") and leaf.endswith(")"):
+            return self.curl(leaf[5:-1])
+        if leaf.startswith("curl(") and leaf.endswith("]"):
+            var = leaf[5:leaf.index(")")]
+            return self.curl(var)[:, _AXES[leaf[-2]]]
         if leaf.startswith("grad(") and leaf.endswith("]"):
             var = leaf[5:leaf.index(")")]
             ax = _AXES[leaf[-2]]
@@ -131,6 +188,30 @@ class Workset:
         st, nd = self.offsets[var]
         contrib = jnp.einsum("iqd,qd->i", self.basis_grad(var),
                              fvals * self.wts[:, None])
+        self._res = self._res.at[st:st + nd].add(contrib)
+
+    def add_vec_source(self, var, fvals):
+        """res_i += sum_q f(q,:) . phi_i(q,:) * w(q) for vector bases."""
+        st, nd = self.offsets[var]
+        contrib = jnp.einsum("iqd,qd->i", self.basis_vec(var),
+                             fvals * self.wts[:, None])
+        self._res = self._res.at[st:st + nd].add(contrib)
+
+    def add_div_source(self, var, svals):
+        """res_i += sum_q s(q) * div(phi_i)(q) * w(q) (HDIV)."""
+        st, nd = self.offsets[var]
+        contrib = self.basis_div(var) @ (self.qp(svals) * self.wts)
+        self._res = self._res.at[st:st + nd].add(contrib)
+
+    def add_curl_source(self, var, cvals):
+        """res_i += sum_q c(q[,:]) * curl(phi_i)(q[,:]) * w(q) (HCURL)."""
+        st, nd = self.offsets[var]
+        bc = self.basis_curl(var)
+        if bc.ndim == 2:
+            contrib = bc @ (self.qp(cvals) * self.wts)
+        else:
+            contrib = jnp.einsum("iqd,qd->i", bc,
+                                 cvals * self.wts[:, None])
         self._res = self._res.at[st:st + nd].add(contrib)
 
     @property

@@ -25,10 +25,12 @@ __all__ = ["VarDofMap", "DofMap", "build_dofmap"]
 @dataclass
 class VarDofMap:
     name: str
-    basis: Basis
+    basis: object              # Basis or VectorBasis
     n_dof: int                 # number of global dofs for this variable
     eldofs: np.ndarray         # (n_elem, ndof_per_elem) within-var global ids
     dof_coords: np.ndarray     # (n_dof, dim) physical coords (nodal bases)
+    signs: np.ndarray | None = None   # (n_elem, ndof_per_elem) +-1 for
+    #                                   HDIV/HCURL orientation
 
 
 @dataclass
@@ -39,6 +41,7 @@ class DofMap:
     n_dof: int                 # total global dofs
     lids: np.ndarray           # (n_elem, ndof_total) global dof ids
     offsets: dict[str, tuple[int, int]]  # var -> (start, ndof) in element vec
+    signs: np.ndarray = None   # (n_elem, ndof_total) orientation signs
 
     def var(self, name: str) -> VarDofMap:
         for v in self.vars:
@@ -107,6 +110,53 @@ def _face_numbering(mesh: Mesh):
     return uniq.shape[0], elem_faces
 
 
+def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
+    """HDIV/HCURL: one dof per edge/face with orientation signs."""
+    topo = cell_topology(mesh.cell_type)
+    n_elem = mesh.n_elem
+    ents = basis.dof_entity
+    need_edges = any(k == "edge" for k, _ in ents)
+    need_faces = any(k == "face" for k, _ in ents)
+    elem_edges = edge_flip = None
+    n_edges = n_faces = 0
+    if need_edges:
+        n_edges, elem_edges, edge_flip, _ = _edge_numbering(mesh)
+    if need_faces:
+        n_faces, elem_faces = _face_numbering(mesh)
+
+    eldofs = np.zeros((n_elem, basis.ndof), dtype=np.int64)
+    signs = np.ones((n_elem, basis.ndof))
+    coords = mesh.nodes[mesh.conn]                 # (E, nc, dim)
+    cent_sum = np.zeros((0,))
+    dof_coords = None
+    for j, (kind, idx) in enumerate(ents):
+        if kind == "edge":
+            eldofs[:, j] = elem_edges[:, idx]
+            # global convention: lower global node id -> higher;
+            # local direction disagrees where edge_flip is set
+            signs[:, j] = np.where(edge_flip[:, idx], -1.0, 1.0)
+        else:  # face (3D HDIV)
+            eldofs[:, j] = n_edges * 0 + elem_faces[:, idx]
+            # sign = local outward normal . global sorted-node normal
+            f = list(topo.sides[idx])
+            pf = coords[:, f, :]                   # (E, nf, dim)
+            n_loc = np.cross(pf[:, 1] - pf[:, 0], pf[:, 2] - pf[:, 0])
+            gf = np.sort(mesh.conn[:, f], axis=1)  # (E, nf) sorted ids
+            pg = mesh.nodes[gf]                    # (E, nf, dim)
+            n_glob = np.cross(pg[:, 1] - pg[:, 0], pg[:, 2] - pg[:, 0])
+            signs[:, j] = np.sign(np.einsum("ed,ed->e", n_loc, n_glob))
+    n_dof = n_faces if need_faces else n_edges
+    # dof coords = facet centroids (for reporting only)
+    dof_coords = np.zeros((n_dof, topo.dim))
+    for j, (kind, idx) in enumerate(ents):
+        if kind == "edge":
+            mid = coords[:, list(topo.edges[idx]), :].mean(axis=1)
+        else:
+            mid = coords[:, list(topo.sides[idx]), :].mean(axis=1)
+        dof_coords[eldofs[:, j]] = mid
+    return VarDofMap(name, basis, n_dof, eldofs, dof_coords, signs=signs)
+
+
 def _build_var(mesh: Mesh, name: str, basis: Basis) -> VarDofMap:
     topo = cell_topology(mesh.cell_type)
     ents = basis.dof_entities()
@@ -167,10 +217,15 @@ def _build_var(mesh: Mesh, name: str, basis: Basis) -> VarDofMap:
 
 def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
     """variables: list of (name, basis space, order)."""
+    from mrhyde_tpu.fem.vector_basis import get_vector_basis
     vars_ = []
     for (name, space, order) in variables:
-        basis = get_basis(mesh.cell_type, space, order)
-        vars_.append(_build_var(mesh, name, basis))
+        if space.upper() in ("HDIV", "HCURL"):
+            vbasis = get_vector_basis(mesh.cell_type, space, max(order, 1))
+            vars_.append(_build_vector_var(mesh, name, vbasis))
+        else:
+            basis = get_basis(mesh.cell_type, space, order)
+            vars_.append(_build_var(mesh, name, basis))
     var_start = np.zeros(len(vars_), dtype=np.int64)
     tot = 0
     offsets = {}
@@ -182,5 +237,8 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
         estart += v.basis.ndof
     lids = np.concatenate(
         [var_start[i] + v.eldofs for i, v in enumerate(vars_)], axis=1)
+    signs = np.concatenate(
+        [v.signs if v.signs is not None
+         else np.ones_like(v.eldofs, dtype=float) for v in vars_], axis=1)
     return DofMap(mesh=mesh, vars=vars_, var_start=var_start, n_dof=tot,
-                  lids=lids.astype(np.int64), offsets=offsets)
+                  lids=lids.astype(np.int64), offsets=offsets, signs=signs)

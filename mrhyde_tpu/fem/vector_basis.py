@@ -1,0 +1,300 @@
+"""Vector-valued bases: HDIV (Raviart-Thomas) and HCURL (Nedelec), order 1.
+
+TPU-native replacement for the Intrepid2 HDIV/HCURL bases + orientation
+tools the reference relies on (reference:
+src/interfaces/discretizationInterface.cpp:354-430 basis factory, :1263
+orientations). Degrees of freedom:
+
+- HDIV:  one per facet (edge in 2D, face in 3D); dof = facet flux
+         int_f v . n with the *global* normal convention (from sorted
+         global node ids). Piola (contravariant) map to physical:
+         v_phys = J v_ref / det J, div_phys = div_ref / det J.
+- HCURL: one per edge; dof = edge circulation int_e v . t with the
+         global tangent convention (lower -> higher global node id).
+         Covariant map: v_phys = J^{-T} v_ref;
+         curl_phys = (scalar) curl_ref / det J in 2D,
+         J curl_ref / det J in 3D.
+
+Orientation: each element carries a +-1 sign per vector dof comparing
+its local facet/edge orientation with the global convention; the sign
+folds into gather/scatter (see fem.dofmap.build_dofmap and the
+assembler), which reproduces Intrepid2 OrientationTools behavior for
+lowest order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+
+import numpy as np
+
+from mrhyde_tpu.fem.topology import cell_topology
+
+__all__ = ["VectorBasis", "get_vector_basis"]
+
+
+@dataclass(frozen=True)
+class VectorBasis:
+    cell: str
+    space: str        # "HDIV" | "HCURL"
+    order: int
+    ndof: int
+    # entity kind per dof: ("edge", idx) or ("face", idx)
+    dof_entity: tuple
+
+    @property
+    def dim(self):
+        return cell_topology(self.cell).dim
+
+    # each concrete basis provides _eval/_div/_curl on reference coords
+    def eval(self, pts: np.ndarray) -> np.ndarray:
+        """(ndof, npts, dim) reference vector values."""
+        return _EVAL[(self.cell, self.space)](pts)
+
+    def div(self, pts: np.ndarray) -> np.ndarray:
+        """(ndof, npts) reference divergence (HDIV only)."""
+        return _DIV[(self.cell, self.space)](pts)
+
+    def curl(self, pts: np.ndarray) -> np.ndarray:
+        """HCURL curl: (ndof, npts) in 2D, (ndof, npts, 3) in 3D."""
+        return _CURL[(self.cell, self.space)](pts)
+
+    def dof_entities(self):
+        out = []
+        for kind, idx in self.dof_entity:
+            out.append((kind, idx, 0))
+        return out
+
+    def side_dofs(self, side: int) -> list[int]:
+        topo = cell_topology(self.cell)
+        out = []
+        for i, (kind, idx) in enumerate(self.dof_entity):
+            if kind == "face" and idx == side:
+                out.append(i)
+            elif kind == "edge" and topo.dim == 2 and idx == side:
+                out.append(i)
+            elif kind == "edge" and topo.dim == 3 \
+                    and set(topo.edges[idx]) <= set(topo.sides[side]):
+                out.append(i)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# reference-element definitions (lowest order)
+# ---------------------------------------------------------------------------
+
+def _hdiv_quad_eval(p):
+    x, y = p[:, 0], p[:, 1]
+    z = np.zeros_like(x)
+    # edges (0,1) bottom, (1,2) right, (2,3) top, (3,0) left; outward flux
+    return np.array([
+        np.stack([z, (y - 1) / 4], axis=-1),
+        np.stack([(1 + x) / 4, z], axis=-1),
+        np.stack([z, (1 + y) / 4], axis=-1),
+        np.stack([(x - 1) / 4, z], axis=-1),
+    ])
+
+
+def _hdiv_quad_div(p):
+    n = p.shape[0]
+    return np.full((4, n), 0.25)
+
+
+def _hcurl_quad_eval(p):
+    x, y = p[:, 0], p[:, 1]
+    z = np.zeros_like(x)
+    # circulation along local edge direction
+    return np.array([
+        np.stack([(1 - y) / 4, z], axis=-1),       # (0,1): +x
+        np.stack([z, (1 + x) / 4], axis=-1),       # (1,2): +y
+        np.stack([-(1 + y) / 4, z], axis=-1),      # (2,3): -x
+        np.stack([z, -(1 - x) / 4], axis=-1),      # (3,0): -y
+    ])
+
+
+def _hcurl_quad_curl(p):
+    n = p.shape[0]
+    return np.full((4, n), 0.25)
+
+
+def _tri_lambdas(p):
+    x, y = p[:, 0], p[:, 1]
+    lam = np.stack([1 - x - y, x, y])              # (3, n)
+    dlam = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])  # (3, dim)
+    return lam, dlam
+
+
+def _hdiv_tri_eval(p):
+    x = p                                          # (n, 2)
+    verts = cell_topology("tri").corners
+    # edge i opposite vertex: sides (0,1)->2, (1,2)->0, (2,0)->1
+    opp = [2, 0, 1]
+    A = 0.5
+    return np.array([(x - verts[opp[i]][None, :]) / (2 * A)
+                     for i in range(3)])
+
+
+def _hdiv_tri_div(p):
+    n = p.shape[0]
+    return np.full((3, n), 2.0)                    # 2/(2A), A = 1/2
+
+
+def _whitney_edges(p, cell):
+    topo = cell_topology(cell)
+    if cell == "tri":
+        lam, dlam = _tri_lambdas(p)
+    else:  # tet
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        lam = np.stack([1 - x - y - z, x, y, z])
+        dlam = np.array([[-1.0, -1, -1], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    vals, curls = [], []
+    for (i, j) in topo.edges:
+        v = lam[i][:, None] * dlam[j][None, :] \
+            - lam[j][:, None] * dlam[i][None, :]
+        vals.append(v)
+        if cell == "tri":
+            c = 2 * (dlam[i][0] * dlam[j][1] - dlam[i][1] * dlam[j][0])
+            curls.append(np.full(p.shape[0], c))
+        else:
+            c = 2 * np.cross(dlam[i], dlam[j])
+            curls.append(np.tile(c, (p.shape[0], 1)))
+    return np.array(vals), np.array(curls)
+
+
+def _hcurl_tri_eval(p):
+    return _whitney_edges(p, "tri")[0]
+
+
+def _hcurl_tri_curl(p):
+    return _whitney_edges(p, "tri")[1]
+
+
+def _hdiv_hex_eval(p):
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    o = np.zeros_like(x)
+    # faces: 0 z-, 1 z+, 2 y-, 3 x+, 4 y+, 5 x- (topology.sides order)
+    return np.array([
+        np.stack([o, o, (z - 1) / 8], axis=-1),
+        np.stack([o, o, (z + 1) / 8], axis=-1),
+        np.stack([o, (y - 1) / 8, o], axis=-1),
+        np.stack([(x + 1) / 8, o, o], axis=-1),
+        np.stack([o, (y + 1) / 8, o], axis=-1),
+        np.stack([(x - 1) / 8, o, o], axis=-1),
+    ])
+
+
+def _hdiv_hex_div(p):
+    n = p.shape[0]
+    return np.full((6, n), 0.125)
+
+
+def _hcurl_hex_eval(p):
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    topo = cell_topology("hex")
+    corners = topo.corners
+    vals = []
+    for (a, b) in topo.edges:
+        d = (corners[b] - corners[a]) / 2.0        # unit direction * 1
+        # profile: product of (1 +- coord)/2 over the two transverse axes
+        prof = np.ones_like(x) / 8.0
+        for ax in range(3):
+            if d[ax] != 0:
+                continue
+            c = corners[a][ax]                     # +-1
+            coord = p[:, ax]
+            prof = prof * (1 + c * coord)
+        v = prof[:, None] * d[None, :]
+        vals.append(v)
+    return np.array(vals)
+
+
+def _hcurl_hex_curl(p):
+    x, y, z = p[:, 0], p[:, 1], p[:, 2]
+    topo = cell_topology("hex")
+    corners = topo.corners
+    curls = []
+    for (a, b) in topo.edges:
+        d = (corners[b] - corners[a]) / 2.0
+        # v = prod_t (1 + c_t x_t)/8 * d  => curl = grad(prof) x d
+        grad = np.zeros((p.shape[0], 3))
+        for ax in range(3):
+            if d[ax] != 0:
+                continue
+            c = corners[a][ax]
+            g = np.full(p.shape[0], c / 8.0)
+            for ax2 in range(3):
+                if ax2 == ax or d[ax2] != 0:
+                    continue
+                c2 = corners[a][ax2]
+                g = g * (1 + c2 * p[:, ax2])
+            grad[:, ax] = g
+        curls.append(np.cross(grad, np.tile(d, (p.shape[0], 1))))
+    return np.array(curls)
+
+
+def _hdiv_tet_eval(p):
+    verts = cell_topology("tet").corners
+    # sides (0,1,3)->opp 2, (1,2,3)->opp 0, (0,3,2)->opp 1, (0,2,1)->opp 3
+    opp = [2, 0, 1, 3]
+    V = 1.0 / 6.0
+    return np.array([(p - verts[opp[i]][None, :]) / (3 * V)
+                     for i in range(4)])
+
+
+def _hdiv_tet_div(p):
+    n = p.shape[0]
+    return np.full((4, n), 6.0)                    # 3/(3V) = 1/V
+
+
+def _hcurl_tet_eval(p):
+    return _whitney_edges(p, "tet")[0]
+
+
+def _hcurl_tet_curl(p):
+    return _whitney_edges(p, "tet")[1]
+
+
+_EVAL = {
+    ("quad", "HDIV"): _hdiv_quad_eval,
+    ("quad", "HCURL"): _hcurl_quad_eval,
+    ("tri", "HDIV"): _hdiv_tri_eval,
+    ("tri", "HCURL"): _hcurl_tri_eval,
+    ("hex", "HDIV"): _hdiv_hex_eval,
+    ("hex", "HCURL"): _hcurl_hex_eval,
+    ("tet", "HDIV"): _hdiv_tet_eval,
+    ("tet", "HCURL"): _hcurl_tet_eval,
+}
+_DIV = {
+    ("quad", "HDIV"): _hdiv_quad_div,
+    ("tri", "HDIV"): _hdiv_tri_div,
+    ("hex", "HDIV"): _hdiv_hex_div,
+    ("tet", "HDIV"): _hdiv_tet_div,
+}
+_CURL = {
+    ("quad", "HCURL"): _hcurl_quad_curl,
+    ("tri", "HCURL"): _hcurl_tri_curl,
+    ("hex", "HCURL"): _hcurl_hex_curl,
+    ("tet", "HCURL"): _hcurl_tet_curl,
+}
+
+
+@lru_cache(maxsize=None)
+def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
+    space = space.upper()
+    if order != 1:
+        raise NotImplementedError(f"{space} order {order} (lowest only)")
+    topo = cell_topology(cell)
+    if space == "HDIV":
+        if topo.dim == 2:
+            ents = tuple(("edge", i) for i in range(len(topo.edges)))
+        else:
+            ents = tuple(("face", i) for i in range(len(topo.sides)))
+    elif space == "HCURL":
+        ents = tuple(("edge", i) for i in range(len(topo.edges)))
+    else:
+        raise ValueError(space)
+    if (cell, space) not in _EVAL:
+        raise NotImplementedError(f"{space} on {cell}")
+    return VectorBasis(cell=cell, space=space, order=1, ndof=len(ents),
+                       dof_entity=ents)

@@ -60,14 +60,26 @@ def shard_assembler_arrays(assembler, mesh: Mesh, axis: str = "dp"):
         return jnp.pad(x, widths, constant_values=fill)
 
     shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
 
+    uniform = getattr(assembler, "uniform", False)
     arrays = {
-        "lids": jax.device_put(padded(assembler.lids), shard),
-        "wts": jax.device_put(padded(assembler.g_wts), shard),
+        # padded elements index a dummy dof segment (= n_dof) so their
+        # contributions are dropped after the segment-sum
+        "lids": jax.device_put(padded(assembler.lids,
+                                      fill=assembler.n_dof), shard),
         "ip": jax.device_put(padded(assembler.g_ip), shard),
-        "bg": {k: jax.device_put(padded(v), shard)
-               for k, v in assembler.g_bg.items()},
+        "uniform": uniform,
     }
+    if uniform:
+        # compressed basis database: one shared table, replicated
+        arrays["wts"] = jax.device_put(assembler.g_wts, repl)
+        arrays["bg"] = {k: jax.device_put(v, repl)
+                        for k, v in assembler.g_bg.items()}
+    else:
+        arrays["wts"] = jax.device_put(padded(assembler.g_wts), shard)
+        arrays["bg"] = {k: jax.device_put(padded(v), shard)
+                        for k, v in assembler.g_bg.items()}
     return arrays
 
 
@@ -88,31 +100,36 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
 
     from functools import partial
 
+    gax = None if arrays["uniform"] else 0
+
     def step(u, tc, pvec=None):
         lids = arrays["lids"]
-        u_e = u[lids]
-        bu_e = tc.beta_u[lids]
-        bt_e = tc.beta_t[lids]
+        zpad = jnp.zeros(1, dtype=u.dtype)
+        u_e = jnp.concatenate([u, zpad])[lids]
+        bu_e = jnp.concatenate([tc.beta_u, zpad])[lids]
+        bt_e = jnp.concatenate([tc.beta_t, zpad])[lids]
         fn = partial(assembler._elem_residual, alpha_u=tc.alpha_u,
                      alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
-        res_e = jax.vmap(fn)(u_e, bu_e, bt_e, arrays["wts"], arrays["ip"],
-                             arrays["bg"])
-        jac_e = jax.vmap(jax.jacfwd(fn, argnums=0))(
+        res_e = jax.vmap(fn, in_axes=(0, 0, 0, gax, 0, gax))(
+            u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"])
+        jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
+                         in_axes=(0, 0, 0, gax, 0, gax))(
             u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"])
         r = jax.ops.segment_sum(res_e.ravel(), lids.ravel(),
-                                num_segments=n_dof)
+                                num_segments=n_dof + 1)[:n_dof]
         r = jnp.where(fixed, 0.0, r)
 
         def apply(v):
             vm = jnp.where(fixed, 0.0, v)
+            ve = jnp.concatenate([vm, jnp.zeros(1, dtype=v.dtype)])[lids]
             av = jax.ops.segment_sum(
-                jnp.einsum("eij,ej->ei", jac_e, vm[lids]).ravel(),
-                lids.ravel(), num_segments=n_dof)
+                jnp.einsum("eij,ej->ei", jac_e, ve).ravel(),
+                lids.ravel(), num_segments=n_dof + 1)[:n_dof]
             return jnp.where(fixed, v, av)
 
         diag = jax.ops.segment_sum(
             jnp.diagonal(jac_e, axis1=1, axis2=2).ravel(), lids.ravel(),
-            num_segments=n_dof)
+            num_segments=n_dof + 1)[:n_dof]
         dinv = jnp.where(fixed, 1.0, 1.0 / jnp.where(diag == 0, 1.0, diag))
 
         # fixed-iteration preconditioned CG (static control flow)

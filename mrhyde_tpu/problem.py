@@ -235,7 +235,9 @@ class Problem:
             linear_tol=float(sc.get("linear TOL", 1e-12)),
             max_cuts=int(sc.get("maximum time step cuts", 5)),
             backtracking=bool(sc.get("allow backtracking", True)),
-            set_dirichlet=self.bcs.apply, pvec=pvec)
+            set_dirichlet=self.bcs.apply, pvec=pvec,
+            fully_explicit=bool(sc.get("fully explicit", False)),
+            lump_mass=bool(sc.get("lump mass", True)))
 
         out = ForwardResult(u=None, time=t0)
 

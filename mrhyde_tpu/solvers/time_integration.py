@@ -121,6 +121,9 @@ class TransientIntegrator:
     verbose: int = 0
     pvec: dict | None = None
     set_dirichlet: object = None   # callable (u, time) -> u with DBCs set
+    fully_explicit: bool = False   # reference: explicitSolver :1715
+    lump_mass: bool = True
+    mass_cg_iters: int = 50
 
     def _tables(self, step: int):
         if (self.startup_steps and step < self.startup_steps
@@ -138,6 +141,31 @@ class TransientIntegrator:
         w1 = (bdf_weights(self.startup_bdf_order)
               if self.startup_bdf_order else w0)
         return max(len(w0), len(w1)) - 1
+
+    def _explicit_stage(self, z0, tc):
+        """Exact explicit-stage update (reference explicitSolver,
+        solverManager.cpp:1715-1867): the stage system is affine in z
+        with Jacobian alpha_t * M, so one weighted-mass solve finishes:
+        z = z0 - (alpha_t M)^{-1} R(z0), via lumped diagonal or CG."""
+        import jax
+        asm = self.assembler
+        if not hasattr(self, "_explicit_jit"):
+            def step(z0, tc, pvec):
+                r = asm.residual(z0, tc, pvec)
+                if self.lump_mass:
+                    mdiag = asm.lumped_mass(z0, tc, pvec)
+                    du = -r / (mdiag * tc.alpha_t)
+                else:
+                    M = asm.weighted_mass_blocks(z0, tc, pvec)
+                    from mrhyde_tpu.assembly.assembler import BlockJacobian
+                    Mop = BlockJacobian(vol=M, vol_lids=asm.lids, bnd=[],
+                                        bnd_lids=[], fixed=asm.fixed)
+                    from mrhyde_tpu.solvers.linear import solve_cg
+                    du = -solve_cg(Mop, r, maxiter=self.mass_cg_iters) \
+                        / tc.alpha_t
+                return jnp.where(asm.fixed, z0, z0 + du)
+            self._explicit_jit = jax.jit(step)
+        return self._explicit_jit(z0, tc, self.pvec)
 
     def run(self, u0, *, t0=0.0, t_end=1.0, dt=None, num_steps=None,
             observer=None):
@@ -188,16 +216,21 @@ class TransientIntegrator:
                                 jnp.asarray(dt, u.dtype))
                 if self.set_dirichlet is not None:
                     z0 = self.set_dirichlet(z0, t_stage)
-                result = newton_solve(
-                    asm, z0, tc, self.pvec, tol=self.nonlinear_tol,
-                    abstol=self.abs_tol, maxiter=self.max_nonlinear_iters,
-                    linear_method=self.linear_method,
-                    linear_tol=self.linear_tol,
-                    backtracking=self.backtracking, verbose=self.verbose)
-                if not result.converged and result.norm > result.norm0:
-                    ok = False
-                    break
-                z = result.u
+                if self.fully_explicit:
+                    z = self._explicit_stage(z0, tc)
+                else:
+                    result = newton_solve(
+                        asm, z0, tc, self.pvec, tol=self.nonlinear_tol,
+                        abstol=self.abs_tol,
+                        maxiter=self.max_nonlinear_iters,
+                        linear_method=self.linear_method,
+                        linear_tol=self.linear_tol,
+                        backtracking=self.backtracking,
+                        verbose=self.verbose)
+                    if not result.converged and result.norm > result.norm0:
+                        ok = False
+                        break
+                    z = result.u
                 u_stages.append(z)
                 if nstage > 1:
                     u_new = u_new + z - u_prev[0]

@@ -87,3 +87,13 @@ def test_ode_integrator_matches_gold(name):
                 for t, errs in res.error_history)
     assert np.isclose(hist[0.9], gold09, rtol=2e-5), (hist[0.9], gold09)
     assert np.isclose(hist[1.0], gold10, rtol=2e-5), (hist[1.0], gold10)
+
+
+def test_rk44_fully_explicit_matches_gold():
+    cfg = make_cfg({"transient Butcher tableau": "RK-4,4",
+                    "fully explicit": True, "lump mass": True})
+    res = Problem(cfg).run()
+    hist = dict((round(t, 10), errs[("L2", "q")])
+                for t, errs in res.error_history)
+    assert np.isclose(hist[0.9], 3.31459e-07, rtol=2e-5)
+    assert np.isclose(hist[1.0], 3.33241e-07, rtol=2e-5)
