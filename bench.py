@@ -22,8 +22,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    nx = int(os.environ.get("BENCH_NX", "1024"))
-    reps = int(os.environ.get("BENCH_REPS", "20"))
+    nx = int(os.environ.get("BENCH_NX", "512"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
 
     from mrhyde_tpu.assembly.assembler import TimeCoeffs
     from mrhyde_tpu.problem import Problem
@@ -44,20 +44,29 @@ def main():
     tc = TimeCoeffs.steady(p.n_dof, dtype=dtype)
     u = jnp.zeros(p.n_dof, dtype=dtype)
 
-    @jax.jit
-    def assemble(u, tc):
-        r = asm.residual(u, tc, None)
-        J = asm.jacobian(u, tc, None)
-        return r, J.vol
+    inner = int(os.environ.get("BENCH_INNER", "10"))
 
-    r, jv = assemble(u, tc)
-    jv.block_until_ready()
+    @jax.jit
+    def assemble_loop(u, tc):
+        # chain `inner` assemblies inside ONE device program so the
+        # measurement reflects device throughput, not host dispatch
+        def body(carry, _):
+            u = carry
+            r = asm.residual(u, tc, None)
+            J = asm.jacobian(u, tc, None)
+            u = u + 1e-12 * (r + J.vol.sum() * 0)
+            return u, jnp.sum(J.vol)
+        u, s = jax.lax.scan(body, u, None, length=inner)
+        return u, s
+
+    uo, s = assemble_loop(u, tc)
+    s.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(reps):
-        r, jv = assemble(u, tc)
-    jv.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+        uo, s = assemble_loop(u, tc)
+    s.block_until_ready()
+    dt = (time.perf_counter() - t0) / (reps * inner)
 
     n_elem = asm.lids.shape[0]
     nd = asm.lids.shape[1]

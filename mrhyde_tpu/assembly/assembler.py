@@ -206,7 +206,9 @@ class Assembler:
             bvals, bvecs = {}, {}
             for k, v in bg.basis_vals.items():
                 if k[0] in ("HDIV", "HCURL"):
-                    bvecs[k] = jnp.asarray(v, dtype=dt)
+                    # vector face tables are per-element (Piola): slice
+                    # to this group's elements
+                    bvecs[k] = jnp.asarray(v[bg.elems], dtype=dt)
                 else:
                     bvals[k] = jnp.asarray(v, dtype=dt)
             self._bnd.append(dict(
@@ -357,6 +359,14 @@ class Assembler:
                            "Slip", "Flux"):
                     out.append(g)
                     break
+                if bct == "Dirichlet":
+                    # natural Dirichlet: vars without trace dofs (HVOL
+                    # in mixed methods) get a boundary integral instead
+                    vdm = self.disc.dofmap.var(v)
+                    if not any(vdm.basis.side_dofs(s)
+                               for s in range(self.disc.topo.n_side)):
+                        out.append(g)
+                        break
         return out
 
     # ------------------------------------------------------------------
@@ -367,6 +377,8 @@ class Assembler:
         """Block mass matrix as a BlockJacobian (no Dirichlet rows)."""
         M = jnp.asarray(self.disc.mass_blocks(var), dtype=self.dtype)
         if var is None:
+            if self.has_signs:
+                M = M * self.signs[:, :, None] * self.signs[:, None, :]
             return BlockJacobian(vol=M, vol_lids=self.lids, bnd=[],
                                  bnd_lids=[],
                                  fixed=jnp.zeros(self.n_dof, dtype=bool))
@@ -412,13 +424,35 @@ class Assembler:
         ctx = PointContext(self.g_ip, time=time, params=self.params)
         wtsE = jnp.asarray(disc.wts, dtype=self.dtype)     # (E, Q)
         for var in disc.var_names:
+            key = disc.basis_keys[var]
+            st, nd = disc.offsets[var]
+            lids_v = self.lids[:, st:st + nd]
+            if key[0] in ("HDIV", "HCURL"):
+                # component expressions like 'E[x]'
+                comps = {}
+                for ax, lbl in enumerate("xyz"[:disc.mesh.dim]):
+                    k = f"{var}[{lbl}]"
+                    if k in exprs:
+                        comps[ax] = exprs[k]
+                if not comps:
+                    continue
+                f = jnp.zeros(wtsE.shape + (disc.mesh.dim,),
+                              dtype=self.dtype)
+                for ax, expr in comps.items():
+                    vals = jnp.broadcast_to(
+                        self.fm.evaluate_expr(expr, ctx), wtsE.shape)
+                    f = f.at[:, :, ax].set(vals)
+                vv = jnp.asarray(disc.vec_vals[key], dtype=self.dtype)
+                contrib = jnp.einsum("eiqd,eqd->ei", vv,
+                                     f * wtsE[:, :, None])
+                sg = self.signs[:, st:st + nd]
+                b = b + _scatter_vec(contrib * sg, lids_v, self.n_dof)
+                continue
             if var not in exprs:
                 continue
             vals = self.fm.evaluate_expr(exprs[var], ctx)  # (E, Q) or scalar
             vals = jnp.broadcast_to(vals, wtsE.shape)
             phi = self.g_bv[disc.basis_keys[var]]          # (nd, Q)
             contrib = jnp.einsum("iq,eq->ei", phi, vals * wtsE)
-            st, nd = disc.offsets[var]
-            lids_v = self.lids[:, st:st + nd]
             b = b + _scatter_vec(contrib, lids_v, self.n_dof)
         return b

@@ -187,14 +187,19 @@ class Discretization:
         variables. weight: optional (E, Q) density at quadrature points.
         """
         w = self.wts if weight is None else self.wts * weight
-        if var is not None:
-            phi = self.basis_vals[self.basis_keys[var]]
+
+        def var_mass(key):
+            if key[0] in ("HDIV", "HCURL"):
+                vv = self.vec_vals[key]
+                return np.einsum("eiqd,ejqd,eq->eij", vv, vv, w)
+            phi = self.basis_vals[key]
             return np.einsum("iq,jq,eq->eij", phi, phi, w)
+
+        if var is not None:
+            return var_mass(self.basis_keys[var])
         E = self.mesh.n_elem
         M = np.zeros((E, self.ndof_elem, self.ndof_elem))
         for vname in self.var_names:
             st, nd = self.offsets[vname]
-            phi = self.basis_vals[self.basis_keys[vname]]
-            M[:, st:st + nd, st:st + nd] = np.einsum(
-                "iq,jq,eq->eij", phi, phi, w)
+            M[:, st:st + nd, st:st + nd] = var_mass(self.basis_keys[vname])
         return M

@@ -41,7 +41,11 @@ def _ensure_imported():
     import importlib
     for mod in ("thermal", "ode", "cdr", "burgers", "linearelasticity",
                 "stokes", "navierstokes", "shallowwater", "helmholtz",
-                "porous", "maxwell"):
+                "porous", "porous_mixed", "maxwell", "msphasefield",
+                "hartmann", "shallowice", "kuramoto_sivashinsky",
+                "euler", "variable_density_ns", "incompressible_saturation",
+                "llamas", "physics_test", "maxwells_fp",
+                "phasesolidification"):
         try:
             importlib.import_module(f"mrhyde_tpu.physics.{mod}")
         except ImportError:

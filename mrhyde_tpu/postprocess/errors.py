@@ -20,6 +20,7 @@ from mrhyde_tpu.assembly.assembler import PointContext
 __all__ = ["ErrorCalculator"]
 
 _GRAD_RE = re.compile(r"^grad\((\w+)\)\[([xyz])\]$")
+_COMP_RE = re.compile(r"^(\w+)\[([xyz])\]$")
 _AX = {"x": 0, "y": 1, "z": 2}
 
 
@@ -30,14 +31,19 @@ class ErrorCalculator:
         self.params = params or {}
         self.l2_exprs = {}
         self.grad_exprs = {}     # var -> {axis: expr}
+        self.comp_exprs = {}     # vector var -> {axis: expr}
         self.face_exprs = {}
         self.div_exprs = {}
         self.curl_exprs = {}
         for key, expr in (true_solutions or {}).items():
             m = _GRAD_RE.match(key.strip())
+            mc = _COMP_RE.match(key.strip())
             if m:
                 self.grad_exprs.setdefault(m.group(1), {})[
                     _AX[m.group(2)]] = expr
+            elif mc:
+                self.comp_exprs.setdefault(mc.group(1), {})[
+                    _AX[mc.group(2)]] = expr
             elif key.endswith(" face"):
                 self.face_exprs[key[:-5].strip()] = expr
             elif key.startswith("div(") and key.endswith(")"):
@@ -58,7 +64,21 @@ class ErrorCalculator:
     def _compute(self, u, time) -> dict:
         disc = self.disc
         out = {}
-        u_e = u[jnp.asarray(disc.lids)]               # (E, nd_total)
+        u_e = u[jnp.asarray(disc.lids)] \
+            * jnp.asarray(disc.dofmap.signs)          # (E, nd_total)
+
+        for var, comps in self.comp_exprs.items():
+            st, nd = disc.offsets[var]
+            vv = jnp.asarray(disc.vec_vals[disc.basis_keys[var]])
+            uh = jnp.einsum("ei,eiqd->eqd", u_e[:, st:st + nd], vv)
+            ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
+            err2 = 0.0
+            for ax, expr in comps.items():
+                tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                       uh.shape[:2])
+                err2 = err2 + jnp.sum(jnp.asarray(disc.wts)
+                                      * (uh[:, :, ax] - tru) ** 2)
+            out[("L2", var)] = jnp.sqrt(err2)
 
         for var, expr in self.l2_exprs.items():
             st, nd = disc.offsets[var]

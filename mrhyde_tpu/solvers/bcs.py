@@ -84,8 +84,15 @@ class BoundaryConditions:
                         if eff == "Dirichlet":
                             dofs = dofmap.sideset_dofs(var,
                                                        mesh.sidesets[ss])
-                            self.strong.append(_DirichletEntry(
-                                var, ss, expr, dofs))
+                            if dofs.size == 0:
+                                # no trace dofs (HVOL pressure in mixed
+                                # methods): Dirichlet data enters as a
+                                # natural boundary integral
+                                fm.add_function(f"Dirichlet {var} {ss}",
+                                                expr, "side ip")
+                            else:
+                                self.strong.append(_DirichletEntry(
+                                    var, ss, expr, dofs))
                         else:
                             fm.add_function(f"{eff} {var} {ss}", expr,
                                             "side ip")

@@ -1,0 +1,103 @@
+"""Smoke tests: every registered physics module assembles and solves."""
+
+import numpy as np
+import pytest
+
+from mrhyde_tpu.physics.registry import available_modules, import_physics
+from mrhyde_tpu.problem import Problem
+
+SMOKE = {
+    "helmholtz": {
+        "Functions": {"omega2r": "1.0", "c2r_x": "1.0", "c2r_y": "1.0",
+                      "source_r": "1.0"},
+        "Physics": {"modules": "helmholtz",
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "ureal": {"all boundaries": 0.0},
+                        "uimag": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"ureal": 1, "uimag": 1}},
+    },
+    "shallow ice": {
+        "Functions": {"source": "1.0"},
+        "Physics": {"modules": "shallow ice",
+                    "Dirichlet conditions": {"scalar data": True,
+                                             "s": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"s": 1}},
+    },
+    "Kuramoto-Sivashinsky": {
+        "Physics": {"modules": "Kuramoto-Sivashinsky",
+                    "Initial conditions": {"u": "0.1*sin(2*pi*x)",
+                                           "w": "0.0"}},
+        "Discretization": {"order": {"u": 1, "w": 1}},
+        "Solver": {"solver": "transient", "number of steps": 2,
+                   "final time": 0.01,
+                   "transient Butcher tableau": "BWE"},
+    },
+    "hartmann": {
+        "Physics": {"modules": "hartmann",
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "u": {"all boundaries": 0.0},
+                        "b": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"u": 1, "b": 1}},
+    },
+    "llamas": {
+        "Functions": {"whatever": "1.0", "c": "1.0"},
+        "Physics": {"modules": "llamas",
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "llama": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"llama": 1}},
+    },
+    "msphasefield": {
+        "Physics": {"modules": "msphasefield", "number_phases": 2,
+                    "Initial conditions": {
+                        "phi1": "0.5+0.1*sin(2*pi*x)",
+                        "phi2": "0.5-0.1*sin(2*pi*x)"}},
+        "Discretization": {"order": {"phi1": 1, "phi2": 1}},
+        "Solver": {"solver": "transient", "number of steps": 2,
+                   "final time": 0.01,
+                   "transient Butcher tableau": "BWE"},
+    },
+    "inc sat": {
+        "Functions": {"ux": "1.0", "uy": "0.0"},
+        "Physics": {"modules": "inc sat",
+                    "Initial conditions": {"S": "exp(-10*(x-0.3)*(x-0.3))"}},
+        "Discretization": {"order": {"S": 1}},
+        "Solver": {"solver": "transient", "number of steps": 2,
+                   "final time": 0.001,
+                   "transient Butcher tableau": "BWE"},
+    },
+    "physicsTest": {
+        "Functions": {"test source": "1.0"},
+        "Physics": {"modules": "physicsTest",
+                    "Dirichlet conditions": {"scalar data": True,
+                                             "e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 1}},
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(SMOKE))
+def test_module_smoke(name):
+    sub = SMOKE[name]
+    cfg = {"Mesh": {"dimension": 2, "element type": "quad",
+                    "NX": 4, "NY": 4},
+           "Solver": {"solver": "steady-state", "max nonlinear iters": 5},
+           "Postprocess": {"compute errors": False}}
+    cfg.update({k: v for k, v in sub.items() if k != "Solver"})
+    if "Solver" in sub:
+        cfg["Solver"] = sub["Solver"]
+    res = Problem(cfg).run()
+    assert np.isfinite(np.asarray(res.u)).all()
+    assert float(np.abs(np.asarray(res.u)).max()) < 1e6
+
+
+def test_registry_lists_all():
+    mods = available_modules()
+    for name in ("thermal", "ODE", "cdr", "Burgers", "navier stokes",
+                 "Stokes", "linearelasticity", "shallow water", "porous",
+                 "porous mixed", "maxwell", "helmholtz", "shallow ice",
+                 "Kuramoto-Sivashinsky", "hartmann", "llamas",
+                 "msphasefield", "inc sat", "physicsTest"):
+        assert name in mods, name
