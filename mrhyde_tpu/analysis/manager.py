@@ -35,6 +35,8 @@ class AnalysisManager:
             return self.rol_solve()
         if mode == "DCI":
             return self.dci_solve()
+        if mode == "restart":
+            return self.restart_solve()
         raise NotImplementedError(f"analysis type {mode!r}")
 
     # ------------------------------------------------------------------
@@ -120,6 +122,18 @@ class AnalysisManager:
             verbose=verbose)
         pm.update(pm.unflatten(result.x))
         return result
+
+    def restart_solve(self):
+        """Recover state from a text dump and resume (reference:
+        analysisManager.cpp:831 restartSolve)."""
+        p = self.problem
+        rcfg = self.cfg.get("Restart", {}) or {}
+        fname = rcfg.get("state file name", "restart_state.dat")
+        u0 = np.loadtxt(fname)
+        start = rcfg.get("start time")
+        if start is not None:
+            p.solver_cfg["initial time"] = float(start)
+        return p.forward(u0=u0)
 
     def dci_solve(self):
         """Data-consistent inversion: UQ ensemble -> predicted density ->

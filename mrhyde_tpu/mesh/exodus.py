@@ -1,0 +1,152 @@
+"""Exodus II mesh/solution IO via scipy's NetCDF3 backend.
+
+TPU-native replacement for the reference's STK/SEACAS Exodus path
+(reference: src/interfaces/meshInterface.hpp:129-147 writeToExodus,
+Exodus file reading in meshInterface.cpp via 'source: Exodus').
+Exodus II "classic" files are NetCDF3, which scipy.io reads/writes
+without external dependencies.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mrhyde_tpu.mesh.structured import Mesh
+
+__all__ = ["write_exodus", "read_exodus"]
+
+_ELEM_TYPE = {"line": "BEAM2", "quad": "QUAD4", "tri": "TRI3",
+              "hex": "HEX8", "tet": "TETRA4"}
+_FROM_EXO = {"QUAD": "quad", "QUAD4": "quad", "TRI": "tri", "TRI3": "tri",
+             "HEX": "hex", "HEX8": "hex", "TETRA": "tet", "TETRA4": "tet",
+             "TET4": "tet", "BEAM2": "line", "BAR2": "line"}
+
+
+def write_exodus(path: str, mesh: Mesh, *, node_fields: dict | None = None,
+                 cell_fields: dict | None = None, times=None):
+    """Write mesh + time-series fields to an Exodus II file.
+
+    node_fields/cell_fields: name -> (n_times, n_nodes/n_elem) arrays.
+    """
+    from scipy.io import netcdf_file
+    node_fields = node_fields or {}
+    cell_fields = cell_fields or {}
+    times = np.atleast_1d(np.asarray(times if times is not None else [0.0],
+                                     dtype=float))
+    nt = times.shape[0]
+    dim = mesh.dim
+    f = netcdf_file(path, "w", version=1)
+    f.title = b"mrhyde_tpu"
+    f.api_version = 5.22
+    f.version = 5.22
+    f.floating_point_word_size = 8
+    f.file_size = 0
+
+    # scipy's netcdf requires the unlimited dimension to be created first
+    f.createDimension("time_step", None)
+    f.createDimension("len_string", 33)
+    f.createDimension("len_line", 81)
+    f.createDimension("four", 4)
+    f.createDimension("num_dim", dim)
+    f.createDimension("num_nodes", mesh.n_nodes)
+    f.createDimension("num_elem", mesh.n_elem)
+    f.createDimension("num_el_blk", 1)
+    f.createDimension("num_el_in_blk1", mesh.n_elem)
+    f.createDimension("num_nod_per_el1", mesh.conn.shape[1])
+
+    tv = f.createVariable("time_whole", "d", ("time_step",))
+    tv[:nt] = times
+
+    for i, ax in enumerate("xyz"[:dim]):
+        v = f.createVariable(f"coord{ax}", "d", ("num_nodes",))
+        v[:] = mesh.nodes[:, i]
+
+    status = f.createVariable("eb_status", "i", ("num_el_blk",))
+    status[:] = [1]
+    prop = f.createVariable("eb_prop1", "i", ("num_el_blk",))
+    prop[:] = [1]
+    conn = f.createVariable("connect1", "i",
+                            ("num_el_in_blk1", "num_nod_per_el1"))
+    conn[:] = mesh.conn + 1       # exodus is 1-based
+    conn.elem_type = _ELEM_TYPE[mesh.cell_type].encode()
+
+    def _names(prefix, names, dimname):
+        f.createDimension(dimname, max(len(names), 1))
+        nv = f.createVariable(prefix, "c", (dimname, "len_string"))
+        arr = np.zeros((max(len(names), 1), 33), dtype="S1")
+        for i, n in enumerate(names):
+            for j, ch in enumerate(n[:32]):
+                arr[i, j] = ch.encode()
+        nv[:] = arr
+
+    if node_fields:
+        _names("name_nod_var", list(node_fields), "num_nod_var")
+        for i, (name, data) in enumerate(node_fields.items()):
+            v = f.createVariable(f"vals_nod_var{i + 1}", "d",
+                                 ("time_step", "num_nodes"))
+            v[:nt] = np.asarray(data, dtype=float).reshape(nt, -1)
+    if cell_fields:
+        _names("name_elem_var", list(cell_fields), "num_elem_var")
+        for i, (name, data) in enumerate(cell_fields.items()):
+            v = f.createVariable(f"vals_elem_var{i + 1}eb1", "d",
+                                 ("time_step", "num_el_in_blk1"))
+            v[:nt] = np.asarray(data, dtype=float).reshape(nt, -1)
+    f.close()
+
+
+def read_exodus(path: str) -> tuple[Mesh, dict]:
+    """Read an Exodus II (NetCDF3 classic) mesh.
+
+    Returns (Mesh, info) where info carries names/time steps. Multiple
+    element blocks are concatenated with block_ids recorded. Sidesets
+    are read as (elem, local_side) pairs (0-based, reference local-side
+    ordering is the writer's convention).
+    """
+    from scipy.io import netcdf_file
+    f = netcdf_file(path, "r", mmap=False)
+    dim = f.dimensions["num_dim"]
+    coords = []
+    for ax in "xyz"[:dim]:
+        key = f"coord{ax}"
+        if key in f.variables:
+            coords.append(f.variables[key][:])
+        else:  # older files use a single 'coord' variable
+            coords = [f.variables["coord"][:][i] for i in range(dim)]
+            break
+    nodes = np.stack([np.asarray(c, dtype=float) for c in coords], axis=1)
+
+    n_blk = f.dimensions.get("num_el_blk", 1)
+    conns, block_ids, cell_type = [], [], None
+    for b in range(1, n_blk + 1):
+        cv = f.variables[f"connect{b}"]
+        et = cv.elem_type.decode() if isinstance(cv.elem_type, bytes) \
+            else str(cv.elem_type)
+        ct = _FROM_EXO.get(et.upper().rstrip("0123456789")
+                           + et[len(et.rstrip("0123456789")):], None)
+        ct = _FROM_EXO.get(et.upper(), ct)
+        if ct is None:
+            raise ValueError(f"unsupported exodus elem type {et!r}")
+        if cell_type is None:
+            cell_type = ct
+        elif cell_type != ct:
+            raise NotImplementedError("mixed element types")
+        c = np.asarray(cv[:], dtype=np.int64) - 1
+        conns.append(c)
+        block_ids.append(np.full(c.shape[0], b - 1, dtype=np.int32))
+    conn = np.concatenate(conns, axis=0).astype(np.int32)
+    block_ids = np.concatenate(block_ids)
+
+    sidesets = {}
+    n_ss = f.dimensions.get("num_side_sets", 0) or 0
+    for s in range(1, n_ss + 1):
+        elems = np.asarray(f.variables[f"elem_ss{s}"][:]) - 1
+        sides = np.asarray(f.variables[f"side_ss{s}"][:]) - 1
+        sidesets[f"surface_{s}"] = np.stack(
+            [elems, sides], axis=1).astype(np.int32)
+
+    info = {"n_steps": (f.variables["time_whole"].shape[0]
+                        if "time_whole" in f.variables else 0)}
+    mesh = Mesh(dim=dim, cell_type=cell_type, nodes=nodes, conn=conn,
+                sidesets=sidesets, block_ids=block_ids)
+    f.close()
+    return mesh, info

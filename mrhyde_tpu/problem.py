@@ -60,16 +60,12 @@ class Problem:
                 "tetrahedron": "tet"}.get(cell, cell)
         if dim == 1:
             cell = "line"
-        self.mesh = box_mesh(
-            cell,
-            nx=int(mesh_cfg.get("NX", 1)), ny=int(mesh_cfg.get("NY", 1)),
-            nz=int(mesh_cfg.get("NZ", 1)),
-            xmin=float(mesh_cfg.get("xmin", 0.0)),
-            xmax=float(mesh_cfg.get("xmax", 1.0)),
-            ymin=float(mesh_cfg.get("ymin", 0.0)),
-            ymax=float(mesh_cfg.get("ymax", 1.0)),
-            zmin=float(mesh_cfg.get("zmin", 0.0)),
-            zmax=float(mesh_cfg.get("zmax", 1.0)))
+        if mesh_cfg.get("source", "Internal") == "Exodus":
+            from mrhyde_tpu.mesh.exodus import read_exodus
+            self.mesh, _ = read_exodus(mesh_cfg.get("mesh file",
+                                                    "mesh.exo"))
+        else:
+            self.mesh = self._internal_mesh(mesh_cfg, cell)
 
         phys_cfg = _unwrap_block(cfg.get("Physics", {}), "modules")
         self.phys_cfg = phys_cfg
@@ -126,6 +122,21 @@ class Problem:
             self.disc, self.fm, pp_cfg.get("True solutions", {}) or {},
             self.params)
 
+        self.write_solution = bool(pp_cfg.get("write solution", False))
+        self.output_file = pp_cfg.get("output file", "output")
+        self.extra_cell_fields = pp_cfg.get("Extra cell fields", {}) or {}
+        self.solution_writer = None
+        if self.write_solution:
+            from mrhyde_tpu.postprocess.writer import SolutionWriter
+            self.solution_writer = SolutionWriter(
+                self, self.output_file, self.extra_cell_fields)
+
+        from mrhyde_tpu.postprocess.storage import SolutionStorage
+        sc0 = cfg.get("Solver", {}) or {}
+        self.solution_storage = SolutionStorage(
+            max_storage=int(sc0.get("maximum storage", 100)),
+            time_tol=float(sc0.get("storage time tol", 1e-10)))
+
         self.objective_manager = None
         obj_cfg = pp_cfg.get("Objective functions", {}) or {}
         if obj_cfg:
@@ -139,6 +150,19 @@ class Problem:
         self.solver_cfg = cfg.get("Solver", {}) or {}
 
     # ------------------------------------------------------------------
+
+    @staticmethod
+    def _internal_mesh(mesh_cfg, cell):
+        return box_mesh(
+            cell,
+            nx=int(mesh_cfg.get("NX", 1)), ny=int(mesh_cfg.get("NY", 1)),
+            nz=int(mesh_cfg.get("NZ", 1)),
+            xmin=float(mesh_cfg.get("xmin", 0.0)),
+            xmax=float(mesh_cfg.get("xmax", 1.0)),
+            ymin=float(mesh_cfg.get("ymin", 0.0)),
+            ymax=float(mesh_cfg.get("ymax", 1.0)),
+            zmin=float(mesh_cfg.get("zmin", 0.0)),
+            zmax=float(mesh_cfg.get("zmax", 1.0)))
 
     @property
     def n_dof(self):
@@ -185,8 +209,8 @@ class Problem:
 
     # ------------------------------------------------------------------
 
-    def solve_steady(self, record=True, pvec=None) -> ForwardResult:
-        u0 = self.initial_state()
+    def solve_steady(self, record=True, pvec=None, u0=None) -> ForwardResult:
+        u0 = self.initial_state() if u0 is None else jnp.asarray(u0)
         tc = TimeCoeffs.steady(self.n_dof, dtype=u0.dtype)
         result = newton_solve(
             self.assembler, u0, tc, pvec,
@@ -202,9 +226,15 @@ class Problem:
         if record and self.compute_errors:
             out.error_history.append(
                 (0.0, self.error_calc.compute(result.u, 0.0)))
+        if record:
+            self.solution_storage.store(result.u, 0.0)
+            if self.solution_writer is not None:
+                self.solution_writer.record(result.u, 0.0)
+                self.solution_writer.write_exodus()
         return out
 
-    def solve_transient(self, record=True, pvec=None) -> ForwardResult:
+    def solve_transient(self, record=True, pvec=None,
+                        u0=None) -> ForwardResult:
         sc = self.solver_cfg
         t0 = float(sc.get("initial time", 0.0))
         t_end = float(sc.get("final time", 1.0))
@@ -245,18 +275,27 @@ class Problem:
             if record and self.compute_errors:
                 out.error_history.append(
                     (time, self.error_calc.compute(u, time)))
+            if record:
+                self.solution_storage.store(u, time)
+                if self.solution_writer is not None:
+                    self.solution_writer.record(u, time)
 
-        u0 = self.initial_state(time=t0)
+        if u0 is None:
+            u0 = self.initial_state(time=t0)
+        else:
+            u0 = jnp.asarray(u0)
         u, t = integ.run(u0, t0=t0, t_end=t_end, dt=dt, num_steps=nsteps,
                          observer=observer)
         out.u, out.time = u, t
+        if record and self.solution_writer is not None:
+            self.solution_writer.write_exodus()
         return out
 
-    def forward(self, pvec=None) -> ForwardResult:
+    def forward(self, pvec=None, u0=None) -> ForwardResult:
         mode = self.solver_cfg.get("solver", "steady-state")
         if mode == "transient":
-            return self.solve_transient(pvec=pvec)
-        return self.solve_steady(pvec=pvec)
+            return self.solve_transient(pvec=pvec, u0=u0)
+        return self.solve_steady(pvec=pvec, u0=u0)
 
     def run(self):
         analysis = self.cfg.get("Analysis", {}).get("analysis type",
