@@ -64,25 +64,35 @@ class BlockJacobian:
     """Element-block Jacobian consumed matrix-free (or densified).
 
     The TPU analog of the reference's Tpetra CRS: never a global sparse
-    matrix — per-element dense blocks + index arrays, applied with
-    gather/einsum/segment-sum.
+    matrix — per-element dense blocks + index arrays. The scatter uses a
+    precomputed dof -> (element, local dof) incidence table so it lowers
+    to a fixed-fan-in GATHER + sum (XLA's TPU scatter serializes; the
+    reference needed Kokkos atomics here, assemblyManager.cpp:3956).
     """
     vol: jax.Array                    # (E, nd, nd)
     vol_lids: jax.Array               # (E, nd)
     bnd: list                         # list of (B, nd, nd)
     bnd_lids: list                    # list of (B, nd)
     fixed: jax.Array                  # (n_dof,) bool
+    inc: jax.Array | None = None      # (n_dof, max_deg) into E*nd (+pad)
 
     @property
     def n_dof(self):
         return self.fixed.shape[0]
 
+    def _gather_sum(self, vals):
+        """Assemble flattened per-element values -> (n_dof,)."""
+        if self.inc is None:
+            return _scatter_vec(vals, self.vol_lids, self.n_dof)
+        flat = jnp.concatenate(
+            [vals.ravel(), jnp.zeros(1, dtype=vals.dtype)])
+        return flat[self.inc].sum(axis=1)
+
     def apply(self, v):
         """J @ v with Dirichlet identity rows."""
         vm = jnp.where(self.fixed, 0.0, v)
-        out = _scatter_vec(
-            jnp.einsum("eij,ej->ei", self.vol, vm[self.vol_lids]),
-            self.vol_lids, self.n_dof)
+        out = self._gather_sum(
+            jnp.einsum("eij,ej->ei", self.vol, vm[self.vol_lids]))
         for blocks, lids in zip(self.bnd, self.bnd_lids):
             out = out + _scatter_vec(
                 jnp.einsum("eij,ej->ei", blocks, vm[lids]),
@@ -90,7 +100,7 @@ class BlockJacobian:
         return jnp.where(self.fixed, v, out)
 
     def diag(self):
-        d = _scatter_vec(_block_diag(self.vol), self.vol_lids, self.n_dof)
+        d = self._gather_sum(_block_diag(self.vol))
         for blocks, lids in zip(self.bnd, self.bnd_lids):
             d = d + _scatter_vec(_block_diag(blocks), lids, self.n_dof)
         return jnp.where(self.fixed, 1.0, d)
@@ -114,6 +124,26 @@ def _block_diag(blocks):
 
 def _scatter_vec(vals, lids, n_dof):
     return jax.ops.segment_sum(vals.ravel(), lids.ravel(), num_segments=n_dof)
+
+
+def build_incidence(lids: np.ndarray, n_dof: int) -> np.ndarray:
+    """dof -> positions in lids.ravel() (padded with E*nd = zero slot).
+
+    Turns assembly scatter into a fixed-fan-in gather + sum — the
+    TPU-friendly dual of the reference's atomic scatter.
+    """
+    flat = np.asarray(lids).ravel()
+    order = np.argsort(flat, kind="stable")
+    sorted_ids = flat[order]
+    counts = np.bincount(sorted_ids, minlength=n_dof)
+    max_deg = int(counts.max()) if counts.size else 1
+    inc = np.full((n_dof, max_deg), flat.size, dtype=np.int64)
+    starts = np.zeros(n_dof + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    for k in range(max_deg):
+        has = counts > k
+        inc[has, k] = order[starts[:-1][has] + k]
+    return inc
 
 
 class PointContext:
@@ -156,6 +186,7 @@ class Assembler:
         self.lids = jnp.asarray(disc.lids)
         self.n_dof = disc.n_dof
         self.ndof_elem = disc.ndof_elem
+        self.inc = jnp.asarray(build_incidence(disc.lids, disc.n_dof))
 
         fixed = np.zeros(disc.n_dof, dtype=bool)
         if fixed_dofs is not None and len(fixed_dofs):
@@ -227,6 +258,8 @@ class Assembler:
         self.var_bcs: dict[str, dict[str, str]] = {}
         # static flag: transient solves stabilize with the C3/dt term
         self.is_transient = False
+        # optional multiscale (subgrid DtN) model replacing volume terms
+        self.multiscale = None
         # jitted entry points (traced once per TimeCoeffs/pvec structure)
         self.residual_jit = jax.jit(self.residual)
         self.jacobian_jit = jax.jit(self.jacobian)
@@ -237,7 +270,7 @@ class Assembler:
 
     def _make_workset(self, u_eval, u_dot, wts, ip, bg_slices, time, pvec,
                       normals=None, side_name=None, bcs=None, deltat=1.0,
-                      basis_vals=None):
+                      basis_vals=None, extra_fields=None):
         params = dict(self.params)
         params.update(pvec or {})
         return Workset(
@@ -250,7 +283,8 @@ class Assembler:
             offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
             u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
             params=params, normals=normals, side_name=side_name, bcs=bcs,
-            deltat=deltat, is_transient=self.is_transient)
+            deltat=deltat, is_transient=self.is_transient,
+            extra_fields=extra_fields)
 
     def _elem_residual_uv(self, u_eval, u_dot, wts, ip, bg_slices,
                           time, pvec, deltat=1.0):
@@ -268,7 +302,8 @@ class Assembler:
                                       time, pvec, deltat=deltat)
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
-                        bg_slices, alpha_u, alpha_t, time, pvec, deltat=1.0):
+                        bg_slices, extra=None, alpha_u=1.0, alpha_t=0.0,
+                        time=0.0, pvec=None, deltat=1.0):
         u_eval = alpha_u * u_st + beta_u
         u_dot = alpha_t * u_st + beta_t
         bcs = {v: self.var_bcs.get(v, {}).get(group["sideset"])
@@ -276,7 +311,8 @@ class Assembler:
         wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
                                 pvec, normals=normals,
                                 side_name=group["sideset"], bcs=bcs,
-                                deltat=deltat, basis_vals=group["bv"])
+                                deltat=deltat, basis_vals=group["bv"],
+                                extra_fields=extra)
         for m in self.modules:
             m.boundary_residual(wk)
         return wk.res
@@ -304,7 +340,9 @@ class Assembler:
             u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg)
         if self.has_signs:
             res_e = res_e * self.signs
-        r = _scatter_vec(res_e, self.lids, self.n_dof)
+        flat = jnp.concatenate([res_e.ravel(),
+                                jnp.zeros(1, dtype=res_e.dtype)])
+        r = flat[self.inc].sum(axis=1)
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
                                              signs=group["signs"])
@@ -317,6 +355,8 @@ class Assembler:
             if self.has_signs:
                 res_b = res_b * group["signs"]
             r = r + _scatter_vec(res_b, group["lids"], self.n_dof)
+        if self.multiscale is not None:
+            r = r + self.multiscale.residual_contribution(u_st, tc, pvec)
         return jnp.where(self.fixed, 0.0, r)
 
     def jacobian(self, u_st, tc: TimeCoeffs, pvec=None) -> BlockJacobian:
@@ -346,8 +386,13 @@ class Assembler:
                     * group["signs"][:, None, :]
             bnd_blocks.append(jac_b)
             bnd_lids.append(group["lids"])
+        if self.multiscale is not None:
+            bnd_blocks.append(
+                self.multiscale.jacobian_contribution(u_st, tc, pvec))
+            bnd_lids.append(self.lids)
         return BlockJacobian(vol=jac_e, vol_lids=self.lids, bnd=bnd_blocks,
-                             bnd_lids=bnd_lids, fixed=self.fixed)
+                             bnd_lids=bnd_lids, fixed=self.fixed,
+                             inc=self.inc)
 
     def _active_bnd_groups(self):
         """Boundary groups with at least one non-strong BC to assemble."""
@@ -381,7 +426,8 @@ class Assembler:
                 M = M * self.signs[:, :, None] * self.signs[:, None, :]
             return BlockJacobian(vol=M, vol_lids=self.lids, bnd=[],
                                  bnd_lids=[],
-                                 fixed=jnp.zeros(self.n_dof, dtype=bool))
+                                 fixed=jnp.zeros(self.n_dof, dtype=bool),
+                                 inc=self.inc)
         # single-var mass on the var's own dof block
         raise NotImplementedError("per-var mass: use var=None block form")
 
@@ -411,7 +457,10 @@ class Assembler:
     def lumped_mass(self, u_st, tc: TimeCoeffs, pvec=None):
         """Row-sum lumped weighted mass vector (n_dof,)."""
         M = self.weighted_mass_blocks(u_st, tc, pvec)
-        d = _scatter_vec(jnp.sum(M, axis=2), self.lids, self.n_dof)
+        rows = jnp.sum(M, axis=2)
+        flat = jnp.concatenate([rows.ravel(),
+                                jnp.zeros(1, dtype=rows.dtype)])
+        d = flat[self.inc].sum(axis=1)
         return jnp.where(self.fixed, 1.0, jnp.where(d == 0, 1.0, d))
 
     def l2_rhs(self, exprs: dict, time=0.0):

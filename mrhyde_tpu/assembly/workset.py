@@ -224,6 +224,14 @@ class Workset:
         workset.cpp:2666 getElementSize). Scalar per element."""
         return jnp.sum(self.wts) ** (1.0 / self.dim)
 
+    @property
+    def side_h(self):
+        """Side element size = measure^(1/(dim-1)) (reference:
+        workset.cpp getSideElementSize). Scalar, side worksets only."""
+        if self.dim == 1:
+            return 1.0
+        return jnp.sum(self.wts) ** (1.0 / (self.dim - 1))
+
     # convenience coordinates
     @property
     def x(self):

@@ -1,0 +1,290 @@
+"""Multiscale subgrid model: vmapped Dirichlet-to-Neumann fine solves.
+
+TPU-native redesign of the reference's SubGridDtN/DtN2 machinery
+(reference: src/subgrid/subgridDtN2.cpp, subgridDtN_solver.cpp:136
+solve, :1485 updateFlux; macro hookup at assemblyManager.cpp:2391 via
+MultiscaleManager::evaluateMacroMicroMacroMap):
+
+- every macro element owns a fine mesh built by uniformly refining the
+  macro cell ('refinements' in the subgrid deck)
+- the fine problem couples to the macro trace lambda through Nitsche
+  "interface" boundary terms (physics boundary_residual, e.g.
+  thermal.cpp:227-286)
+- the upscaled macro residual is the boundary integral of the physics
+  compute_flux against the macro basis (subgridDtN_solver.cpp:1589)
+
+Instead of one embedded FEM solve per macro element in a serial loop,
+ALL fine solves run as one vmapped batched program: fine Newton with
+batched dense solves, and the macro Jacobian (the reference's
+forwardSensitivityPropagation) is jax.jacfwd through the whole thing.
+
+Current scope: steady subgrid physics on translation-uniform macro
+meshes (the fine tables are built once on a representative macro
+element; per-element data is just the quadrature-point offset).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["SubgridDtN"]
+
+
+class SubgridDtN:
+    def __init__(self, problem, subgrid_cfg: dict):
+        from mrhyde_tpu.assembly.assembler import Assembler
+        from mrhyde_tpu.assembly.discretization import Discretization
+        from mrhyde_tpu.functions.manager import FunctionManager
+        from mrhyde_tpu.mesh.structured import Mesh, box_mesh
+        from mrhyde_tpu.physics.registry import import_physics
+        from mrhyde_tpu.fem.basis import get_basis
+
+        self.problem = problem
+        cfg = subgrid_cfg.get("Subgrid", subgrid_cfg)
+        self.cfg = cfg
+        self.model = cfg.get("subgrid model", "DtN2")
+        mesh_cfg = cfg.get("Mesh", {}) or {}
+        refine = int(mesh_cfg.get("refinements", 1))
+        n1 = 2 ** refine
+        macro_mesh = problem.mesh
+        dim = macro_mesh.dim
+        if macro_mesh.cell_type != "quad":
+            raise NotImplementedError("subgrid DtN: quad macro cells only")
+
+        # representative fine mesh in macro REFERENCE coords [-1,1]^dim
+        ref_fine = box_mesh("quad", nx=n1, ny=n1, xmin=-1.0, xmax=1.0,
+                            ymin=-1.0, ymax=1.0)
+        self.ref_fine = ref_fine
+
+        # physical fine mesh for macro element 0 (translation-uniform)
+        macro_coords = macro_mesh.nodes[macro_mesh.conn]   # (E, 4, dim)
+        geo = get_basis("quad", "HGRAD", 1)
+        gvals = geo.eval(ref_fine.nodes)                   # (4, nfn)
+        phys0 = np.einsum("cd,cn->nd", macro_coords[0], gvals)
+        fine_mesh = Mesh(dim=dim, cell_type="quad", nodes=phys0,
+                         conn=ref_fine.conn,
+                         sidesets=dict(ref_fine.sidesets))
+
+        # uniformity check + per-macro-element ip offsets
+        cents = macro_coords.mean(axis=1)
+        self.offsets_np = cents - cents[0]
+        spans = macro_coords.max(axis=1) - macro_coords.min(axis=1)
+        if not np.allclose(spans, spans[0], rtol=1e-12):
+            raise NotImplementedError(
+                "subgrid DtN currently requires a uniform macro mesh")
+
+        # fine physics from the subgrid deck
+        phys_cfg = cfg.get("Physics", {}) or {}
+        self.fine_modules = import_physics(phys_cfg.get("modules", ""),
+                                           phys_cfg, dim)
+        disc_cfg = cfg.get("Discretization", {}) or {}
+        orders = disc_cfg.get("order", {}) or {}
+        variables = []
+        for m in self.fine_modules:
+            for (name, space, dflt) in m.variables():
+                order = int(orders.get(name, dflt))
+                variables.append((name, space,
+                                  order if space != "HVOL" else 0))
+        self.fine_vars = [v[0] for v in variables]
+
+        self.fm = FunctionManager()
+        fs = cfg.get("Functions", {}) or {}
+        for name, expr in fs.items():
+            self.fm.add_function(name, expr, "ip")
+            self.fm.add_function(name, expr, "side ip")
+        for m in self.fine_modules:
+            m.define_functions(self.fm, fs)
+
+        qdeg = disc_cfg.get("quadrature")
+        self.fine_disc = Discretization(
+            fine_mesh, variables, None if qdeg is None else int(qdeg))
+        self.fa = Assembler(self.fine_disc, self.fine_modules, self.fm,
+                            problem.params)
+        # every fine boundary side couples to the macro trace
+        self.fa.var_bcs = {v: {ss: "interface"
+                               for ss in fine_mesh.sidesets}
+                           for v in self.fine_vars}
+        self.n_fine_dof = self.fine_disc.n_dof
+        self.newton_iters = int(cfg.get("Solver", {}).get(
+            "max nonlinear iters", 2))
+
+        # macro basis tables at fine interface quadrature points
+        ref_disc = Discretization(ref_fine, variables,
+                                  None if qdeg is None else int(qdeg))
+        macro_keys = problem.disc.basis_keys
+        self._groups = []
+        for gi, bg in enumerate(self.fine_disc.boundary_groups):
+            rbg = ref_disc.boundary_groups[gi]
+            assert rbg.sideset == bg.sideset and \
+                np.array_equal(rbg.elems, bg.elems)
+            macro_pts = rbg.ip.reshape(-1, dim)         # (B*Qf, dim)
+            phi = {}
+            for mv, key in macro_keys.items():
+                mb = get_basis(macro_mesh.cell_type, key[0], key[1])
+                phi[mv] = jnp.asarray(
+                    mb.eval(macro_pts).reshape(
+                        mb.ndof, bg.ip.shape[0], bg.ip.shape[1]))
+            self._groups.append(phi)                    # var -> (ndm,B,Qf)
+
+        # map fine var -> macro var of the same name (aux coupling)
+        self.var_map = {v: v for v in self.fine_vars
+                        if v in problem.disc.offsets}
+        self._built = False
+        self._last_fine = None
+
+    # ------------------------------------------------------------------
+
+    def _fine_residual(self, uf, offset, aux, tc, pvec):
+        """Residual of one macro element's fine problem.
+
+        aux: list over boundary groups of {fine var: (B, Qf)} traces.
+        """
+        fa = self.fa
+        u_e = uf[fa.lids]
+        zero = jnp.zeros_like(u_e)
+        fn = partial(fa._elem_residual, alpha_u=1.0, alpha_t=0.0,
+                     time=tc.time, pvec=pvec, deltat=tc.deltat)
+        res_e = jax.vmap(fn, in_axes=(0, 0, 0, fa._wts_ax, 0, fa._bg_ax))(
+            u_e, zero, zero, fa.g_wts, fa.g_ip + offset, fa.g_bg)
+        flat = jnp.concatenate([res_e.ravel(),
+                                jnp.zeros(1, dtype=res_e.dtype)])
+        r = flat[fa.inc].sum(axis=1)
+        for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
+            u_b = uf[g["lids"]]
+            zb = jnp.zeros_like(u_b)
+            bfn = partial(fa._belem_residual, g, alpha_u=1.0, alpha_t=0.0,
+                          time=tc.time, pvec=pvec, deltat=tc.deltat)
+            res_b = jax.vmap(bfn)(u_b, zb, zb, g["wts"],
+                                  g["ip"] + offset, g["normals"],
+                                  g["bg"], aux_g)
+            r = r + jax.ops.segment_sum(res_b.ravel(), g["lids"].ravel(),
+                                        num_segments=self.n_fine_dof)
+        return r
+
+    def _elem_ms_residual(self, lam_e, offset, tc, pvec):
+        """Upscaled macro-element residual (ndof_macro_total,)."""
+        fa = self.fa
+        aux = []
+        for g, phi in zip(fa._bnd, self._groups):
+            aux_g = {}
+            for fv, mv in self.var_map.items():
+                st, nd = self.problem.disc.offsets[mv]
+                aux_g[f"aux {fv}"] = jnp.einsum(
+                    "m,mbq->bq", lam_e[st:st + nd], phi[mv])
+            aux.append(aux_g)
+
+        uf = jnp.zeros(self.n_fine_dof, dtype=lam_e.dtype)
+        for _ in range(self.newton_iters):
+            r = self._fine_residual(uf, offset, aux, tc, pvec)
+            J = jax.jacfwd(
+                lambda v: self._fine_residual(v, offset, aux, tc, pvec)
+            )(uf)
+            uf = uf - jnp.linalg.solve(J, r)
+
+        # upscale: res_macro_i += sum_sides int flux * phi_macro_i
+        res = jnp.zeros_like(lam_e)
+        for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
+            u_b = uf[g["lids"]]
+            zb = jnp.zeros_like(u_b)
+
+            def flux_fn(u_row, w_row, ip_row, n_row, bg_row, aux_row):
+                wk = fa._make_workset(
+                    u_row, 0.0 * u_row, w_row, ip_row, bg_row, tc.time,
+                    pvec, normals=n_row, side_name=g["sideset"],
+                    bcs={}, deltat=tc.deltat, basis_vals=g["bv"])
+                wk.extra_fields = aux_row
+                out = {}
+                for m in self.fine_modules:
+                    f = m.compute_flux(wk)
+                    if f:
+                        out.update(f)
+                return out
+
+            aux_rows = aux_g
+            flux = jax.vmap(flux_fn)(
+                u_b, g["wts"], g["ip"] + offset, g["normals"], g["bg"],
+                aux_rows)                              # var -> (B, Qf)
+            for fv, mv in self.var_map.items():
+                st, nd = self.problem.disc.offsets[mv]
+                contrib = jnp.einsum("mbq,bq->m", phi[mv],
+                                     flux[fv] * g["wts"])
+                res = res.at[st:st + nd].add(contrib)
+        return res, uf
+
+    # ------------------------------------------------------------------
+
+    def residual_contribution(self, u_macro, tc, pvec=None):
+        """Summed upscaled residual over all macro elements (n_dof,)."""
+        p = self.problem
+        lam = u_macro[p.assembler.lids]                 # (E, ndm)
+        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+
+        def one(lam_e, off):
+            r, _uf = self._elem_ms_residual(lam_e, off[None, None, :],
+                                            tc, pvec)
+            return r
+
+        res_e = jax.vmap(one, in_axes=(0, 0))(lam, offs)
+        flat = jnp.concatenate([res_e.ravel(),
+                                jnp.zeros(1, dtype=res_e.dtype)])
+        return flat[p.assembler.inc].sum(axis=1)
+
+    def jacobian_contribution(self, u_macro, tc, pvec=None):
+        """(E, ndm, ndm) macro element blocks d(res)/d(lambda)."""
+        p = self.problem
+        lam = u_macro[p.assembler.lids]
+        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+
+        def one(lam_e, off):
+            return jax.jacfwd(
+                lambda l: self._elem_ms_residual(l, off[None, None, :],
+                                                 tc, pvec)[0])(lam_e)
+
+        return jax.vmap(one, in_axes=(0, 0))(lam, offs)
+
+    def fine_solutions(self, u_macro, tc, pvec=None):
+        """(E, n_fine_dof) fine solutions for postprocessing."""
+        p = self.problem
+        lam = u_macro[p.assembler.lids]
+        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+
+        def one(lam_e, off):
+            _r, uf = self._elem_ms_residual(lam_e, off[None, None, :],
+                                            tc, pvec)
+            return uf
+
+        return jax.vmap(one, in_axes=(0, 0))(lam, offs)
+
+    def compute_errors(self, u_macro, time=0.0, pvec=None) -> dict:
+        """Fine-union L2 errors vs the subgrid deck's True solutions."""
+        from mrhyde_tpu.assembly.assembler import PointContext, TimeCoeffs
+        exprs = (self.cfg.get("Postprocess", {}) or {}).get(
+            "True solutions", {}) or {}
+        if not exprs:
+            return {}
+        tc = TimeCoeffs.steady(self.problem.n_dof, time=time,
+                               dtype=u_macro.dtype)
+        ufs = self.fine_solutions(u_macro, tc, pvec)    # (E, nfd)
+        disc = self.fine_disc
+        out = {}
+        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+        for var, expr in exprs.items():
+            if var not in disc.offsets:
+                continue
+            st, nd = disc.offsets[var]
+            phi = jnp.asarray(disc.basis_vals[disc.basis_keys[var]])
+            u_e = ufs[:, jnp.asarray(disc.lids)][:, :, st:st + nd]
+            uh = jnp.einsum("efi,iq->efq", u_e, phi)    # (E, Ef, Q)
+            ips = (jnp.asarray(disc.ip)[None] +
+                   offs[:, None, None, :])              # (E, Ef, Q, dim)
+            ctx = PointContext(ips, time, self.problem.params)
+            tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                   uh.shape)
+            wts = jnp.asarray(disc.wts)
+            err2 = jnp.sum(wts[None] * (uh - tru) ** 2)
+            out[("Subgrid-L2", var)] = float(jnp.sqrt(err2))
+        return out

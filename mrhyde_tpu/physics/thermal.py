@@ -69,6 +69,24 @@ class Thermal(PhysicsModule):
         if bctype == "Neumann":
             g = wk.f(f"Neumann e {wk.side_name}", "side ip")
             wk.add_source("e", -wk.qp(g))
+        elif bctype == "interface":
+            # multiscale coupling vs the macro trace lambda ("aux e"):
+            # Nitsche terms with epen = 10 (reference: thermal.cpp:227-286)
+            kappa = wk.qp(wk.f("thermal diffusion", "side ip"))
+            lam = wk.qp(wk.resolve("aux e"))
+            T = wk.sol("e")
+            gradT = wk.grad("e")
+            n = wk.normals
+            fluxn = kappa * (gradT * n).sum(axis=1)
+            h = wk.side_h
+            epen = 10.0
+            sf = self.form_param
+            wk.add_source("e", epen / h * kappa * (T - lam) - fluxn)
+            st, nd = wk.offsets["e"]
+            dgn = (wk.basis_grad("e") * n[None, :, :]).sum(axis=2)
+            contrib = -sf * (dgn * (kappa * (T - lam) * wk.wts)[None, :]
+                             ).sum(axis=1)
+            wk._res = wk._res.at[st:st + nd].add(contrib)
         elif bctype == "weak Dirichlet":
             # Nitsche-type weak Dirichlet as in the reference:
             # -(kappa grad T . n, v) - sf*(T - g, kappa grad v . n)
@@ -89,6 +107,19 @@ class Thermal(PhysicsModule):
             contrib = -sf * (dgn * (kappa * (T - g) * wk.wts)[None, :]
                              ).sum(axis=1)
             wk._res = wk._res.at[st:st + nd].add(contrib)
-            h = wk.wts.sum()
+            h = wk.side_h
             pen = 10.0 / h
-            wk.add_source("e", pen * kappa * (T - g))
+            wk.add_source("e", pen * wk.qp(kappa) * (T - g))
+
+    def compute_flux(self, wk):
+        """Upscaled flux for multiscale coupling (reference:
+        thermal.cpp:288-345 computeFlux):
+        flux = epen/h kappa (lambda - T) + sf kappa grad T . n."""
+        kappa = wk.qp(wk.f("thermal diffusion", "side ip"))
+        lam = wk.qp(wk.resolve("aux e"))
+        T = wk.sol("e")
+        gradT = wk.grad("e")
+        n = wk.normals
+        epen, sf = 10.0, 1.0
+        return {"e": epen / wk.side_h * kappa * (lam - T)
+                + sf * kappa * (gradT * n).sum(axis=1)}

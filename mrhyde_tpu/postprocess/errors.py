@@ -130,6 +130,8 @@ class ErrorCalculator:
             for (kind, var), val in errs.items():
                 label = {"L2": f"L2 norm of the error for {var}",
                          "L2-grad": f"L2 norm of the error for grad({var})",
+                         "Subgrid-L2":
+                             f"Subgrid 0: L2 norm of the error for {var}",
                          "L2-face":
                              f"L2-face norm of the error for {var}"}[kind]
                 lines.append(f"***** {label} = {val:.6g}  (time = {time:g})")

@@ -83,6 +83,12 @@ class Problem:
                     order = 0
                 variables.append((name, space, max(order, 0) or
                                   (0 if space == "HVOL" else 1)))
+        # 'Extra variables' (e.g. macro trace vars in multiscale decks)
+        extra_vars = phys_cfg.get("Extra variables", {}) or {}
+        extra_orders = orders.get("Extra variables", {}) or {}
+        for name, space in extra_vars.items():
+            order = int(extra_orders.get(name, orders.get(name, 1)))
+            variables.append((name, space, order))
         self.variables = variables
 
         # functions
@@ -148,6 +154,13 @@ class Problem:
                 self.disc, self.fm, specs, self.params)
 
         self.solver_cfg = cfg.get("Solver", {}) or {}
+
+        # multiscale subgrid models
+        self.multiscale = None
+        if cfg.get("Subgrid"):
+            from mrhyde_tpu.multiscale.subgrid import SubgridDtN
+            self.multiscale = SubgridDtN(self, cfg["Subgrid"])
+            self.assembler.multiscale = self.multiscale
 
     # ------------------------------------------------------------------
 
@@ -224,8 +237,10 @@ class Problem:
                                                   True)))
         out = ForwardResult(u=result.u, time=0.0)
         if record and self.compute_errors:
-            out.error_history.append(
-                (0.0, self.error_calc.compute(result.u, 0.0)))
+            errs = self.error_calc.compute(result.u, 0.0)
+            if self.multiscale is not None:
+                errs.update(self.multiscale.compute_errors(result.u, 0.0))
+            out.error_history.append((0.0, errs))
         if record:
             self.solution_storage.store(result.u, 0.0)
             if self.solution_writer is not None:
