@@ -21,13 +21,16 @@ __all__ = ["ParameterManager", "ParamSpec"]
 @dataclass
 class ParamSpec:
     name: str
-    usage: str                 # inactive | active | stochastic | discrete
-    value: object              # scalar or array
+    usage: str     # inactive | active | stochastic | discrete | discretized
+    value: object              # scalar or array (field dofs if discretized)
     distribution: str = "uniform"
     mean: float = 0.0
     variance: float = 1.0
     min: float = 0.0
     max: float = 1.0
+    basis: str = "HGRAD"       # discretized params: basis space
+    order: int = 1             # discretized params: basis order
+    dynamic: bool = False      # time-dependent (one field per step)
 
 
 class ParameterManager:
@@ -49,16 +52,30 @@ class ParameterManager:
                 mean=float(sub.get("mean", 0.0)),
                 variance=float(sub.get("variance", 1.0)),
                 min=float(sub.get("min", 0.0)),
-                max=float(sub.get("max", 1.0)))
+                max=float(sub.get("max", 1.0)),
+                basis=sub.get("basis", "HGRAD"),
+                order=int(sub.get("order", 1)),
+                dynamic=bool(sub.get("dynamic", False)))
 
     # -- views ----------------------------------------------------------
 
     def all_values(self) -> dict:
-        """name -> value for every parameter (expression resolution)."""
-        return {n: s.value for n, s in self.specs.items()}
+        """name -> value for scalar/vector params (expression leaves).
+
+        Discretized (field) parameters resolve through the assembler's
+        field-parameter registry instead."""
+        return {n: s.value for n, s in self.specs.items()
+                if s.usage != "discretized"}
+
+    def discretized_names(self) -> list[str]:
+        return [n for n, s in self.specs.items()
+                if s.usage == "discretized"]
 
     def active_names(self) -> list[str]:
-        return [n for n, s in self.specs.items() if s.usage == "active"]
+        """Differentiable parameters: active scalars + discretized fields
+        (the reference optimizes both through ROL, MrHyDE_OptVector)."""
+        return [n for n, s in self.specs.items()
+                if s.usage in ("active", "discretized")]
 
     def stochastic_names(self) -> list[str]:
         return [n for n, s in self.specs.items() if s.usage == "stochastic"]

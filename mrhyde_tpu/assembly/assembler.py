@@ -260,6 +260,10 @@ class Assembler:
         self.is_transient = False
         # optional multiscale (subgrid DtN) model replacing volume terms
         self.multiscale = None
+        # discretized (field) parameters: name -> {eldofs, phi, face_phi}
+        # (reference: ParameterManager discretized params with their own
+        # Panzer DOF manager, parameterManager.cpp:272)
+        self.field_params: dict = {}
         # jitted entry points (traced once per TimeCoeffs/pvec structure)
         self.residual_jit = jax.jit(self.residual)
         self.jacobian_jit = jax.jit(self.jacobian)
@@ -273,6 +277,10 @@ class Assembler:
                       basis_vals=None, extra_fields=None):
         params = dict(self.params)
         params.update(pvec or {})
+        # discretized params resolve through per-qp extra fields, not
+        # as raw dof vectors
+        for fp in self.field_params:
+            params.pop(fp, None)
         return Workset(
             dim=self.disc.mesh.dim, wts=wts, ip=ip,
             basis_vals=self.g_bv if basis_vals is None else basis_vals,
@@ -287,19 +295,32 @@ class Assembler:
             extra_fields=extra_fields)
 
     def _elem_residual_uv(self, u_eval, u_dot, wts, ip, bg_slices,
-                          time, pvec, deltat=1.0):
+                          time, pvec, deltat=1.0, extra=None):
         wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
-                                pvec, deltat=deltat)
+                                pvec, deltat=deltat, extra_fields=extra)
         for m in self.modules:
             m.volume_residual(wk)
         return wk.res
 
     def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,
-                       alpha_u, alpha_t, time, pvec, deltat=1.0):
+                       extra=None, alpha_u=1.0, alpha_t=0.0, time=0.0,
+                       pvec=None, deltat=1.0):
         u_eval = alpha_u * u_st + beta_u
         u_dot = alpha_t * u_st + beta_t
         return self._elem_residual_uv(u_eval, u_dot, wts, ip, bg_slices,
-                                      time, pvec, deltat=deltat)
+                                      time, pvec, deltat=deltat,
+                                      extra=extra)
+
+    def _field_param_values(self, pvec):
+        """Evaluate discretized params at volume qps: name -> (E, Q)."""
+        if not self.field_params or not pvec:
+            return None
+        out = {}
+        for name, fp in self.field_params.items():
+            if name in pvec:
+                pe = pvec[name][fp["eldofs"]]          # (E, ndp)
+                out[name] = jnp.einsum("ei,iq->eq", pe, fp["phi"])
+        return out or None
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
                         bg_slices, extra=None, alpha_u=1.0, alpha_t=0.0,
@@ -335,9 +356,10 @@ class Assembler:
         fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
                      alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                      deltat=tc.deltat)
+        extra = self._field_param_values(pvec)
         res_e = jax.vmap(fn, in_axes=(0, 0, 0, self._wts_ax, 0,
-                                      self._bg_ax))(
-            u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg)
+                                      self._bg_ax, 0))(
+            u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg, extra)
         if self.has_signs:
             res_e = res_e * self.signs
         flat = jnp.concatenate([res_e.ravel(),
@@ -365,10 +387,11 @@ class Assembler:
         fn = partial(self._elem_residual, alpha_u=tc.alpha_u,
                      alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                      deltat=tc.deltat)
+        extra = self._field_param_values(pvec)
         jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
                          in_axes=(0, 0, 0, self._wts_ax, 0,
-                                  self._bg_ax))(
-            u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg)
+                                  self._bg_ax, 0))(
+            u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg, extra)
         if self.has_signs:
             jac_e = jac_e * self.signs[:, :, None] * self.signs[:, None, :]
         bnd_blocks, bnd_lids = [], []

@@ -18,13 +18,16 @@ _AX = {"x": 0, "y": 1, "z": 2}
 class GlobalFieldContext:
     """Resolve expression leaves as (E, Q) arrays from a global u."""
 
-    def __init__(self, disc, u, time=0.0, params=None, u_dot=None):
+    def __init__(self, disc, u, time=0.0, params=None, u_dot=None,
+                 field_params=None):
         self.disc = disc
         self.u = u
         self.u_dot = u_dot
         self.time = time
         self.params = params or {}
-        self._u_e = u[jnp.asarray(disc.lids)]
+        self.field_params = field_params or {}
+        self._u_e = u[jnp.asarray(disc.lids)] \
+            * jnp.asarray(disc.dofmap.signs, dtype=u.dtype)
         self._cache = {}
 
     def _var(self, var):
@@ -61,6 +64,10 @@ class GlobalFieldContext:
             if self.u_dot is None:
                 return jnp.zeros_like(self._var(leaf[:-2]))
             raise NotImplementedError("u_dot fields in responses")
+        if leaf in self.field_params and leaf in self.params:
+            fp = self.field_params[leaf]
+            pe = jnp.asarray(self.params[leaf])[fp["eldofs"]]
+            return jnp.einsum("ei,iq->eq", pe, fp["phi"])
         if leaf in self.params:
             return self.params[leaf]
         raise KeyError(f"cannot resolve leaf {leaf!r} in volume response")

@@ -92,6 +92,8 @@ class ObjectiveManager:
         self.fm = fm
         self.specs = specs
         self.params = params or {}
+        # discretized-parameter registry (set by Problem)
+        self.field_params = {}
         # time -> solution vector, for discrete-control misfits
         self.datagen = datagen_solutions or {}
         self._sensor_setup = {}
@@ -108,7 +110,8 @@ class ObjectiveManager:
         wts = jnp.asarray(self.disc.wts)
         for s in self.specs:
             if s.otype in ("integrated response", "integrated control"):
-                ctx = GlobalFieldContext(self.disc, u, time, params)
+                ctx = GlobalFieldContext(self.disc, u, time, params,
+                                         field_params=self.field_params)
                 expr = s.response if s.response is not None else \
                     f"{s.name} response"
                 vals = self.fm.evaluate_expr(expr, ctx) \
@@ -155,7 +158,8 @@ class ObjectiveManager:
             # regularizations
             for reg in s.regularizations:
                 if reg.location == "volume":
-                    ctx = GlobalFieldContext(self.disc, u, time, params)
+                    ctx = GlobalFieldContext(self.disc, u, time, params,
+                                             field_params=self.field_params)
                     vals = jnp.broadcast_to(
                         self.fm.evaluate(reg.name, ctx, "ip"), wts.shape)
                     total = total + reg.weight * jnp.sum(vals * wts)

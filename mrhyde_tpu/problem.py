@@ -155,6 +155,27 @@ class Problem:
 
         self.solver_cfg = cfg.get("Solver", {}) or {}
 
+        # discretized (field) parameters: own dof maps on this mesh
+        # (reference: parameterManager.cpp:272 setupDiscretizedParameters)
+        for name in self.param_manager.discretized_names():
+            s = self.param_manager.specs[name]
+            from mrhyde_tpu.fem.basis import get_basis
+            from mrhyde_tpu.fem.dofmap import build_dofmap
+            dm = build_dofmap(self.mesh, [(name, s.basis, s.order)])
+            b = get_basis(self.mesh.cell_type, s.basis, s.order)
+            self.assembler.field_params[name] = {
+                "eldofs": jnp.asarray(dm.vars[0].eldofs),
+                "phi": jnp.asarray(b.eval(self.disc.ref_pts)),
+                "dof_coords": dm.vars[0].dof_coords,
+                "n_dof": dm.vars[0].n_dof,
+            }
+            val = np.asarray(s.value, dtype=float)
+            if val.size != dm.vars[0].n_dof:
+                s.value = np.full(dm.vars[0].n_dof, float(val.flat[0]))
+        if self.objective_manager is not None:
+            self.objective_manager.field_params = \
+                self.assembler.field_params
+
         # multiscale subgrid models
         self.multiscale = None
         if cfg.get("Subgrid"):
