@@ -21,6 +21,11 @@ __all__ = ["PorousMixed"]
 class PorousMixed(PhysicsModule):
     name = "porousMixed"
 
+    def __init__(self, settings=None, dim: int = 2):
+        super().__init__(settings, dim)
+        from mrhyde_tpu.physics.wells import Wells
+        self.wells = Wells(self.settings)
+
     def variables(self):
         return [("p", "HVOL", 0), ("u", "HDIV", 1)]
 
@@ -43,7 +48,10 @@ class PorousMixed(PhysicsModule):
         Kiu = jnp.stack([Kinv[d] * u[:, d] for d in range(dim)], axis=1)
         wk.add_vec_source("u", Kiu)
         wk.add_div_source("u", -p)
-        wk.add_source("p", wk.div("u") - wk.qp(wk.f("source")))
+        src = wk.qp(wk.f("source"))
+        if self.wells:
+            src = self.wells.add_sources(src, wk)
+        wk.add_source("p", wk.div("u") - src)
 
     def boundary_residual(self, wk):
         if wk.bcs.get("p") == "Dirichlet":

@@ -45,7 +45,7 @@ def _ensure_imported():
                 "hartmann", "shallowice", "kuramoto_sivashinsky",
                 "euler", "variable_density_ns", "incompressible_saturation",
                 "llamas", "physics_test", "maxwells_fp",
-                "phasesolidification"):
+                "crystal_elasticity", "phasesolidification"):
         try:
             importlib.import_module(f"mrhyde_tpu.physics.{mod}")
         except ImportError:

@@ -101,3 +101,100 @@ def test_registry_lists_all():
                  "Kuramoto-Sivashinsky", "hartmann", "llamas",
                  "msphasefield", "inc sat", "physicsTest"):
         assert name in mods, name
+
+
+def test_vdns_smoke():
+    cfg = {"Mesh": {"dimension": 2, "element type": "quad",
+                    "NX": 3, "NY": 3},
+           "Functions": {"rho": "1.0", "mu": "0.01", "lambda": "0.01",
+                         "cp": "1.0", "source T": "0.1"},
+           "Physics": {"modules": "VDNS",
+                       "Dirichlet conditions": {
+                           "scalar data": True,
+                           "ux": {"all boundaries": 0.0},
+                           "uy": {"all boundaries": 0.0},
+                           "T": {"all boundaries": 1.0}},
+                       "Initial conditions": {
+                           "scalar data": True, "ux": 0.0, "uy": 0.0,
+                           "pr": 0.0, "T": 1.0}},
+           "Discretization": {"order": {"ux": 1, "uy": 1, "pr": 1,
+                                        "T": 1}},
+           "Solver": {"solver": "transient", "number of steps": 2,
+                      "final time": 0.01,
+                      "transient Butcher tableau": "BWE",
+                      "max nonlinear iters": 5},
+           "Postprocess": {"compute errors": False}}
+    res = Problem(cfg).run()
+    assert np.isfinite(np.asarray(res.u)).all()
+
+
+def test_maxwells_fp_smoke():
+    cfg = {"Mesh": {"dimension": 2, "element type": "quad",
+                    "NX": 3, "NY": 3},
+           "Functions": {"omega": "1.0", "Jxr": "1.0"},
+           "Physics": {"modules": "maxwells_freq_pot",
+                       "Dirichlet conditions": {
+                           "scalar data": True,
+                           "Arx": {"all boundaries": 0.0},
+                           "Aix": {"all boundaries": 0.0},
+                           "Ary": {"all boundaries": 0.0},
+                           "Aiy": {"all boundaries": 0.0},
+                           "phir": {"all boundaries": 0.0},
+                           "phii": {"all boundaries": 0.0}}},
+           "Discretization": {"quadrature": 2},
+           "Solver": {"solver": "steady-state", "max nonlinear iters": 3},
+           "Postprocess": {"compute errors": False}}
+    res = Problem(cfg).run()
+    assert np.isfinite(np.asarray(res.u)).all()
+
+
+def test_crystal_elasticity_isotropic_matches_le():
+    # with default C11/C12/C44 from (lambda, mu), crystal elasticity
+    # reproduces isotropic linear elasticity exactly
+    base = {
+        "Mesh": {"dimension": 2, "element type": "quad", "NX": 6, "NY": 6},
+        "Functions": {"source dx": "1.0", "source dy": "0.5",
+                      "lambda": "1.0", "mu": "0.5"},
+        "Discretization": {"order": {"dx": 1, "dy": 1}},
+        "Solver": {"solver": "steady-state", "max nonlinear iters": 2},
+        "Postprocess": {"compute errors": False},
+    }
+    import copy
+    cfg1 = copy.deepcopy(base)
+    cfg1["Physics"] = {"modules": "linearelasticity",
+                       "Dirichlet conditions": {
+                           "scalar data": True,
+                           "dx": {"all boundaries": 0.0},
+                           "dy": {"all boundaries": 0.0}}}
+    cfg2 = copy.deepcopy(base)
+    cfg2["Physics"] = {"modules": "crystal elasticity",
+                       "lambda": 1.0, "mu": 0.5,
+                       "Dirichlet conditions": {
+                           "scalar data": True,
+                           "dx": {"all boundaries": 0.0},
+                           "dy": {"all boundaries": 0.0}}}
+    u1 = np.asarray(Problem(cfg1).run().u)
+    u2 = np.asarray(Problem(cfg2).run().u)
+    np.testing.assert_allclose(u1, u2, rtol=1e-10, atol=1e-12)
+
+
+def test_porous_mixed_wells():
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad", "NX": 6, "NY": 6},
+        "Physics": {"modules": "porous mixed",
+                    "Wells": {"prod1": {"type": "production",
+                                        "location": [0.5, 0.5],
+                                        "bottom hole pressure": -1.0}},
+                    "Dirichlet conditions": {"p": {"left": "0.0",
+                                                   "right": "0.0",
+                                                   "top": "0.0",
+                                                   "bottom": "0.0"}}},
+        "Discretization": {"order": {"p": 0, "u": 1}},
+        "Solver": {"solver": "steady-state", "max nonlinear iters": 3},
+        "Postprocess": {"compute errors": False},
+    }
+    res = Problem(cfg).run()
+    u = np.asarray(res.u)
+    assert np.isfinite(u).all()
+    # the production well draws pressure down somewhere
+    assert u.min() < -1e-6
