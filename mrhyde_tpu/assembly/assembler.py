@@ -187,6 +187,7 @@ class Assembler:
         self.n_dof = disc.n_dof
         self.ndof_elem = disc.ndof_elem
         self.inc = jnp.asarray(build_incidence(disc.lids, disc.n_dof))
+        self._structured = self._build_structured_index(disc)
 
         fixed = np.zeros(disc.n_dof, dtype=bool)
         if fixed_dofs is not None and len(fixed_dofs):
@@ -269,6 +270,75 @@ class Assembler:
         self.jacobian_jit = jax.jit(self.jacobian)
 
     # ------------------------------------------------------------------
+    # structured-mesh fast path: on uniform box meshes with nodal p1 /
+    # HVOL variables, gather and scatter are pure slice/pad ops, which
+    # avoids XLA's serialized TPU gather/scatter entirely (the
+    # structured-mesh analog of the reference's basis database +
+    # workset tiling, SURVEY.md section 5.7)
+    # ------------------------------------------------------------------
+
+    def _build_structured_index(self, disc):
+        mesh = disc.mesh
+        info = getattr(mesh, "box_info", None)
+        if info is None or mesh.cell_type not in ("quad", "hex", "line"):
+            return None
+        dims = [b[2] for b in info["bounds"]]
+        corners = {
+            "line": [(0,), (1,)],
+            "quad": [(0, 0), (1, 0), (1, 1), (0, 1)],
+            "hex": [(0, 0, 0), (1, 0, 0), (1, 1, 0), (0, 1, 0),
+                    (0, 0, 1), (1, 0, 1), (1, 1, 1), (0, 1, 1)],
+        }[mesh.cell_type]
+        plan = []
+        for i, (name, _s, _o) in enumerate(disc.variables):
+            key = disc.basis_keys[name]
+            start = int(disc.dofmap.var_start[i])
+            if key == ("HVOL", 0):
+                plan.append(("hvol", name, start))
+            elif key == ("HGRAD", 1):
+                plan.append(("p1", name, start))
+            else:
+                return None
+        return {"dims": dims, "corners": corners, "plan": plan,
+                "grid": [d + 1 for d in dims]}
+
+    def _gather_structured(self, u):
+        s = self._structured
+        dims, grid, corners = s["dims"], s["grid"], s["corners"]
+        E = int(np.prod(dims))
+        cols = []
+        for kind, name, start in s["plan"]:
+            if kind == "hvol":
+                cols.append(u[start:start + E])
+                continue
+            g = u[start:start + int(np.prod(grid))].reshape(grid)
+            for c in corners:
+                sl = tuple(slice(c[d], c[d] + dims[d])
+                           for d in range(len(dims)))
+                cols.append(g[sl].reshape(E))
+        return jnp.stack(cols, axis=1)
+
+    def _scatter_structured(self, vals):
+        s = self._structured
+        dims, grid, corners = s["dims"], s["grid"], s["corners"]
+        E = int(np.prod(dims))
+        out = jnp.zeros(self.n_dof, dtype=vals.dtype)
+        col = 0
+        for kind, name, start in s["plan"]:
+            if kind == "hvol":
+                out = out.at[start:start + E].add(vals[:, col])
+                col += 1
+                continue
+            acc = jnp.zeros(grid, dtype=vals.dtype)
+            for c in corners:
+                sl = tuple(slice(c[d], c[d] + dims[d])
+                           for d in range(len(dims)))
+                acc = acc.at[sl].add(vals[:, col].reshape(dims))
+                col += 1
+            out = out.at[start:start + int(np.prod(grid))].add(acc.ravel())
+        return out
+
+    # ------------------------------------------------------------------
     # element kernels
     # ------------------------------------------------------------------
 
@@ -278,9 +348,12 @@ class Assembler:
         params = dict(self.params)
         params.update(pvec or {})
         # discretized params resolve through per-qp extra fields, not
-        # as raw dof vectors
+        # as raw dof vectors; reserved "__field:" keys (cross-set
+        # solution fields) ride the same channel
         for fp in self.field_params:
             params.pop(fp, None)
+        for k in [k for k in params if str(k).startswith("__field:")]:
+            params.pop(k)
         return Workset(
             dim=self.disc.mesh.dim, wts=wts, ip=ip,
             basis_vals=self.g_bv if basis_vals is None else basis_vals,
@@ -313,13 +386,18 @@ class Assembler:
 
     def _field_param_values(self, pvec):
         """Evaluate discretized params at volume qps: name -> (E, Q)."""
-        if not self.field_params or not pvec:
+        if not pvec or (not self.field_params
+                        and not any(str(k).startswith("__field:")
+                                    for k in pvec)):
             return None
         out = {}
         for name, fp in self.field_params.items():
             if name in pvec:
                 pe = pvec[name][fp["eldofs"]]          # (E, ndp)
                 out[name] = jnp.einsum("ei,iq->eq", pe, fp["phi"])
+        for name, val in pvec.items():
+            if str(name).startswith("__field:"):
+                out[name[8:]] = val                    # already (E, Q)
         return out or None
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
@@ -345,6 +423,11 @@ class Assembler:
     def _gathered(self, u_st, tc: TimeCoeffs, lids, signs=None):
         if signs is None:
             signs = self.signs if lids is self.lids else None
+        if lids is self.lids and self._structured is not None \
+                and not self.has_signs:
+            return (self._gather_structured(u_st),
+                    self._gather_structured(tc.beta_u),
+                    self._gather_structured(tc.beta_t))
         if signs is not None and self.has_signs:
             return (u_st[lids] * signs, tc.beta_u[lids] * signs,
                     tc.beta_t[lids] * signs)
@@ -362,9 +445,12 @@ class Assembler:
             u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg, extra)
         if self.has_signs:
             res_e = res_e * self.signs
-        flat = jnp.concatenate([res_e.ravel(),
-                                jnp.zeros(1, dtype=res_e.dtype)])
-        r = flat[self.inc].sum(axis=1)
+        if self._structured is not None and not self.has_signs:
+            r = self._scatter_structured(res_e)
+        else:
+            flat = jnp.concatenate([res_e.ravel(),
+                                    jnp.zeros(1, dtype=res_e.dtype)])
+            r = flat[self.inc].sum(axis=1)
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
                                              signs=group["signs"])
@@ -436,6 +522,25 @@ class Assembler:
                         out.append(g)
                         break
         return out
+
+    def matfree_apply_fn(self, J):
+        """v -> J v, using the structured slice path when available
+        (drop-in faster replacement for BlockJacobian.apply inside
+        Krylov loops)."""
+        if self._structured is None or self.has_signs:
+            return J.apply
+
+        def apply(v):
+            vm = jnp.where(J.fixed, 0.0, v)
+            ve = self._gather_structured(vm)
+            out = self._scatter_structured(
+                jnp.einsum("eij,ej->ei", J.vol, ve))
+            for blocks, lids in zip(J.bnd, J.bnd_lids):
+                out = out + _scatter_vec(
+                    jnp.einsum("eij,ej->ei", blocks, vm[lids]),
+                    lids, self.n_dof)
+            return jnp.where(J.fixed, v, out)
+        return apply
 
     # ------------------------------------------------------------------
     # mass / projections

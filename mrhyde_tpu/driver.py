@@ -54,7 +54,7 @@ def main(argv=None):
         from mrhyde_tpu.runtime import fp64
         fp64(True)
 
-    from mrhyde_tpu.problem import Problem
+    from mrhyde_tpu.problem import make_problem
     from mrhyde_tpu.utils.profiling import timer_report, timed
 
     cfg = load_input_deck(path)
@@ -62,7 +62,7 @@ def main(argv=None):
 
     with timed("driver::total"):
         with timed("driver::setup"):
-            problem = Problem(cfg)
+            problem = make_problem(cfg)
         with timed("driver::run"):
             result = problem.run()
 
@@ -73,7 +73,7 @@ def main(argv=None):
         print(report)
         with open("mrhyde_tpu.profile", "w") as f:
             f.write(report)
-    if verbosity > 0:
+    if verbosity > 0 and hasattr(problem, "n_dof"):
         print(f"n_dof = {problem.n_dof}, final time = {result.time}")
     return 0
 

@@ -68,6 +68,8 @@ class ErrorCalculator:
             * jnp.asarray(disc.dofmap.signs)          # (E, nd_total)
 
         for var, comps in self.comp_exprs.items():
+            if var not in disc.offsets:
+                continue
             st, nd = disc.offsets[var]
             vv = jnp.asarray(disc.vec_vals[disc.basis_keys[var]])
             uh = jnp.einsum("ei,eiqd->eqd", u_e[:, st:st + nd], vv)
@@ -81,6 +83,8 @@ class ErrorCalculator:
             out[("L2", var)] = jnp.sqrt(err2)
 
         for var, expr in self.l2_exprs.items():
+            if var not in disc.offsets:
+                continue
             st, nd = disc.offsets[var]
             phi = jnp.asarray(disc.basis_vals[disc.basis_keys[var]])
             uh = u_e[:, st:st + nd] @ phi              # (E, Q)
@@ -91,6 +95,8 @@ class ErrorCalculator:
             out[("L2", var)] = jnp.sqrt(err2)
 
         for var, comps in self.grad_exprs.items():
+            if var not in disc.offsets:
+                continue
             st, nd = disc.offsets[var]
             dphi = jnp.asarray(disc.basis_grads[disc.basis_keys[var]])
             duh = jnp.einsum("ei,eiqd->eqd", u_e[:, st:st + nd], dphi)
@@ -104,6 +110,8 @@ class ErrorCalculator:
             out[("L2-grad", var)] = jnp.sqrt(err2)
 
         for var, expr in self.face_exprs.items():
+            if var not in disc.offsets:
+                continue
             st, nd = disc.offsets[var]
             err2 = 0.0
             for s in range(disc.topo.n_side):

@@ -29,7 +29,16 @@ from mrhyde_tpu.solvers.linear import solve_linear
 from mrhyde_tpu.solvers.nonlinear import newton_solve
 from mrhyde_tpu.solvers.time_integration import TransientIntegrator
 
-__all__ = ["Problem", "ForwardResult"]
+__all__ = ["Problem", "ForwardResult", "make_problem"]
+
+
+def make_problem(cfg: dict):
+    """Problem factory: multi-set decks get a MultiSetProblem."""
+    phys = cfg.get("Physics", {}) or {}
+    if "physics set names" in phys:
+        from mrhyde_tpu.multiset import MultiSetProblem
+        return MultiSetProblem(cfg)
+    return Problem(cfg)
 
 
 @dataclass
@@ -49,7 +58,7 @@ class ForwardResult:
 
 
 class Problem:
-    def __init__(self, cfg: dict):
+    def __init__(self, cfg: dict, mesh=None):
         self.cfg = cfg
         mesh_cfg = cfg.get("Mesh", {})
         dim = int(mesh_cfg.get("dimension", 2))
@@ -60,7 +69,9 @@ class Problem:
                 "tetrahedron": "tet"}.get(cell, cell)
         if dim == 1:
             cell = "line"
-        if mesh_cfg.get("source", "Internal") == "Exodus":
+        if mesh is not None:
+            self.mesh = mesh
+        elif mesh_cfg.get("source", "Internal") == "Exodus":
             from mrhyde_tpu.mesh.exodus import read_exodus
             self.mesh, _ = read_exodus(mesh_cfg.get("mesh file",
                                                     "mesh.exo"))

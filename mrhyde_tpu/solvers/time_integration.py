@@ -167,18 +167,73 @@ class TransientIntegrator:
             self._explicit_jit = jax.jit(step)
         return self._explicit_jit(z0, tc, self.pvec)
 
+    def step_once(self, u, u_prev, t, dt, step_index):
+        """One time step. Returns (u_new, u_prev_new, ok).
+
+        u_prev: (hist, n) BDF history; updated in the return value.
+        """
+        asm = self.assembler
+        n = u.shape[0]
+        A, b, c, w = self._tables(step_index)
+        nstage = len(b)
+        # shift history, current solution into slot 0
+        u_prev = jnp.roll(u_prev, 1, axis=0).at[0].set(u)
+        u_step_start = u
+        u_stages = []
+        ok = True
+        u_new = u
+        for s in range(nstage):
+            z0 = u_step_start
+            alpha_u = A[s, s] / b[s]
+            beta_u = (1.0 - alpha_u) * u_prev[0]
+            for r in range(s):
+                beta_u = beta_u + (A[s, r] / b[r]) * (u_stages[r]
+                                                      - u_prev[0])
+            timewt = 1.0 / (dt * b[s])
+            alpha_t = w[0] * timewt
+            beta_t = jnp.zeros(n, dtype=u.dtype)
+            for k in range(1, len(w)):
+                beta_t = beta_t + w[k] * u_prev[k - 1]
+            beta_t = beta_t * timewt
+            t_stage = t + c[s] * dt
+            tc = TimeCoeffs(jnp.asarray(alpha_u, u.dtype), beta_u,
+                            jnp.asarray(alpha_t, u.dtype), beta_t,
+                            jnp.asarray(t_stage, u.dtype),
+                            jnp.asarray(dt, u.dtype))
+            if self.set_dirichlet is not None:
+                z0 = self.set_dirichlet(z0, t_stage)
+            if self.fully_explicit:
+                z = self._explicit_stage(z0, tc)
+            else:
+                result = newton_solve(
+                    asm, z0, tc, self.pvec, tol=self.nonlinear_tol,
+                    abstol=self.abs_tol,
+                    maxiter=self.max_nonlinear_iters,
+                    linear_method=self.linear_method,
+                    linear_tol=self.linear_tol,
+                    backtracking=self.backtracking,
+                    verbose=self.verbose)
+                if not result.converged and result.norm > result.norm0:
+                    ok = False
+                    break
+                z = result.u
+            u_stages.append(z)
+            if nstage > 1:
+                u_new = u_new + z - u_prev[0]
+            else:
+                u_new = z
+        return u_new, u_prev, ok
+
     def run(self, u0, *, t0=0.0, t_end=1.0, dt=None, num_steps=None,
             observer=None):
-        """Integrate from t0 to t_end. Returns (u, recorded times).
+        """Integrate from t0 to t_end. Returns (u, final time).
 
         observer(u, time, step) is called after the initial condition and
         after every accepted step (the reference's postproc->record).
         """
-        asm = self.assembler
         if dt is None:
             dt = (t_end - t0) / (num_steps or 1)
         u = jnp.asarray(u0)
-        n = u.shape[0]
         hist = self.max_history()
         u_prev = jnp.tile(u[None, :], (max(hist, 1), 1))
         t = t0
@@ -188,56 +243,10 @@ class TransientIntegrator:
         cuts = 0
         timetol = (t_end - t0) * 1e-12
         while t < t_end - timetol and cuts <= self.max_cuts:
-            A, b, c, w = self._tables(step)
-            nstage = len(b)
-            # shift history, current solution into slot 0
-            u_prev = jnp.roll(u_prev, 1, axis=0).at[0].set(u)
-            u_step_start = u
-            u_stages = []
-            ok = True
-            u_new = u
-            for s in range(nstage):
-                z0 = u_step_start
-                alpha_u = A[s, s] / b[s]
-                beta_u = (1.0 - alpha_u) * u_prev[0]
-                for r in range(s):
-                    beta_u = beta_u + (A[s, r] / b[r]) * (u_stages[r]
-                                                          - u_prev[0])
-                timewt = 1.0 / (dt * b[s])
-                alpha_t = w[0] * timewt
-                beta_t = jnp.zeros(n, dtype=u.dtype)
-                for k in range(1, len(w)):
-                    beta_t = beta_t + w[k] * u_prev[k - 1]
-                beta_t = beta_t * timewt
-                t_stage = t + c[s] * dt
-                tc = TimeCoeffs(jnp.asarray(alpha_u, u.dtype), beta_u,
-                                jnp.asarray(alpha_t, u.dtype), beta_t,
-                                jnp.asarray(t_stage, u.dtype),
-                                jnp.asarray(dt, u.dtype))
-                if self.set_dirichlet is not None:
-                    z0 = self.set_dirichlet(z0, t_stage)
-                if self.fully_explicit:
-                    z = self._explicit_stage(z0, tc)
-                else:
-                    result = newton_solve(
-                        asm, z0, tc, self.pvec, tol=self.nonlinear_tol,
-                        abstol=self.abs_tol,
-                        maxiter=self.max_nonlinear_iters,
-                        linear_method=self.linear_method,
-                        linear_tol=self.linear_tol,
-                        backtracking=self.backtracking,
-                        verbose=self.verbose)
-                    if not result.converged and result.norm > result.norm0:
-                        ok = False
-                        break
-                    z = result.u
-                u_stages.append(z)
-                if nstage > 1:
-                    u_new = u_new + z - u_prev[0]
-                else:
-                    u_new = z
+            u_new, u_prev_new, ok = self.step_once(u, u_prev, t, dt, step)
             if ok:
                 u = u_new
+                u_prev = u_prev_new
                 t += dt
                 step += 1
                 if observer is not None:
@@ -245,8 +254,6 @@ class TransientIntegrator:
             else:
                 dt *= 0.5
                 cuts += 1
-                u = u_prev[0]
-                u_prev = jnp.roll(u_prev, -1, axis=0)
                 if self.verbose:
                     print(f"**** Cutting time step to {dt}")
         return u, t

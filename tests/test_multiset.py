@@ -1,0 +1,53 @@
+"""Multi-set physics: ODE + CDR with different per-set time schemes.
+
+Mirrors regression/Multiphysics/MultiSet_different_timescheme (internal
+mesh instead of the two-block Exodus file): q' = -q via BDF3 (+RK-4,4
+startup), while CDR with unit reaction drives c from 0 to -t, so the
+gold c error equals t exactly.
+"""
+
+import numpy as np
+
+from mrhyde_tpu.problem import make_problem
+
+CFG = {
+    "Mesh": {"dimension": 2, "element type": "quad", "NX": 3, "NY": 3},
+    "Functions": {"ODE source": "-1.0*q"},
+    "Physics": {
+        "physics set names": "ODE, CDR",
+        "ODE": {"modules": "ODE",
+                "Initial conditions": {"scalar data": True, "q": 1.0}},
+        "CDR": {"modules": "cdr"},
+    },
+    "Discretization": {
+        "ODE": {"order": {"q": 1}, "quadrature": 2},
+        "CDR": {"order": {"c": 1}, "quadrature": 2},
+    },
+    "Solver": {
+        "solver": "transient", "transient BDF order": 1,
+        "transient Butcher tableau": "BWE", "nonlinear TOL": 1e-7,
+        "max nonlinear iters": 2, "final time": 0.01,
+        "number of steps": 8, "use direct solver": True,
+        "ODE": {"transient Butcher tableau": "BWE",
+                "transient BDF order": 3,
+                "transient startup BDF order": 1,
+                "transient startup Butcher tableau": "RK-4,4",
+                "transient startup steps": 5},
+        "CDR": {"transient Butcher tableau": "RK-4,4"},
+    },
+    "Analysis": {"analysis type": "forward"},
+    "Postprocess": {"compute errors": True,
+                    "True solutions": {"q": "1.0*exp(-1.0*t)",
+                                       "c": "0.0"}},
+}
+
+
+def test_multiset_different_timeschemes():
+    res = make_problem(CFG).run()
+    hist = {round(t, 10): e for t, e in res.error_history}
+    # c integrates dc/dt = -1 exactly with RK-4,4: error = t
+    # (gold: regression/Multiphysics/MultiSet_different_timescheme)
+    assert np.isclose(hist[0.01][("L2", "c")], 0.01, rtol=1e-6)
+    assert np.isclose(hist[0.005][("L2", "c")], 0.005, rtol=1e-6)
+    # q: RK-4,4 startup then BDF3 (gold 1.48437e-12 at t=0.01)
+    assert hist[0.01][("L2", "q")] < 5e-12
