@@ -24,7 +24,9 @@ __all__ = ["parse_expression", "Expr"]
 
 _TOKEN_RE = re.compile(r"""
     (?P<num>\d+\.?\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?)
-  | (?P<grad>grad\(\s*[A-Za-z_]\w*\s*\)\[\s*[xyz]\s*\])
+  | (?P<grad>(?:grad|curl)\(\s*[A-Za-z_]\w*\s*\)\[\s*[xyz]\s*\])
+  | (?P<divc>(?:div|curl)\(\s*[A-Za-z_]\w*\s*\))
+  | (?P<comp>[A-Za-z_]\w*\[\s*[xyz]\s*\])
   | (?P<name>[A-Za-z_][\w\s]*?(?=\s*[-+*/^(),<>\[\]]|\s*$))
   | (?P<op>[-+*/^(),<>])
   | (?P<ws>\s+)
@@ -109,8 +111,9 @@ def _tokenize(s: str) -> list[tuple[str, str]]:
         if kind == "ws":
             continue
         text = m.group().strip()
-        if kind == "grad":
+        if kind in ("grad", "divc", "comp"):
             text = re.sub(r"\s+", "", text)
+            kind = "grad"      # all resolve as composite leaves
         tokens.append((kind, text))
     return tokens
 

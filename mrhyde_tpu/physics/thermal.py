@@ -111,6 +111,15 @@ class Thermal(PhysicsModule):
             pen = 10.0 / h
             wk.add_source("e", pen * wk.qp(kappa) * (T - g))
 
+    def setup_integrated_quantities(self, dim):
+        """Module test IQs (reference: thermal.cpp:422)."""
+        if not self.settings.get("test integrated quantities", False):
+            return []
+        flux = " + ".join(f"n[{c}]*grad(e)[{c}]" for c in "xyz"[:dim])
+        return [("e", "thermal vol total e", "volume"),
+                ("e", "thermal bnd total e", "boundary"),
+                (f"({flux})", "thermal bnd heat flux", "boundary")]
+
     def compute_flux(self, wk):
         """Upscaled flux for multiscale coupling (reference:
         thermal.cpp:288-345 computeFlux):

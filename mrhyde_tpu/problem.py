@@ -166,6 +166,13 @@ class Problem:
 
         self.solver_cfg = cfg.get("Solver", {}) or {}
 
+        self.integrated_quantities = None
+        if pp_cfg.get("compute integrated quantities", False):
+            from mrhyde_tpu.postprocess.quantities import \
+                IntegratedQuantities
+            self.integrated_quantities = IntegratedQuantities.from_problem(
+                self, pp_cfg.get("Integrated quantities", {}) or {})
+
         # discretized (field) parameters: own dof maps on this mesh
         # (reference: parameterManager.cpp:272 setupDiscretizedParameters)
         for name in self.param_manager.discretized_names():
@@ -198,10 +205,16 @@ class Problem:
 
     @staticmethod
     def _internal_mesh(mesh_cfg, cell):
+        # NX is elements per block in each direction (Panzer inline-mesh
+        # convention, reference meshInterface.cpp:138-139)
+        xb = int(mesh_cfg.get("Xblocks", 1))
+        yb = int(mesh_cfg.get("Yblocks", 1))
+        zb = int(mesh_cfg.get("Zblocks", 1))
         return box_mesh(
             cell,
-            nx=int(mesh_cfg.get("NX", 1)), ny=int(mesh_cfg.get("NY", 1)),
-            nz=int(mesh_cfg.get("NZ", 1)),
+            nx=int(mesh_cfg.get("NX", 1)) * xb,
+            ny=int(mesh_cfg.get("NY", 1)) * yb,
+            nz=int(mesh_cfg.get("NZ", 1)) * zb,
             xmin=float(mesh_cfg.get("xmin", 0.0)),
             xmax=float(mesh_cfg.get("xmax", 1.0)),
             ymin=float(mesh_cfg.get("ymin", 0.0)),
@@ -273,6 +286,9 @@ class Problem:
             if self.multiscale is not None:
                 errs.update(self.multiscale.compute_errors(result.u, 0.0))
             out.error_history.append((0.0, errs))
+        if record and self.integrated_quantities is not None:
+            out.integrated = self.integrated_quantities.compute(result.u,
+                                                                0.0)
         if record:
             self.solution_storage.store(result.u, 0.0)
             if self.solution_writer is not None:
