@@ -280,7 +280,8 @@ class Assembler:
     def _build_structured_index(self, disc):
         mesh = disc.mesh
         info = getattr(mesh, "box_info", None)
-        if info is None or mesh.cell_type not in ("quad", "hex", "line"):
+        if info is None or mesh.cell_type not in ("quad", "hex", "line") \
+                or getattr(mesh, "periodic", False):
             return None
         dims = [b[2] for b in info["bounds"]]
         corners = {

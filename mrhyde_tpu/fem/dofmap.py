@@ -78,12 +78,23 @@ class DofMap:
         return self.var_start[i] + np.arange(self.vars[i].n_dof)
 
 
+def _dof_conn(mesh: Mesh) -> np.ndarray:
+    """Connectivity in DOF-node numbering (periodic meshes identify
+    paired nodes while keeping their geometry)."""
+    nmap = getattr(mesh, "node_dof_map", None)
+    return mesh.conn if nmap is None else nmap[mesh.conn]
+
+
+def _n_dof_nodes(mesh: Mesh) -> int:
+    return getattr(mesh, "n_dof_nodes", mesh.n_nodes)
+
+
 def _edge_numbering(mesh: Mesh):
     """Global edge ids. Returns (n_edges, elem_edges (n_elem, n_loc_edges),
     edge_flipped (n_elem, n_loc_edges) bool, edge_nodes (n_edges, 2))."""
     topo = cell_topology(mesh.cell_type)
     le = np.array(topo.edges)                        # (n_loc_edges, 2)
-    pairs = mesh.conn[:, le]                         # (n_elem, n_le, 2)
+    pairs = _dof_conn(mesh)[:, le]                   # (n_elem, n_le, 2)
     flipped = pairs[:, :, 0] > pairs[:, :, 1]
     sorted_pairs = np.sort(pairs, axis=2)
     flat = sorted_pairs.reshape(-1, 2)
@@ -97,9 +108,10 @@ def _face_numbering(mesh: Mesh):
     topo = cell_topology(mesh.cell_type)
     lf = [list(f) for f in topo.faces]
     n_fn = max(len(f) for f in lf)
+    dconn = _dof_conn(mesh)
     keys = []
     for f in lf:
-        fk = np.sort(mesh.conn[:, f], axis=1)
+        fk = np.sort(dconn[:, f], axis=1)
         if fk.shape[1] < n_fn:
             fk = np.pad(fk, ((0, 0), (0, n_fn - fk.shape[1])),
                         constant_values=-1)
@@ -183,15 +195,16 @@ def _build_var(mesh: Mesh, name: str, basis: Basis) -> VarDofMap:
     per_cell = sum(1 for k, _, _ in ents if k == "cell")
 
     node_base = 0
-    edge_base = mesh.n_nodes
+    edge_base = _n_dof_nodes(mesh)
     face_base = edge_base + n_edges * per_edge
     cell_base = face_base + n_faces * per_face
     n_dof = cell_base + n_elem * per_cell
 
+    dconn = _dof_conn(mesh)
     eldofs = np.zeros((n_elem, basis.ndof), dtype=np.int64)
     for j, (kind, idx, k) in enumerate(ents):
         if kind == "node":
-            eldofs[:, j] = mesh.conn[:, idx]
+            eldofs[:, j] = dconn[:, idx]
         elif kind == "edge":
             # orientation: interior edge dofs are numbered low-corner ->
             # high-corner in global node order; flip k where the element's

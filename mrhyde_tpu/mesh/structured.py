@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["Mesh", "box_mesh"]
+__all__ = ["Mesh", "box_mesh", "apply_periodic"]
 
 
 @dataclass
@@ -176,6 +176,54 @@ def _ss(elems, side):
     out[:, 0] = elems
     out[:, 1] = side
     return out
+
+
+def apply_periodic(mesh: Mesh, conditions: list[str]) -> Mesh:
+    """Identify dofs across periodic sideset pairs.
+
+    Condition syntax follows the reference (discretizationInterface.cpp
+    periodic BC parsing): '<axes>-all <tol>: <side1>;<side2>', e.g.
+    'y-all 1e-8: left;right' matches left/right nodes by y coordinate.
+    Geometry is untouched (slave nodes keep their coordinates); only the
+    DOF numbering identifies the paired nodes, via mesh.dof_node_map.
+    """
+    from mrhyde_tpu.fem.topology import cell_topology
+    topo = cell_topology(mesh.cell_type)
+    remap = np.arange(mesh.n_nodes, dtype=np.int64)
+    for cond in conditions:
+        head, sides = cond.split(":")
+        parts = head.split()
+        axes = parts[0].split("-")[0]
+        tol = float(parts[1]) if len(parts) > 1 else 1e-8
+        ax_ids = [{"x": 0, "y": 1, "z": 2}[a] for a in axes]
+        ss1, ss2 = [s.strip() for s in sides.split(";")]
+
+        def side_nodes(ssname):
+            ss = mesh.sidesets[ssname]
+            out = set()
+            for e, s in ss:
+                for ln in topo.sides[s]:
+                    out.add(int(mesh.conn[e, ln]))
+            return np.array(sorted(out))
+
+        n1 = side_nodes(ss1)
+        n2 = side_nodes(ss2)
+        key1 = mesh.nodes[n1][:, ax_ids]
+        key2 = mesh.nodes[n2][:, ax_ids]
+        d2 = ((key2[:, None, :] - key1[None, :, :]) ** 2).sum(axis=2)
+        j = np.argmin(d2, axis=1)
+        ok = d2[np.arange(len(n2)), j] < tol * tol
+        remap[n2[ok]] = n1[j[ok]]
+    # resolve chains, then compact to contiguous dof-node ids
+    while not np.array_equal(remap, remap[remap]):
+        remap = remap[remap]
+    keep = np.unique(remap)
+    compact = np.full(mesh.n_nodes, -1, dtype=np.int64)
+    compact[keep] = np.arange(keep.size)
+    mesh.node_dof_map = compact[remap]
+    mesh.n_dof_nodes = keep.size
+    mesh.periodic = True
+    return mesh
 
 
 def _coordinate_sidesets(mesh: Mesh, planes: dict[str, tuple[int, float]],

@@ -77,6 +77,12 @@ class Problem:
                                                     "mesh.exo"))
         else:
             self.mesh = self._internal_mesh(mesh_cfg, cell)
+        pbc = mesh_cfg.get("Periodic BCs", {}) or {}
+        conds = [v for k, v in pbc.items()
+                 if str(k).lower().startswith("periodic condition")]
+        if conds:
+            from mrhyde_tpu.mesh.structured import apply_periodic
+            self.mesh = apply_periodic(self.mesh, conds)
 
         phys_cfg = _unwrap_block(cfg.get("Physics", {}), "modules")
         self.phys_cfg = phys_cfg
