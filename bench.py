@@ -18,7 +18,73 @@ import os
 import time
 
 
+def ns_solve_bench():
+    """Navier-Stokes nonlinear solve wall-clock (BASELINE.json metric 2):
+    steady PSPG channel on a structured mesh, matrix-free Newton with
+    fixed-iteration GMRES, one jitted program per Newton step."""
+    import time
+    import jax
+    import jax.numpy as jnp
+    from mrhyde_tpu.assembly.assembler import TimeCoeffs
+    from mrhyde_tpu.problem import Problem
+
+    nx = int(os.environ.get("BENCH_NX", "256"))
+    ny = max(nx // 4, 8)
+    newton_iters = int(os.environ.get("BENCH_NEWTON", "4"))
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "xmin": 0.0, "xmax": 5.0, "ymin": 0.0, "ymax": 1.0,
+                 "NX": nx, "NY": ny},
+        "Physics": {"modules": "navier stokes", "usePSPG": True,
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "ux": {"bottom": 0.0, "top": 0.0},
+                        "uy": {"bottom": 0.0, "top": 0.0}}},
+        "Discretization": {"order": {"ux": 1, "uy": 1, "pr": 1},
+                           "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+        "Functions": {"source ux": "1.0"},
+    }
+    p = Problem(cfg)
+    asm = p.assembler
+    dtype = jnp.zeros(0).dtype
+    tc = TimeCoeffs.steady(p.n_dof, dtype=dtype)
+
+    @jax.jit
+    def newton_step(u):
+        r = asm.residual(u, tc, None)
+        J = asm.jacobian(u, tc, None)
+        apply_fn = asm.matfree_apply_fn(J)
+        dinv = 1.0 / J.diag()
+        import jax.scipy.sparse.linalg as jsla
+        du, _ = jsla.gmres(apply_fn, -r, M=lambda v: dinv * v,
+                           maxiter=40, restart=40, tol=0.0,
+                           solve_method="batched")
+        return u + du, jnp.linalg.norm(r)
+
+    u = p.initial_state()
+    un, rn = newton_step(u)
+    un.block_until_ready()      # compile
+    t0 = time.perf_counter()
+    u = p.initial_state()
+    norms = []
+    for _ in range(newton_iters):
+        u, rn = newton_step(u)
+        norms.append(rn)
+    u.block_until_ready()
+    dt = time.perf_counter() - t0
+    r_final = float(jnp.linalg.norm(asm.residual(u, tc, None)))
+    print(json.dumps({
+        "metric": "ns_nonlinear_solve",
+        "value": round(dt, 4),
+        "unit": "seconds",
+        "vs_baseline": round(dt, 4),
+    }))
+
+
 def main():
+    if os.environ.get("BENCH_MODE", "assembly") == "ns_solve":
+        return ns_solve_bench()
     import jax
     import jax.numpy as jnp
 

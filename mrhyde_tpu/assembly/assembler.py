@@ -227,6 +227,24 @@ class Assembler:
                      "vec": tbl(disc.vec_vals),
                      "div": tbl(disc.div_vals),
                      "curl": tbl(disc.curl_vals)}
+        needs_faces = any(k[0] in ("HFACE", "HDIV-DG")
+                          for k in disc.basis_keys.values())
+        if needs_faces:
+            fb = {"fwts": disc.face_wts_all,
+                  "fnorm": disc.face_normals_all}
+            if self.uniform:
+                uni = all(np.allclose(v, v[0][None]) for v in
+                          [disc.face_wts_all, disc.face_normals_all]
+                          + list(disc.face_vec_all.values()))
+                self.uniform = uni
+                # recompute table closure if uniformity changed
+            take0 = (lambda a: a[0]) if self.uniform else (lambda a: a)
+            self.g_bg["fwts"] = jnp.asarray(take0(disc.face_wts_all),
+                                            dtype=dt)
+            self.g_bg["fnorm"] = jnp.asarray(
+                take0(disc.face_normals_all), dtype=dt)
+            self.g_bg["fvec"] = {k: jnp.asarray(take0(v), dtype=dt)
+                                 for k, v in disc.face_vec_all.items()}
         self.signs = jnp.asarray(disc.dofmap.signs, dtype=dt)
         self.has_signs = bool(np.any(disc.dofmap.signs != 1.0))
         self.g_ip = jnp.asarray(disc.ip, dtype=dt)
@@ -362,6 +380,9 @@ class Assembler:
             basis_vecs=bg_slices.get("vec"),
             basis_divs=bg_slices.get("div"),
             basis_curls=bg_slices.get("curl"),
+            face_wts=bg_slices.get("fwts"),
+            face_normals=bg_slices.get("fnorm"),
+            face_vecs=bg_slices.get("fvec"),
             offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
             u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
             params=params, normals=normals, side_name=side_name, bcs=bcs,

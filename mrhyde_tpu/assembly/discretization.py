@@ -97,11 +97,13 @@ class Discretization:
         self.div_vals: dict[tuple, np.ndarray] = {}    # (E, nd, Q)
         self.curl_vals: dict[tuple, np.ndarray] = {}   # (E,nd,Q[,3])
         for key in unique_keys:
-            if key[0] in ("HDIV", "HCURL"):
+            if key[0] == "HFACE":
+                continue    # trace space: no volumetric support
+            if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
                 vb = get_vector_basis(mesh.cell_type, key[0], key[1])
                 ref_v = vb.eval(ref_pts)               # (nd, Q, dim)
                 det = vol.jac_det                      # (E, Q)
-                if key[0] == "HDIV":
+                if key[0] in ("HDIV", "HDIV-DG"):
                     # contravariant Piola: v = J v_ref / det J
                     self.vec_vals[key] = np.einsum(
                         "eqdr,iqr->eiqd", vol.jac, ref_v) / det[:, None, :,
@@ -139,10 +141,12 @@ class Discretization:
             for key in unique_keys:
                 gvol = volume_geometry(coords, mesh.cell_type, fg.ref_pts,
                                        np.ones(fg.ref_pts.shape[0]))
-                if key[0] in ("HDIV", "HCURL"):
+                if key[0] == "HFACE":
+                    continue
+                if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
                     vb = get_vector_basis(mesh.cell_type, key[0], key[1])
                     ref_v = vb.eval(fg.ref_pts)
-                    if key[0] == "HDIV":
+                    if key[0] in ("HDIV", "HDIV-DG"):
                         bv[key] = np.einsum(
                             "eqdr,iqr->eiqd", gvol.jac, ref_v)                             / gvol.jac_det[:, None, :, None]
                     else:
@@ -154,6 +158,20 @@ class Discretization:
                 bg[key] = physical_grad(b, fg.ref_pts, gvol.jac_inv)
             self.face_basis_vals.append(bv)
             self.face_basis_grads.append(bg)
+
+        # stacked per-side face bundles (hybridized/DG methods iterate
+        # all element sides inside the volume kernel)
+        self.face_wts_all = np.stack([fg.wts for fg in self.faces],
+                                     axis=1)        # (E, n_sides, Qf)
+        self.face_normals_all = np.stack(
+            [fg.normals for fg in self.faces], axis=1)
+        self.face_vec_all = {}
+        for key in unique_keys:
+            if key[0] in ("HDIV", "HDIV-DG", "HCURL"):
+                self.face_vec_all[key] = np.stack(
+                    [self.face_basis_vals[s][key]
+                     for s in range(self.topo.n_side)], axis=1)
+                # (E, n_sides, nd, Qf, dim)
 
         # boundary groups per sideset, split by local side
         self.boundary_groups: list[BoundaryGroup] = []
@@ -189,7 +207,15 @@ class Discretization:
         w = self.wts if weight is None else self.wts * weight
 
         def var_mass(key):
-            if key[0] in ("HDIV", "HCURL"):
+            if key[0] == "HFACE":
+                # trace dofs: facet-measure 'mass' so projections of
+                # facet data behave like averages
+                n = get_vector_basis(self.mesh.cell_type, "HFACE", 1).ndof
+                M = np.zeros((self.mesh.n_elem, n, n))
+                for s in range(n):
+                    M[:, s, s] = self.face_wts_all[:, s, :].sum(axis=1)
+                return M
+            if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
                 vv = self.vec_vals[key]
                 return np.einsum("eiqd,ejqd,eq->eij", vv, vv, w)
             phi = self.basis_vals[key]

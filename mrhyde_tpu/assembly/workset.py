@@ -26,13 +26,17 @@ class Workset:
                  params=None, normals=None, side_name=None, bcs=None,
                  extra_fields=None, dtype=None, deltat=1.0,
                  is_transient=False, basis_vecs=None, basis_divs=None,
-                 basis_curls=None):
+                 basis_curls=None, face_wts=None, face_normals=None,
+                 face_vecs=None):
         self.dim = dim
         self.deltat = deltat
         self.is_transient = is_transient
         self._bvec = basis_vecs or {}       # key -> (ndof, Q, dim)
         self._bdiv = basis_divs or {}       # key -> (ndof, Q)
         self._bcurl = basis_curls or {}     # key -> (ndof, Q[,3])
+        self.face_wts = face_wts            # (n_sides, Qf)
+        self.face_normals = face_normals    # (n_sides, Qf, dim)
+        self._fvec = face_vecs or {}        # key -> (n_sides, nd, Qf, dim)
         self.wts = wts                      # (Q,)
         self.ip = ip                        # (Q, dim)
         self._bv = basis_vals               # key -> (ndof, Q)
@@ -70,7 +74,7 @@ class Workset:
         return self._bcurl[self._var_keys[var]]
 
     def is_vector_var(self, var):
-        return self._var_keys[var][0] in ("HDIV", "HCURL")
+        return self._var_keys[var][0] in ("HDIV", "HCURL", "HDIV-DG")
 
     def _dofs(self, vec, var):
         st, nd = self.offsets[var]
@@ -213,6 +217,36 @@ class Workset:
             contrib = jnp.einsum("iqd,qd->i", bc,
                                  cvals * self.wts[:, None])
         self._res = self._res.at[st:st + nd].add(contrib)
+
+    # ---- per-side access (hybridized/DG methods) ----
+
+    def n_sides(self):
+        return self.face_wts.shape[0]
+
+    def trace(self, var, side):
+        """HFACE trace dof value on a local side (scalar)."""
+        st, nd = self.offsets[var]
+        return self.u[st + side]
+
+    def face_sol_vec(self, var, side):
+        """HDIV(-DG) solution at side quadrature points, (Qf, dim)."""
+        st, nd = self.offsets[var]
+        fv = self._fvec[self._var_keys[var]][side]     # (nd, Qf, dim)
+        return jnp.einsum("i,iqd->qd", self.u[st:st + nd], fv)
+
+    def add_face_vec_source(self, var, side, fvals):
+        """res_i += sum_q f(q,:) . phi_i(q,:) w_f(q) on one side."""
+        st, nd = self.offsets[var]
+        fv = self._fvec[self._var_keys[var]][side]
+        contrib = jnp.einsum("iqd,qd->i", fv,
+                             fvals * self.face_wts[side][:, None])
+        self._res = self._res.at[st:st + nd].add(contrib)
+
+    def add_trace_source(self, var, side, svals):
+        """res[trace dof of side] += sum_q s(q) w_f(q)."""
+        st, nd = self.offsets[var]
+        contrib = jnp.sum(svals * self.face_wts[side])
+        self._res = self._res.at[st + side].add(contrib)
 
     @property
     def res(self):

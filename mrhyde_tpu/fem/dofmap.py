@@ -129,6 +129,7 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     ents = basis.dof_entity
     need_edges = any(k == "edge" for k, _ in ents)
     need_faces = any(k == "face" for k, _ in ents)
+    n_faces = 0
     elem_edges = edge_flip = None
     n_edges = n_faces = 0
     if need_edges:
@@ -136,17 +137,24 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     if need_faces:
         n_faces, elem_faces = _face_numbering(mesh)
 
+    n_cell_dofs = sum(1 for k, _ in ents if k == "cell")
     eldofs = np.zeros((n_elem, basis.ndof), dtype=np.int64)
     signs = np.ones((n_elem, basis.ndof))
     coords = mesh.nodes[mesh.conn]                 # (E, nc, dim)
-    cent_sum = np.zeros((0,))
     dof_coords = None
+    scalar_trace = getattr(basis, "space", "") == "HFACE"
+    cell_k = 0
     for j, (kind, idx) in enumerate(ents):
+        if kind == "cell":
+            # broken/DG dofs: element-local, never shared
+            eldofs[:, j] = np.arange(n_elem) * n_cell_dofs + idx
+            continue
         if kind == "edge":
             eldofs[:, j] = elem_edges[:, idx]
             # global convention: lower global node id -> higher;
             # local direction disagrees where edge_flip is set
-            signs[:, j] = np.where(edge_flip[:, idx], -1.0, 1.0)
+            if not scalar_trace:
+                signs[:, j] = np.where(edge_flip[:, idx], -1.0, 1.0)
         else:  # face (3D HDIV)
             eldofs[:, j] = n_edges * 0 + elem_faces[:, idx]
             # sign = local outward normal . global sorted-node normal
@@ -156,12 +164,19 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
             gf = np.sort(mesh.conn[:, f], axis=1)  # (E, nf) sorted ids
             pg = mesh.nodes[gf]                    # (E, nf, dim)
             n_glob = np.cross(pg[:, 1] - pg[:, 0], pg[:, 2] - pg[:, 0])
-            signs[:, j] = np.sign(np.einsum("ed,ed->e", n_loc, n_glob))
-    n_dof = n_faces if need_faces else n_edges
-    # dof coords = facet centroids (for reporting only)
+            if not scalar_trace:
+                signs[:, j] = np.sign(
+                    np.einsum("ed,ed->e", n_loc, n_glob))
+    if n_cell_dofs:
+        n_dof = n_elem * n_cell_dofs
+    else:
+        n_dof = n_faces if need_faces else n_edges
+    # dof coords = facet/element centroids (for Dirichlet data etc.)
     dof_coords = np.zeros((n_dof, topo.dim))
     for j, (kind, idx) in enumerate(ents):
-        if kind == "edge":
+        if kind == "cell":
+            mid = coords.mean(axis=1)
+        elif kind == "edge":
             mid = coords[:, list(topo.edges[idx]), :].mean(axis=1)
         else:
             mid = coords[:, list(topo.sides[idx]), :].mean(axis=1)
@@ -233,7 +248,7 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
     from mrhyde_tpu.fem.vector_basis import get_vector_basis
     vars_ = []
     for (name, space, order) in variables:
-        if space.upper() in ("HDIV", "HCURL"):
+        if space.upper() in ("HDIV", "HCURL", "HDIV-DG", "HFACE"):
             vbasis = get_vector_basis(mesh.cell_type, space, max(order, 1))
             vars_.append(_build_vector_var(mesh, name, vbasis))
         else:

@@ -48,17 +48,21 @@ class VectorBasis:
         return cell_topology(self.cell).dim
 
     # each concrete basis provides _eval/_div/_curl on reference coords
+    @property
+    def _lookup(self):
+        return "HDIV" if self.space == "HDIV-DG" else self.space
+
     def eval(self, pts: np.ndarray) -> np.ndarray:
         """(ndof, npts, dim) reference vector values."""
-        return _EVAL[(self.cell, self.space)](pts)
+        return _EVAL[(self.cell, self._lookup)](pts)
 
     def div(self, pts: np.ndarray) -> np.ndarray:
         """(ndof, npts) reference divergence (HDIV only)."""
-        return _DIV[(self.cell, self.space)](pts)
+        return _DIV[(self.cell, self._lookup)](pts)
 
     def curl(self, pts: np.ndarray) -> np.ndarray:
         """HCURL curl: (ndof, npts) in 2D, (ndof, npts, 3) in 3D."""
-        return _CURL[(self.cell, self.space)](pts)
+        return _CURL[(self.cell, self._lookup)](pts)
 
     def dof_entities(self):
         out = []
@@ -70,6 +74,8 @@ class VectorBasis:
         topo = cell_topology(self.cell)
         out = []
         for i, (kind, idx) in enumerate(self.dof_entity):
+            if kind == "cell":
+                continue
             if kind == "face" and idx == side:
                 out.append(i)
             elif kind == "edge" and topo.dim == 2 and idx == side:
@@ -285,16 +291,30 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
     if order != 1:
         raise NotImplementedError(f"{space} order {order} (lowest only)")
     topo = cell_topology(cell)
-    if space == "HDIV":
-        if topo.dim == 2:
+    if space in ("HDIV", "HDIV-DG"):
+        if space == "HDIV-DG":
+            # broken (element-local) HDIV: same functions, cell dofs
+            n = len(topo.edges) if topo.dim == 2 else len(topo.sides)
+            ents = tuple(("cell", k) for k in range(n))
+        elif topo.dim == 2:
             ents = tuple(("edge", i) for i in range(len(topo.edges)))
         else:
             ents = tuple(("face", i) for i in range(len(topo.sides)))
     elif space == "HCURL":
         ents = tuple(("edge", i) for i in range(len(topo.edges)))
+    elif space == "HFACE":
+        # scalar trace space: one dof per mesh facet (reference: in-tree
+        # Intrepid2_HFACE_* bases, src/tools/Intrepid2_HFACE_*.hpp)
+        if topo.dim == 2:
+            ents = tuple(("edge", i) for i in range(len(topo.edges)))
+        else:
+            ents = tuple(("face", i) for i in range(len(topo.sides)))
+        return VectorBasis(cell=cell, space="HFACE", order=1,
+                           ndof=len(ents), dof_entity=ents)
     else:
         raise ValueError(space)
-    if (cell, space) not in _EVAL:
+    lookup = "HDIV" if space == "HDIV-DG" else space
+    if (cell, lookup) not in _EVAL:
         raise NotImplementedError(f"{space} on {cell}")
     return VectorBasis(cell=cell, space=space, order=1, ndof=len(ents),
                        dof_entity=ents)

@@ -1,0 +1,51 @@
+"""Weak Galerkin porous (Darcy) flow.
+
+Reference: src/physics/porousWeakGalerkin.cpp — variables pint (HVOL),
+pbndry (HFACE), u (HDIV-DG, the weak gradient), t (HDIV-DG, the flux):
+  u-eq: (u, v) + (pint, div v) - sum_sides <pbndry, v.n>   [weak grad]
+  t-eq: (K u + t, s)                                       [flux law]
+  pint-eq: (div t - source, q)
+  pbndry-eq: -sum_sides <t.n, mu>                          [continuity]
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from mrhyde_tpu.physics.base import PhysicsModule
+from mrhyde_tpu.physics.registry import register
+
+__all__ = ["PorousWeakGalerkin"]
+
+
+@register("porous weak Galerkin")
+class PorousWeakGalerkin(PhysicsModule):
+    name = "porousWeakGalerkin"
+
+    def variables(self):
+        return [("pint", "HVOL", 0), ("pbndry", "HFACE", 1),
+                ("u", "HDIV-DG", 1), ("t", "HDIV-DG", 1)]
+
+    def define_functions(self, fm, fs):
+        fm.add_function("source", self._f(fs, "source", 0.0), "ip")
+        fm.add_function("perm", self._f(fs, "permeability", 1.0), "ip")
+
+    def volume_residual(self, wk):
+        perm = wk.qp(wk.f("perm"))
+        u = wk.sol("u")
+        t = wk.sol("t")
+        pint = wk.sol("pint")
+        # weak-gradient definition
+        wk.add_vec_source("u", u)
+        wk.add_div_source("u", pint)
+        # flux law t = -K u
+        wk.add_vec_source("t", perm[:, None] * u + t)
+        # conservation
+        wk.add_source("pint", wk.div("t") - wk.qp(wk.f("source")))
+        # facet terms
+        for s in range(wk.n_sides()):
+            pb = wk.trace("pbndry", s)
+            n = wk.face_normals[s]
+            wk.add_face_vec_source("u", s, -pb * n)
+            t_f = wk.face_sol_vec("t", s)
+            wk.add_trace_source("pbndry", s, -(t_f * n).sum(axis=1))

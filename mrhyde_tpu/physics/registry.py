@@ -41,7 +41,9 @@ def _ensure_imported():
     import importlib
     for mod in ("thermal", "ode", "cdr", "burgers", "linearelasticity",
                 "stokes", "navierstokes", "shallowwater", "helmholtz",
-                "porous", "porous_mixed", "maxwell", "msphasefield",
+                "porous", "porous_mixed", "porous_mixed_hybrid",
+                "porous_weak_galerkin", "maxwell",
+                "msphasefield",
                 "hartmann", "shallowice", "kuramoto_sivashinsky",
                 "euler", "variable_density_ns", "incompressible_saturation",
                 "llamas", "physics_test", "maxwells_fp",

@@ -1,0 +1,60 @@
+"""Hybridized mixed porous flow: matches the conforming mixed golds
+(porous/Mixed: L2(p)=0.158697, L2(u)=1.02259) since hybridization is an
+algebraic reformulation of the same method."""
+
+import numpy as np
+
+from mrhyde_tpu.problem import Problem
+
+
+def test_porous_mixed_hybridized_matches_mixed_gold():
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad", "NX": 8, "NY": 8},
+        "Physics": {"modules": "porous mixed hybridized",
+                    "Dirichlet conditions": {
+                        "lambda": {"left": "1.0", "right": "1.0",
+                                   "top": "1.0", "bottom": "1.0"}}},
+        "Functions": {"source": "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"},
+        "Solver": {"solver": "steady-state", "nonlinear TOL": 1e-7,
+                   "max nonlinear iters": 2, "initial type": "none",
+                   "use direct solver": True},
+        "Discretization": {"order": {"p": 0, "u": 1, "lambda": 1},
+                           "quadrature": 2},
+        "Postprocess": {"compute errors": True,
+                        "True solutions": {
+                            "p": "1.0+sin(2*pi*x)*sin(2*pi*y)",
+                            "u[x]": "-2*pi*cos(2*pi*x)*sin(2*pi*y)",
+                            "u[y]": "-2*pi*sin(2*pi*x)*cos(2*pi*y)"}},
+    }
+    res = Problem(cfg).run()
+    assert np.isclose(res.errors[("L2", "p")], 0.158697, rtol=2e-5)
+    assert np.isclose(res.errors[("L2", "u")], 1.02259, rtol=2e-5)
+
+
+def test_porous_weak_galerkin_converges():
+    # WG Darcy with homogeneous pressure trace; p converges to the
+    # manufactured solution (order-limited by the lowest-order spaces)
+    def run(n):
+        cfg = {
+            "Mesh": {"dimension": 2, "element type": "quad",
+                     "NX": n, "NY": n},
+            "Physics": {"modules": "porous weak Galerkin",
+                        "Dirichlet conditions": {
+                            "pbndry": {"left": "0.0", "right": "0.0",
+                                       "top": "0.0", "bottom": "0.0"}}},
+            "Functions": {"source": "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"},
+            "Solver": {"solver": "steady-state", "nonlinear TOL": 1e-8,
+                       "max nonlinear iters": 2, "initial type": "none",
+                       "use direct solver": True},
+            "Discretization": {"order": {"pint": 0, "pbndry": 1,
+                                         "u": 1, "t": 1},
+                               "quadrature": 2},
+            "Postprocess": {"compute errors": True,
+                            "True solutions": {
+                                "pint": "sin(2*pi*x)*sin(2*pi*y)"}},
+        }
+        return Problem(cfg).run().errors[("L2", "pint")]
+
+    e8, e16 = run(8), run(16)
+    assert e16 < 0.6 * e8          # converging
+    assert e16 < 0.12
