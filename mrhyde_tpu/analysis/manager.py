@@ -29,7 +29,10 @@ class AnalysisManager:
             return self.problem.forward()
         if mode == "forward+adjoint":
             return self.adjoint_solve()
-        if mode == "UQ":
+        if mode in ("UQ", "SOL"):
+            # SOL = ensemble sampling with the LA/sample comm split in
+            # the reference (split_mpi_communicators.cpp); here the
+            # ensemble axis is just the sample dimension
             return self.uq_solve()
         if mode in ("ROL", "ROL2"):
             return self.rol_solve()
@@ -94,9 +97,20 @@ class AnalysisManager:
     def rol_solve(self, verbose=0):
         """Bound-constrained L-BFGS optimization over active params."""
         p = self.problem
-        dfwd = self._differentiable()
         pm = p.param_manager
         rol_cfg = self.cfg.get("ROL", self.cfg.get("ROL2", {})) or {}
+        if rol_cfg.get("Generate data", False):
+            # data-generation mode (reference: analysisManager.cpp
+            # ROLSolve 'Generate data'): run the forward model with the
+            # current (true) parameters and store the solution history
+            # for discrete-misfit objectives
+            res = p.forward()
+            for t, uvec in zip(p.solution_storage.times,
+                               p.solution_storage.data):
+                if p.objective_manager is not None:
+                    p.objective_manager.datagen[round(float(t), 12)] = \
+                        jnp.asarray(uvec)
+        dfwd = self._differentiable()
 
         def vag(xflat):
             pvec = pm.unflatten(jnp.asarray(xflat))

@@ -42,7 +42,7 @@ def _ensure_imported():
     for mod in ("thermal", "ode", "cdr", "burgers", "linearelasticity",
                 "stokes", "navierstokes", "shallowwater", "helmholtz",
                 "porous", "porous_mixed", "porous_mixed_hybrid",
-                "porous_weak_galerkin", "maxwell",
+                "porous_weak_galerkin", "maxwell", "shallowwater_hybridized",
                 "msphasefield",
                 "hartmann", "shallowice", "kuramoto_sivashinsky",
                 "euler", "variable_density_ns", "incompressible_saturation",

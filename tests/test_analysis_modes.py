@@ -122,3 +122,30 @@ def test_driver_cli(tmp_path, capsys):
     assert main([str(path)]) == 0
     out = capsys.readouterr().out
     assert "L2 norm of the error for e" in out
+
+
+def test_generate_data_then_discrete_objective():
+    # ROL 'Generate data' mode stores the forward run; a discrete
+    # objective then measures misfit vs it (zero at the true params)
+    cfg = thermal_cfg(
+        {"b": {"type": "scalar", "value": 2.0, "usage": "active",
+               "min": 0.0, "max": 10.0},
+         "a": {"type": "scalar", "value": 1.0, "usage": "inactive"}},
+        {"analysis type": "ROL",
+         "ROL": {"Generate data": True,
+                 "Maximum Number of Iterations": 1}},
+        {"misfit": {"type": "discrete control", "weight": 1.0}})
+    out = Problem(cfg).run()
+    # objective at the generating parameters must be ~0
+    assert out.value < 1e-20
+
+
+def test_microstructure_generation():
+    from mrhyde_tpu.mesh.microstructure import generate_microstructure
+    from mrhyde_tpu.mesh.structured import box_mesh
+    mesh = box_mesh("quad", nx=10, ny=10)
+    ms = generate_microstructure(mesh, n_seeds=5, seed=7)
+    assert ms["grain_ids"].shape == (100,)
+    assert set(np.unique(ms["grain_ids"])) <= set(range(5))
+    ms2 = generate_microstructure(mesh, n_seeds=5, seed=7)
+    np.testing.assert_array_equal(ms["grain_ids"], ms2["grain_ids"])
