@@ -45,11 +45,14 @@ def load_input_deck(path: str) -> dict:
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: mrhyde-tpu <input.yaml> [--profile] [--fp64]")
+        print("usage: mrhyde-tpu <input.yaml> [--profile] [--fp64] [--cpu]")
         return 0
     path = argv[0]
     opts = set(argv[1:])
 
+    if "--cpu" in opts:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if "--fp64" in opts:
         from mrhyde_tpu.runtime import fp64
         fp64(True)

@@ -106,6 +106,10 @@ class Problem:
         for name, space in extra_vars.items():
             order = int(extra_orders.get(name, orders.get(name, 1)))
             variables.append((name, space, order))
+        if not variables:
+            raise ValueError(
+                "no variables: the Physics sublist needs 'modules' "
+                "(or 'Extra variables' / 'physics set names')")
         self.variables = variables
 
         # functions
