@@ -45,7 +45,7 @@ def _ensure_imported():
                 "porous_weak_galerkin", "maxwell", "shallowwater_hybridized",
                 "msphasefield",
                 "hartmann", "shallowice", "kuramoto_sivashinsky",
-                "euler", "variable_density_ns", "incompressible_saturation",
+                "euler", "cns", "variable_density_ns", "incompressible_saturation",
                 "llamas", "physics_test", "maxwells_fp",
                 "crystal_elasticity", "phasesolidification"):
         try:

@@ -56,3 +56,37 @@ def test_euler_acoustic_pulse_runs():
     u = np.asarray(res.u)
     assert np.isfinite(u).all()
     assert abs(u).max() < 10.0
+
+
+def test_cns_viscous_pulse_decays():
+    # with viscosity, the acoustic pulse loses energy vs inviscid Euler
+    def run(modname, extra):
+        cfg = {
+            "Mesh": {"dimension": 1, "element type": "interval", "NX": 32},
+            "Physics": {"modules": modname, "gamma": 1.4, **extra,
+                        "Initial conditions": {
+                            "rho": "1.0 + 0.01*exp(-200*(x-0.5)*(x-0.5))",
+                            "rhoux": "0.0",
+                            "rhoE":
+                                "(1.0/0.4) + 0.01*exp(-200*(x-0.5)*(x-0.5))"},
+                        "Dirichlet conditions": {
+                            "scalar data": True,
+                            "rhoux": {"left": 0.0, "right": 0.0}}},
+            "Discretization": {"order": {"rho": 1, "rhoux": 1, "rhoE": 1},
+                               "quadrature": 2},
+            "Solver": {"solver": "transient", "final time": 0.02,
+                       "number of steps": 4,
+                       "transient Butcher tableau": "DIRK-1,2",
+                       "max nonlinear iters": 6},
+            "Postprocess": {"compute errors": False},
+        }
+        return np.asarray(Problem(cfg).run().u)
+
+    u_euler = run("Euler", {})
+    u_cns = run("cns", {"mu": 0.05})
+    assert np.isfinite(u_cns).all()
+    # momentum magnitude damped by viscosity
+    n = 33
+    mom_e = np.abs(u_euler[n:2 * n]).max()
+    mom_v = np.abs(u_cns[n:2 * n]).max()
+    assert mom_v < mom_e
