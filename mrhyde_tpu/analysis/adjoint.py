@@ -21,8 +21,6 @@ formulas — XLA retains (or rematerializes) the forward states.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

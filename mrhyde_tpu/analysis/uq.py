@@ -11,8 +11,6 @@ axis shards it across chips).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-
 import jax
 import jax.numpy as jnp
 import numpy as np

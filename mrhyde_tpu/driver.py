@@ -11,7 +11,6 @@ keys merge per-subsystem YAML files into the master deck
 
 from __future__ import annotations
 
-import json
 import os
 import sys
 

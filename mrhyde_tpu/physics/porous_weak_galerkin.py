@@ -10,8 +10,6 @@ pbndry (HFACE), u (HDIV-DG, the weak gradient), t (HDIV-DG, the flux):
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from mrhyde_tpu.physics.base import PhysicsModule
 from mrhyde_tpu.physics.registry import register
 

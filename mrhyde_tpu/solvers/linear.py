@@ -11,8 +11,6 @@ solve — the analog of Amesos2 KLU2.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import jax.scipy.sparse.linalg as jsla

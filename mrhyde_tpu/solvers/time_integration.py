@@ -22,7 +22,7 @@ The per-stage work is pure XLA; the step/stage loops run on host
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np
