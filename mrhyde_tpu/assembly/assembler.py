@@ -279,6 +279,10 @@ class Assembler:
         self.is_transient = False
         # optional multiscale (subgrid DtN) model replacing volume terms
         self.multiscale = None
+        # subgrid usage = 1.0 REPLACES the macro volume physics with
+        # the upscaled DtN flux (reference: group multiscale flag,
+        # assemblyManager skips volume terms for multiscale groups)
+        self.volume_off = False
         # discretized (field) parameters: name -> {eldofs, phi, face_phi}
         # (reference: ParameterManager discretized params with their own
         # Panzer DOF manager, parameterManager.cpp:272)
@@ -373,6 +377,7 @@ class Assembler:
             params.pop(fp, None)
         for k in [k for k in params if str(k).startswith("__field:")]:
             params.pop(k)
+        params.pop("__ms", None)   # multiscale fine state rides pvec
         return Workset(
             dim=self.disc.mesh.dim, wts=wts, ip=ip,
             basis_vals=self.g_bv if basis_vals is None else basis_vals,
@@ -393,8 +398,9 @@ class Assembler:
                           time, pvec, deltat=1.0, extra=None):
         wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
                                 pvec, deltat=deltat, extra_fields=extra)
-        for m in self.modules:
-            m.volume_residual(wk)
+        if not self.volume_off:
+            for m in self.modules:
+                m.volume_residual(wk)
         return wk.res
 
     def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,

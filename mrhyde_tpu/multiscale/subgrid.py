@@ -135,39 +135,145 @@ class SubgridDtN:
                         if v in problem.disc.offsets}
         self._built = False
         self._last_fine = None
+        # transient fine state (reference: subgridDtN_solver.cpp:81-86
+        # d_sol_stage_saved / d_sol_prev_saved; solve() lines 280-330
+        # copy the MACRO butcher tableau / BDF weights into the fine
+        # workset -- the subgrid integrates synchronously with the
+        # macro stages). fine_prev: (E, hist, n_fine_dof) BDF history.
+        self.fine_prev = None
+        self._fine_sol_jit = None
+
+    # ------------------------------------------------------------------
+    # transient fine-state management (synchronous with the macro
+    # integrator; the integrator threads the per-stage seeding weights
+    # and the stored fine history through pvec["__ms"]).
+    # ------------------------------------------------------------------
+
+    def n_macro_elems(self):
+        return self.offsets_np.shape[0]
+
+    def init_history(self, hist: int, dtype) -> None:
+        """Zero fine history at transient start (reference:
+        subgridDtN_solver setInitial: fine initial state = 0; nonzero
+        subgrid ICs project the subgrid deck's Initial conditions)."""
+        E = self.n_macro_elems()
+        self.fine_prev = jnp.zeros((E, max(hist, 1), self.n_fine_dof),
+                                   dtype=dtype)
+        ics = (self.cfg.get("Physics", {}) or {}).get(
+            "Initial conditions", {}) or {}
+        if ics:
+            u0 = self._project_initial(ics, dtype)      # (E, nfd)
+            self.fine_prev = jnp.broadcast_to(
+                u0[:, None, :], self.fine_prev.shape)
+
+    def _project_initial(self, ics: dict, dtype):
+        """Interpolate subgrid initial-condition expressions at fine
+        nodes, per macro element (HGRAD fine spaces)."""
+        from mrhyde_tpu.assembly.assembler import PointContext
+        disc = self.fine_disc
+        E = self.n_macro_elems()
+        nodes = jnp.asarray(disc.mesh.nodes, dtype=dtype)   # (nn, dim)
+        offs = jnp.asarray(self.offsets_np, dtype=dtype)
+        pts = nodes[None] + offs[:, None, :]                # (E, nn, dim)
+        u0 = jnp.zeros((E, self.n_fine_dof), dtype=dtype)
+        for var, expr in ics.items():
+            if var not in disc.offsets:
+                continue
+            ctx = PointContext(pts[:, :, None, :], 0.0, self.problem.params)
+            vals = jnp.broadcast_to(
+                self.fm.evaluate_expr(str(expr), ctx),
+                (E, pts.shape[1], 1))[:, :, 0]              # (E, nn)
+            # supported: single p1 HGRAD fine var (dof k <-> node k);
+            # scatter via the element connectivity to be ordering-safe
+            st, nd = disc.offsets[var]
+            conn = jnp.asarray(disc.mesh.conn)              # (Ef, nv)
+            lids = jnp.asarray(disc.lids)[:, st:st + nd]    # (Ef, nd)
+            if nd != conn.shape[1]:
+                raise NotImplementedError(
+                    "subgrid Initial conditions: p1 HGRAD fine vars only")
+            u0 = u0.at[:, lids.ravel()].set(vals[:, conn.ravel()])
+        return u0
+
+    def blank_stages(self, nstage: int, dtype):
+        return jnp.zeros((self.n_macro_elems(), nstage, self.n_fine_dof),
+                         dtype=dtype)
+
+    def commit_step(self, fine_stages, nstage: int) -> None:
+        """Finish the fine step: combine stages exactly like the macro
+        update (u += z_s - u_prev0) and shift the BDF history."""
+        prev0 = self.fine_prev[:, 0]
+        if nstage > 1:
+            fine_new = prev0 + jnp.sum(
+                fine_stages[:, :nstage] - prev0[:, None], axis=1)
+        else:
+            fine_new = fine_stages[:, 0]
+        self.fine_prev = jnp.roll(self.fine_prev, 1, axis=1) \
+            .at[:, 0].set(fine_new)
+
+    @staticmethod
+    def _unpack_ms(pvec, E, nfd, dtype):
+        ms = (pvec or {}).get("__ms")
+        if ms is None:
+            z1 = jnp.zeros((E, 1, nfd), dtype=dtype)
+            z0 = jnp.zeros((1,), dtype=dtype)
+            return z1, z1, z0, z0
+        return ms["prev"], ms["stages"], ms["sw"], ms["bw"]
+
+    @staticmethod
+    def _strip_ms(pvec):
+        if pvec and "__ms" in pvec:
+            return {k: v for k, v in pvec.items() if k != "__ms"}
+        return pvec
 
     # ------------------------------------------------------------------
 
-    def _fine_residual(self, uf, offset, aux, tc, pvec):
+    def _fine_residual(self, uf, bu_f, bt_f, offset, aux, tc, pvec):
         """Residual of one macro element's fine problem.
 
         aux: list over boundary groups of {fine var: (B, Qf)} traces.
+        bu_f/bt_f: fine seeding vectors (n_fine_dof,) -- u_eval =
+        alpha_u uf + bu_f, u_dot = alpha_t uf + bt_f, with the SAME
+        alpha_u/alpha_t as the macro stage (synchronous subgrid).
         """
         fa = self.fa
-        u_e = uf[fa.lids]
-        zero = jnp.zeros_like(u_e)
-        fn = partial(fa._elem_residual, alpha_u=1.0, alpha_t=0.0,
-                     time=tc.time, pvec=pvec, deltat=tc.deltat)
+        u_e, bu_e, bt_e = uf[fa.lids], bu_f[fa.lids], bt_f[fa.lids]
+        fn = partial(fa._elem_residual, alpha_u=tc.alpha_u,
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                     deltat=tc.deltat)
         res_e = jax.vmap(fn, in_axes=(0, 0, 0, fa._wts_ax, 0, fa._bg_ax))(
-            u_e, zero, zero, fa.g_wts, fa.g_ip + offset, fa.g_bg)
+            u_e, bu_e, bt_e, fa.g_wts, fa.g_ip + offset, fa.g_bg)
         flat = jnp.concatenate([res_e.ravel(),
                                 jnp.zeros(1, dtype=res_e.dtype)])
         r = flat[fa.inc].sum(axis=1)
         for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
-            u_b = uf[g["lids"]]
-            zb = jnp.zeros_like(u_b)
-            bfn = partial(fa._belem_residual, g, alpha_u=1.0, alpha_t=0.0,
-                          time=tc.time, pvec=pvec, deltat=tc.deltat)
-            res_b = jax.vmap(bfn)(u_b, zb, zb, g["wts"],
+            u_b, bu_b, bt_b = uf[g["lids"]], bu_f[g["lids"]], bt_f[g["lids"]]
+            bfn = partial(fa._belem_residual, g, alpha_u=tc.alpha_u,
+                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                          deltat=tc.deltat)
+            res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, g["wts"],
                                   g["ip"] + offset, g["normals"],
                                   g["bg"], aux_g)
             r = r + jax.ops.segment_sum(res_b.ravel(), g["lids"].ravel(),
                                         num_segments=self.n_fine_dof)
         return r
 
-    def _elem_ms_residual(self, lam_e, offset, tc, pvec):
-        """Upscaled macro-element residual (ndof_macro_total,)."""
+    def _elem_ms_residual(self, lam_e, offset, tc, pvec,
+                          prev_e=None, stages_e=None, sw=None, bw=None):
+        """Upscaled macro-element residual (ndof_macro_total,).
+
+        lam_e: EVALUATED macro trace coefficients (alpha_u z + beta_u).
+        prev_e (Hf, nfd), stages_e (S, nfd): fine history/stage state;
+        sw (S,): A(s,r)/b(r) weights (zero for r >= s); bw (Hf,): BDF
+        history weights * timewt.  Returns (res, z_f) with z_f the fine
+        STAGE unknown.
+        """
         fa = self.fa
+        dtype = lam_e.dtype
+        if prev_e is None:
+            prev_e = jnp.zeros((1, self.n_fine_dof), dtype=dtype)
+            stages_e = jnp.zeros((1, self.n_fine_dof), dtype=dtype)
+            sw = jnp.zeros((1,), dtype=dtype)
+            bw = jnp.zeros((1,), dtype=dtype)
         aux = []
         for g, phi in zip(fa._bnd, self._groups):
             aux_g = {}
@@ -177,23 +283,33 @@ class SubgridDtN:
                     "m,mbq->bq", lam_e[st:st + nd], phi[mv])
             aux.append(aux_g)
 
-        uf = jnp.zeros(self.n_fine_dof, dtype=lam_e.dtype)
+        # fine seeding vectors from fine history (mirrors the macro
+        # stage algebra in solvers/time_integration.py step_once)
+        bu_f = (1.0 - tc.alpha_u) * prev_e[0] + jnp.einsum(
+            "s,sn->n", sw, stages_e - prev_e[0][None])
+        bt_f = jnp.einsum("h,hn->n", bw, prev_e)
+
+        uf = prev_e[0]
         for _ in range(self.newton_iters):
-            r = self._fine_residual(uf, offset, aux, tc, pvec)
+            r = self._fine_residual(uf, bu_f, bt_f, offset, aux, tc, pvec)
             J = jax.jacfwd(
-                lambda v: self._fine_residual(v, offset, aux, tc, pvec)
-            )(uf)
+                lambda v: self._fine_residual(v, bu_f, bt_f, offset, aux,
+                                              tc, pvec))(uf)
             uf = uf - jnp.linalg.solve(J, r)
 
         # upscale: res_macro_i += sum_sides int flux * phi_macro_i
+        # (reference: subgridDtN_solver.cpp:1485 updateFlux -- the flux
+        # is evaluated at the fine stage's EVALUATED solution)
+        u_ev = tc.alpha_u * uf + bu_f
+        u_dt = tc.alpha_t * uf + bt_f
         res = jnp.zeros_like(lam_e)
         for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
-            u_b = uf[g["lids"]]
-            zb = jnp.zeros_like(u_b)
+            u_b, ud_b = u_ev[g["lids"]], u_dt[g["lids"]]
 
-            def flux_fn(u_row, w_row, ip_row, n_row, bg_row, aux_row):
+            def flux_fn(u_row, ud_row, w_row, ip_row, n_row, bg_row,
+                        aux_row):
                 wk = fa._make_workset(
-                    u_row, 0.0 * u_row, w_row, ip_row, bg_row, tc.time,
+                    u_row, ud_row, w_row, ip_row, bg_row, tc.time,
                     pvec, normals=n_row, side_name=g["sideset"],
                     bcs={}, deltat=tc.deltat, basis_vals=g["bv"])
                 wk.extra_fields = aux_row
@@ -206,8 +322,8 @@ class SubgridDtN:
 
             aux_rows = aux_g
             flux = jax.vmap(flux_fn)(
-                u_b, g["wts"], g["ip"] + offset, g["normals"], g["bg"],
-                aux_rows)                              # var -> (B, Qf)
+                u_b, ud_b, g["wts"], g["ip"] + offset, g["normals"],
+                g["bg"], aux_rows)                     # var -> (B, Qf)
             for fv, mv in self.var_map.items():
                 st, nd = self.problem.disc.offsets[mv]
                 contrib = jnp.einsum("mbq,bq->m", phi[mv],
@@ -217,47 +333,83 @@ class SubgridDtN:
 
     # ------------------------------------------------------------------
 
+    def _macro_traces(self, u_macro, tc):
+        """(E, ndm) EVALUATED macro trace coefficients: the fine
+        problem couples to u_eval = alpha_u z + beta_u, not the stage
+        unknown (reference: subgridDtN_solver.cpp:305 fluxwt)."""
+        p = self.problem
+        lam_ev = tc.alpha_u * u_macro + tc.beta_u
+        return lam_ev[p.assembler.lids]
+
     def residual_contribution(self, u_macro, tc, pvec=None):
         """Summed upscaled residual over all macro elements (n_dof,)."""
         p = self.problem
-        lam = u_macro[p.assembler.lids]                 # (E, ndm)
+        E = self.n_macro_elems()
+        prev, stages, sw, bw = self._unpack_ms(
+            pvec, E, self.n_fine_dof, u_macro.dtype)
+        pvec = self._strip_ms(pvec)
+        lam = self._macro_traces(u_macro, tc)
         offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
 
-        def one(lam_e, off):
+        def one(lam_e, off, prev_e, stages_e):
             r, _uf = self._elem_ms_residual(lam_e, off[None, None, :],
-                                            tc, pvec)
+                                            tc, pvec, prev_e, stages_e,
+                                            sw, bw)
             return r
 
-        res_e = jax.vmap(one, in_axes=(0, 0))(lam, offs)
+        res_e = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
         flat = jnp.concatenate([res_e.ravel(),
                                 jnp.zeros(1, dtype=res_e.dtype)])
         return flat[p.assembler.inc].sum(axis=1)
 
     def jacobian_contribution(self, u_macro, tc, pvec=None):
-        """(E, ndm, ndm) macro element blocks d(res)/d(lambda)."""
+        """(E, ndm, ndm) macro element blocks d(res)/d(u_stage).
+
+        The residual depends on the stage unknown z only through
+        lam_eval = alpha_u z + beta_u, so d/dz = alpha_u * d/d(lam_eval)
+        (the reference's fluxwt chain-rule seed)."""
         p = self.problem
-        lam = u_macro[p.assembler.lids]
+        E = self.n_macro_elems()
+        prev, stages, sw, bw = self._unpack_ms(
+            pvec, E, self.n_fine_dof, u_macro.dtype)
+        pvec = self._strip_ms(pvec)
+        lam = self._macro_traces(u_macro, tc)
         offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
 
-        def one(lam_e, off):
+        def one(lam_e, off, prev_e, stages_e):
             return jax.jacfwd(
                 lambda l: self._elem_ms_residual(l, off[None, None, :],
-                                                 tc, pvec)[0])(lam_e)
+                                                 tc, pvec, prev_e,
+                                                 stages_e, sw, bw)[0]
+            )(lam_e)
 
-        return jax.vmap(one, in_axes=(0, 0))(lam, offs)
+        jac = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
+        return tc.alpha_u * jac
 
     def fine_solutions(self, u_macro, tc, pvec=None):
-        """(E, n_fine_dof) fine solutions for postprocessing."""
-        p = self.problem
-        lam = u_macro[p.assembler.lids]
+        """(E, n_fine_dof) fine STAGE solutions for the given macro
+        state (used per accepted stage and for postprocessing)."""
+        E = self.n_macro_elems()
+        prev, stages, sw, bw = self._unpack_ms(
+            pvec, E, self.n_fine_dof, u_macro.dtype)
+        pvec = self._strip_ms(pvec)
+        lam = self._macro_traces(u_macro, tc)
         offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
 
-        def one(lam_e, off):
+        def one(lam_e, off, prev_e, stages_e):
             _r, uf = self._elem_ms_residual(lam_e, off[None, None, :],
-                                            tc, pvec)
+                                            tc, pvec, prev_e, stages_e,
+                                            sw, bw)
             return uf
 
-        return jax.vmap(one, in_axes=(0, 0))(lam, offs)
+        if self._fine_sol_jit is None:
+            self._fine_sol_jit = jax.jit(
+                lambda lam, offs, prev, stages, sw, bw, tc, pvec:
+                jax.vmap(lambda l, o, p_, s_: self._elem_ms_residual(
+                    l, o[None, None, :], tc, pvec, p_, s_, sw, bw)[1]
+                )(lam, offs, prev, stages))
+        return self._fine_sol_jit(lam, offs, prev, stages, sw, bw, tc,
+                                  pvec)
 
     def compute_errors(self, u_macro, time=0.0, pvec=None) -> dict:
         """Fine-union L2 errors vs the subgrid deck's True solutions."""
@@ -266,9 +418,13 @@ class SubgridDtN:
             "True solutions", {}) or {}
         if not exprs:
             return {}
-        tc = TimeCoeffs.steady(self.problem.n_dof, time=time,
-                               dtype=u_macro.dtype)
-        ufs = self.fine_solutions(u_macro, tc, pvec)    # (E, nfd)
+        if self.fine_prev is not None:
+            # transient: the committed end-of-step fine solution
+            ufs = self.fine_prev[:, 0]                  # (E, nfd)
+        else:
+            tc = TimeCoeffs.steady(self.problem.n_dof, time=time,
+                                   dtype=u_macro.dtype)
+            ufs = self.fine_solutions(u_macro, tc, pvec)
         disc = self.fine_disc
         out = {}
         offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)

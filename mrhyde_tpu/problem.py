@@ -210,6 +210,15 @@ class Problem:
             from mrhyde_tpu.multiscale.subgrid import SubgridDtN
             self.multiscale = SubgridDtN(self, cfg["Subgrid"])
             self.assembler.multiscale = self.multiscale
+            # usage = 1.0 (all macro elements subgrid-resolved): the
+            # upscaled flux REPLACES the macro volume physics
+            sub = cfg["Subgrid"].get("Subgrid", cfg["Subgrid"])
+            try:
+                usage = float(sub.get("usage", 1.0))
+            except (TypeError, ValueError):
+                usage = 0.0   # spatially-varying usage: not yet supported
+            if usage >= 1.0:
+                self.assembler.volume_off = True
 
     # ------------------------------------------------------------------
 
@@ -344,10 +353,16 @@ class Problem:
 
         out = ForwardResult(u=None, time=t0)
 
+        if self.multiscale is not None:
+            self.multiscale.init_history(integ.max_history(),
+                                         jnp.asarray(0.0).dtype)
+
         def observer(u, time, step):
             if record and self.compute_errors:
-                out.error_history.append(
-                    (time, self.error_calc.compute(u, time)))
+                errs = self.error_calc.compute(u, time)
+                if self.multiscale is not None:
+                    errs.update(self.multiscale.compute_errors(u, time))
+                out.error_history.append((time, errs))
             if record:
                 self.solution_storage.store(u, time)
                 if self.solution_writer is not None:

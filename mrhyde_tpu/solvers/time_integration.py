@@ -182,6 +182,15 @@ class TransientIntegrator:
         u_stages = []
         ok = True
         u_new = u
+        # synchronous subgrid models integrate with the macro stages:
+        # fine history + per-stage seeding weights ride pvec["__ms"]
+        # (reference: subgridDtN_solver.cpp:280-330 copies the macro
+        # butcher tableau/BDF weights into the subgrid workset)
+        ms = getattr(asm, "multiscale", None)
+        if ms is not None and ms.fine_prev is None:
+            ms.init_history(self.max_history(), u.dtype)
+        ms_stages = (None if ms is None
+                     else ms.blank_stages(nstage, u.dtype))
         for s in range(nstage):
             z0 = u_step_start
             alpha_u = A[s, s] / b[s]
@@ -200,13 +209,25 @@ class TransientIntegrator:
                             jnp.asarray(alpha_t, u.dtype), beta_t,
                             jnp.asarray(t_stage, u.dtype),
                             jnp.asarray(dt, u.dtype))
+            pvec_stage = self.pvec
+            if ms is not None:
+                sw = np.zeros(nstage)
+                sw[:s] = A[s, :s] / b[:s]
+                hf = ms.fine_prev.shape[1]
+                bw = np.zeros(hf)
+                bw[:len(w) - 1] = w[1:] * timewt
+                pvec_stage = {**(self.pvec or {}),
+                              "__ms": {"prev": ms.fine_prev,
+                                       "stages": ms_stages,
+                                       "sw": jnp.asarray(sw, u.dtype),
+                                       "bw": jnp.asarray(bw, u.dtype)}}
             if self.set_dirichlet is not None:
                 z0 = self.set_dirichlet(z0, t_stage)
             if self.fully_explicit:
                 z = self._explicit_stage(z0, tc)
             else:
                 result = newton_solve(
-                    asm, z0, tc, self.pvec, tol=self.nonlinear_tol,
+                    asm, z0, tc, pvec_stage, tol=self.nonlinear_tol,
                     abstol=self.abs_tol,
                     maxiter=self.max_nonlinear_iters,
                     linear_method=self.linear_method,
@@ -218,10 +239,15 @@ class TransientIntegrator:
                     break
                 z = result.u
             u_stages.append(z)
+            if ms is not None:
+                ms_stages = ms_stages.at[:, s].set(
+                    ms.fine_solutions(z, tc, pvec_stage))
             if nstage > 1:
                 u_new = u_new + z - u_prev[0]
             else:
                 u_new = z
+        if ok and ms is not None:
+            ms.commit_step(ms_stages, nstage)
         return u_new, u_prev, ok
 
     def run(self, u0, *, t0=0.0, t_end=1.0, dt=None, num_steps=None,
