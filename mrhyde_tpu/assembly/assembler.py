@@ -524,9 +524,10 @@ class Assembler:
             bnd_blocks.append(jac_b)
             bnd_lids.append(group["lids"])
         if self.multiscale is not None:
-            bnd_blocks.append(
-                self.multiscale.jacobian_contribution(u_st, tc, pvec))
-            bnd_lids.append(self.lids)
+            for blk, blids in self.multiscale.jacobian_blocks(u_st, tc,
+                                                              pvec):
+                bnd_blocks.append(blk)
+                bnd_lids.append(blids)
         return BlockJacobian(vol=jac_e, vol_lids=self.lids, bnd=bnd_blocks,
                              bnd_lids=bnd_lids, fixed=self.fixed,
                              inc=self.inc)

@@ -35,7 +35,7 @@ __all__ = ["SubgridDtN"]
 
 
 class SubgridDtN:
-    def __init__(self, problem, subgrid_cfg: dict):
+    def __init__(self, problem, subgrid_cfg: dict, elems=None, label=0):
         from mrhyde_tpu.assembly.assembler import Assembler
         from mrhyde_tpu.assembly.discretization import Discretization
         from mrhyde_tpu.functions.manager import FunctionManager
@@ -47,32 +47,49 @@ class SubgridDtN:
         cfg = subgrid_cfg.get("Subgrid", subgrid_cfg)
         self.cfg = cfg
         self.model = cfg.get("subgrid model", "DtN2")
+        self.label = int(label)          # reported as "Subgrid {label}:"
         mesh_cfg = cfg.get("Mesh", {}) or {}
         refine = int(mesh_cfg.get("refinements", 1))
         n1 = 2 ** refine
         macro_mesh = problem.mesh
         dim = macro_mesh.dim
-        if macro_mesh.cell_type != "quad":
-            raise NotImplementedError("subgrid DtN: quad macro cells only")
+        cell = macro_mesh.cell_type
+        if cell not in ("quad", "hex"):
+            raise NotImplementedError(
+                "subgrid DtN: quad/hex macro cells only")
 
         # representative fine mesh in macro REFERENCE coords [-1,1]^dim
-        ref_fine = box_mesh("quad", nx=n1, ny=n1, xmin=-1.0, xmax=1.0,
-                            ymin=-1.0, ymax=1.0)
+        if cell == "hex":
+            ref_fine = box_mesh("hex", nx=n1, ny=n1, nz=n1,
+                                xmin=-1.0, xmax=1.0, ymin=-1.0, ymax=1.0,
+                                zmin=-1.0, zmax=1.0)
+        else:
+            ref_fine = box_mesh("quad", nx=n1, ny=n1, xmin=-1.0, xmax=1.0,
+                                ymin=-1.0, ymax=1.0)
         self.ref_fine = ref_fine
 
-        # physical fine mesh for macro element 0 (translation-uniform)
-        macro_coords = macro_mesh.nodes[macro_mesh.conn]   # (E, 4, dim)
-        geo = get_basis("quad", "HGRAD", 1)
-        gvals = geo.eval(ref_fine.nodes)                   # (4, nfn)
-        phys0 = np.einsum("cd,cn->nd", macro_coords[0], gvals)
-        fine_mesh = Mesh(dim=dim, cell_type="quad", nodes=phys0,
+        # macro element subset this model owns (multimodel decks assign
+        # disjoint subsets by usage votes; default = all elements)
+        n_macro = macro_mesh.conn.shape[0]
+        self.elems = (np.arange(n_macro) if elems is None
+                      else np.asarray(elems, dtype=int))
+        self.owns_all = self.elems.size == n_macro
+
+        # physical fine mesh for the representative macro element
+        # (translation-uniform within the subset)
+        macro_coords = macro_mesh.nodes[macro_mesh.conn]   # (E, nv, dim)
+        sub_coords = macro_coords[self.elems]
+        geo = get_basis(cell, "HGRAD", 1)
+        gvals = geo.eval(ref_fine.nodes)                   # (nv, nfn)
+        phys0 = np.einsum("cd,cn->nd", sub_coords[0], gvals)
+        fine_mesh = Mesh(dim=dim, cell_type=cell, nodes=phys0,
                          conn=ref_fine.conn,
                          sidesets=dict(ref_fine.sidesets))
 
         # uniformity check + per-macro-element ip offsets
-        cents = macro_coords.mean(axis=1)
+        cents = sub_coords.mean(axis=1)
         self.offsets_np = cents - cents[0]
-        spans = macro_coords.max(axis=1) - macro_coords.min(axis=1)
+        spans = sub_coords.max(axis=1) - sub_coords.min(axis=1)
         if not np.allclose(spans, spans[0], rtol=1e-12):
             raise NotImplementedError(
                 "subgrid DtN currently requires a uniform macro mesh")
@@ -339,7 +356,11 @@ class SubgridDtN:
         unknown (reference: subgridDtN_solver.cpp:305 fluxwt)."""
         p = self.problem
         lam_ev = tc.alpha_u * u_macro + tc.beta_u
-        return lam_ev[p.assembler.lids]
+        return lam_ev[self._sub_lids()]
+
+    def _sub_lids(self):
+        lids = self.problem.assembler.lids
+        return lids if self.owns_all else lids[jnp.asarray(self.elems)]
 
     def residual_contribution(self, u_macro, tc, pvec=None):
         """Summed upscaled residual over all macro elements (n_dof,)."""
@@ -358,9 +379,12 @@ class SubgridDtN:
             return r
 
         res_e = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
-        flat = jnp.concatenate([res_e.ravel(),
-                                jnp.zeros(1, dtype=res_e.dtype)])
-        return flat[p.assembler.inc].sum(axis=1)
+        if self.owns_all:
+            flat = jnp.concatenate([res_e.ravel(),
+                                    jnp.zeros(1, dtype=res_e.dtype)])
+            return flat[p.assembler.inc].sum(axis=1)
+        return jax.ops.segment_sum(res_e.ravel(), self._sub_lids().ravel(),
+                                   num_segments=p.assembler.n_dof)
 
     def jacobian_contribution(self, u_macro, tc, pvec=None):
         """(E, ndm, ndm) macro element blocks d(res)/d(u_stage).
@@ -385,6 +409,26 @@ class SubgridDtN:
 
         jac = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
         return tc.alpha_u * jac
+
+    def jacobian_blocks(self, u_macro, tc, pvec=None):
+        """[(blocks, lids)] pairs for the global BlockJacobian."""
+        return [(self.jacobian_contribution(u_macro, tc, pvec),
+                 self._sub_lids())]
+
+    # ---- integrator hooks (synchronous stage stepping) ---------------
+
+    def stage_ms_entry(self, stages, s, A, b, w, timewt, dtype):
+        """The pvec['__ms'] value for macro stage s."""
+        nstage = len(b)
+        sw = np.zeros(nstage)
+        sw[:s] = A[s, :s] / b[:s]
+        bw = np.zeros(self.fine_prev.shape[1])
+        bw[:len(w) - 1] = w[1:] * timewt
+        return {"prev": self.fine_prev, "stages": stages,
+                "sw": jnp.asarray(sw, dtype), "bw": jnp.asarray(bw, dtype)}
+
+    def record_stage(self, stages, s, z, tc, pvec):
+        return stages.at[:, s].set(self.fine_solutions(z, tc, pvec))
 
     def fine_solutions(self, u_macro, tc, pvec=None):
         """(E, n_fine_dof) fine STAGE solutions for the given macro
@@ -442,5 +486,110 @@ class SubgridDtN:
                                    uh.shape)
             wts = jnp.asarray(disc.wts)
             err2 = jnp.sum(wts[None] * (uh - tru) ** 2)
-            out[("Subgrid-L2", var)] = float(jnp.sqrt(err2))
+            kind = ("Subgrid-L2" if self.label == 0
+                    else f"Subgrid-L2:{self.label}")
+            out[(kind, var)] = float(jnp.sqrt(err2))
+        return out
+
+
+class MultiscaleModels:
+    """Several subgrid models over disjoint macro-element subsets.
+
+    Reference: MultiscaleManager (src/managers/multiscaleManager.cpp:
+    117-150 one model per Subgrid sublist with a 'usage' expression;
+    assemblyManager.cpp:8071-8110 evaluates every model's usage at the
+    volume qps and assigns each group to the model with the most
+    usage >= 1 votes, ties going to the LATER model).
+
+    Implements the same interface as SubgridDtN; pvec["__ms"] becomes
+    a tuple of per-model entries.
+    """
+
+    def __init__(self, problem, subgrid_cfg: dict):
+        cfg = subgrid_cfg.get("Subgrid", subgrid_cfg)
+        model_cfgs = [(k, v) for k, v in cfg.items()
+                      if isinstance(v, dict) and "Mesh" in v]
+        if not model_cfgs:
+            raise ValueError("Subgrid list has no model sublists")
+        # usage votes at macro volume qps (reference semantics)
+        from mrhyde_tpu.assembly.assembler import PointContext
+        disc = problem.disc
+        ips = jnp.asarray(disc.ip)                    # (E, Q, dim)
+        E = ips.shape[0]
+        votes = []
+        for j, (_name, mcfg) in enumerate(model_cfgs):
+            usage = str(mcfg.get("usage", "1.0" if j == 0 else "0.0"))
+            ctx = PointContext(ips, 0.0, problem.params)
+            vals = jnp.broadcast_to(
+                problem.fm.evaluate_expr(usage, ctx), ips.shape[:2])
+            votes.append(np.asarray(vals >= 1.0).sum(axis=1))
+        votes = np.stack(votes)                       # (M, E)
+        winner = np.zeros(E, dtype=int)
+        best = np.full(E, -1)
+        for j in range(votes.shape[0]):
+            take = votes[j] >= best
+            winner[take] = j
+            best = np.maximum(best, votes[j])
+        self.models = []
+        for j, (_name, mcfg) in enumerate(model_cfgs):
+            elems = np.nonzero(winner == j)[0]
+            if elems.size == 0:
+                continue
+            self.models.append(SubgridDtN(problem, mcfg,
+                                          elems=elems,
+                                          label=len(self.models)))
+        self.fine_prev = None   # presence flag for the integrator
+
+    def init_history(self, hist, dtype):
+        for m in self.models:
+            m.init_history(hist, dtype)
+        self.fine_prev = True
+
+    def blank_stages(self, nstage, dtype):
+        return tuple(m.blank_stages(nstage, dtype) for m in self.models)
+
+    def stage_ms_entry(self, stages, s, A, b, w, timewt, dtype):
+        return tuple(m.stage_ms_entry(st, s, A, b, w, timewt, dtype)
+                     for m, st in zip(self.models, stages))
+
+    def record_stage(self, stages, s, z, tc, pvec):
+        out = []
+        for i, (m, st) in enumerate(zip(self.models, stages)):
+            sub = dict(pvec)
+            sub["__ms"] = pvec["__ms"][i] if "__ms" in pvec else None
+            if sub["__ms"] is None:
+                sub.pop("__ms")
+            out.append(m.record_stage(st, s, z, tc, sub))
+        return tuple(out)
+
+    def commit_step(self, stages, nstage):
+        for m, st in zip(self.models, stages):
+            m.commit_step(st, nstage)
+
+    def _sub_pvec(self, pvec, i):
+        if not pvec or "__ms" not in pvec:
+            return pvec
+        sub = dict(pvec)
+        sub["__ms"] = pvec["__ms"][i]
+        return sub
+
+    def residual_contribution(self, u_macro, tc, pvec=None):
+        r = 0.0
+        for i, m in enumerate(self.models):
+            r = r + m.residual_contribution(u_macro, tc,
+                                            self._sub_pvec(pvec, i))
+        return r
+
+    def jacobian_blocks(self, u_macro, tc, pvec=None):
+        out = []
+        for i, m in enumerate(self.models):
+            out.extend(m.jacobian_blocks(u_macro, tc,
+                                         self._sub_pvec(pvec, i)))
+        return out
+
+    def compute_errors(self, u_macro, time=0.0, pvec=None) -> dict:
+        out = {}
+        for i, m in enumerate(self.models):
+            out.update(m.compute_errors(u_macro, time,
+                                        self._sub_pvec(pvec, i)))
         return out

@@ -136,11 +136,16 @@ class ErrorCalculator:
                  "***** Computing errors ******", ""]
         for time, errs in history:
             for (kind, var), val in errs.items():
-                label = {"L2": f"L2 norm of the error for {var}",
-                         "L2-grad": f"L2 norm of the error for grad({var})",
-                         "Subgrid-L2":
-                             f"Subgrid 0: L2 norm of the error for {var}",
-                         "L2-face":
-                             f"L2-face norm of the error for {var}"}[kind]
+                if kind.startswith("Subgrid-L2"):
+                    idx = kind.split(":")[1] if ":" in kind else "0"
+                    label = (f"Subgrid {idx}: L2 norm of the error "
+                             f"for {var}")
+                else:
+                    label = {
+                        "L2": f"L2 norm of the error for {var}",
+                        "L2-grad":
+                            f"L2 norm of the error for grad({var})",
+                        "L2-face":
+                            f"L2-face norm of the error for {var}"}[kind]
                 lines.append(f"***** {label} = {val:.6g}  (time = {time:g})")
         return "\n".join(lines)

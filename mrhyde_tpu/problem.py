@@ -92,9 +92,14 @@ class Problem:
         # variables + orders
         disc_cfg = _unwrap_block(cfg.get("Discretization", {}), "order")
         orders = disc_cfg.get("order", {}) or {}
+        # 'Active variables' overrides a module variable's space (e.g.
+        # HFACE macro traces in multiscale decks; reference:
+        # physicsInterface reads "Active variables" per block)
+        active = phys_cfg.get("Active variables", {}) or {}
         variables = []
         for m in self.modules:
             for (name, space, default_order) in m.variables():
+                space = active.get(name, space)
                 order = int(orders.get(name, default_order))
                 if space == "HVOL":
                     order = 0
@@ -207,18 +212,20 @@ class Problem:
         # multiscale subgrid models
         self.multiscale = None
         if cfg.get("Subgrid"):
-            from mrhyde_tpu.multiscale.subgrid import SubgridDtN
-            self.multiscale = SubgridDtN(self, cfg["Subgrid"])
-            self.assembler.multiscale = self.multiscale
-            # usage = 1.0 (all macro elements subgrid-resolved): the
-            # upscaled flux REPLACES the macro volume physics
+            from mrhyde_tpu.multiscale.subgrid import (SubgridDtN,
+                                                       MultiscaleModels)
             sub = cfg["Subgrid"].get("Subgrid", cfg["Subgrid"])
-            try:
-                usage = float(sub.get("usage", 1.0))
-            except (TypeError, ValueError):
-                usage = 0.0   # spatially-varying usage: not yet supported
-            if usage >= 1.0:
-                self.assembler.volume_off = True
+            if "Mesh" in sub:
+                self.multiscale = SubgridDtN(self, sub)
+            else:
+                # several model sublists with usage expressions
+                self.multiscale = MultiscaleModels(self, sub)
+            self.assembler.multiscale = self.multiscale
+            # every macro element gets a subgrid model (reference:
+            # assemblyManager.cpp:8101-8108 winner defaults even with
+            # zero votes) -> the upscaled flux REPLACES macro volume
+            # physics everywhere
+            self.assembler.volume_off = True
 
     # ------------------------------------------------------------------
 

@@ -211,16 +211,9 @@ class TransientIntegrator:
                             jnp.asarray(dt, u.dtype))
             pvec_stage = self.pvec
             if ms is not None:
-                sw = np.zeros(nstage)
-                sw[:s] = A[s, :s] / b[:s]
-                hf = ms.fine_prev.shape[1]
-                bw = np.zeros(hf)
-                bw[:len(w) - 1] = w[1:] * timewt
                 pvec_stage = {**(self.pvec or {}),
-                              "__ms": {"prev": ms.fine_prev,
-                                       "stages": ms_stages,
-                                       "sw": jnp.asarray(sw, u.dtype),
-                                       "bw": jnp.asarray(bw, u.dtype)}}
+                              "__ms": ms.stage_ms_entry(
+                                  ms_stages, s, A, b, w, timewt, u.dtype)}
             if self.set_dirichlet is not None:
                 z0 = self.set_dirichlet(z0, t_stage)
             if self.fully_explicit:
@@ -240,8 +233,8 @@ class TransientIntegrator:
                 z = result.u
             u_stages.append(z)
             if ms is not None:
-                ms_stages = ms_stages.at[:, s].set(
-                    ms.fine_solutions(z, tc, pvec_stage))
+                ms_stages = ms.record_stage(ms_stages, s, z, tc,
+                                            pvec_stage)
             if nstage > 1:
                 u_new = u_new + z - u_prev[0]
             else:

@@ -80,3 +80,78 @@ def test_dirk33_gold():
         (0.75, 0.0996334, 0.047603),
         (1.0, 0.00829951, 0.00925458),
     ])
+
+
+def test_multimodel_gold():
+    """thermal/2D_verification_multiscale_multimodel: two subgrid
+    models selected by usage votes (SG-R0 refinements 0 everywhere,
+    SG-R1 refinements 1 in the x<0.5, y>0.5 quarter).
+
+    Macro face error matches gold exactly. The per-model subgrid L2
+    errors sit within 1% of gold: the reference votes per ~100-element
+    workset group, so straddling groups at the region interface are
+    assigned to the majority model, while we vote per element.
+    """
+    src = "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"
+    true = "sin(2*pi*x)*sin(2*pi*y)"
+
+    def sg(refine, usage):
+        return {"usage": usage,
+                "Mesh": {"element type": "quad",
+                         "refinements": refine, "dimension": 2},
+                "Physics": {"modules": "thermal"},
+                "Solver": {"solver": "steady-state"},
+                "Functions": {"thermal source": src},
+                "Discretization": {"order": {"e": 1}, "quadrature": 2},
+                "Postprocess": {"True solutions": {"e": true}}}
+
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 40, "NY": 40},
+        "Physics": {"modules": "thermal", "assemble face terms": True,
+                    "Dirichlet conditions":
+                    {"e": {"all boundaries": "0.0"}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+        "Postprocess": {"compute errors": True,
+                        "True solutions": {"e face": true}},
+        "Subgrid": {"static subgrids": True,
+                    "SG-R0": sg(0, "1.0"),
+                    "SG-R1": sg(1, "(x<0.5)*(y>0.5)")},
+    }
+    res = Problem(cfg).run()
+    assert np.isclose(res.errors[("L2-face", "e")], 0.00176029, rtol=1e-4)
+    assert np.isclose(res.errors[("Subgrid-L2", "e")], 0.00035747,
+                      rtol=1e-2)
+    assert np.isclose(res.errors[("Subgrid-L2:1", "e")], 0.000197984,
+                      rtol=1e-2)
+
+
+def test_3d_hex_gold():
+    """thermal/3D_verification_multiscale: hex macro cells."""
+    src = "12*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)*sin(2*pi*z)"
+    true = "sin(2*pi*x)*sin(2*pi*y)*sin(2*pi*z)"
+    cfg = {
+        "Mesh": {"dimension": 3, "element type": "hex",
+                 "NX": 10, "NY": 10, "NZ": 10},
+        "Physics": {"modules": "thermal", "assemble face terms": True,
+                    "Dirichlet conditions":
+                    {"e": {"all boundaries": "0.0"}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+        "Postprocess": {"compute errors": True,
+                        "True solutions": {"e face": true}},
+        "Subgrid": {
+            "Mesh": {"element type": "hex", "refinements": 0,
+                     "dimension": 3},
+            "Physics": {"modules": "thermal"},
+            "Solver": {"solver": "steady-state"},
+            "Functions": {"thermal source": src},
+            "Discretization": {"order": {"e": 1}, "quadrature": 2},
+            "Postprocess": {"True solutions": {"e": true}}},
+        "Functions": {"thermal source": src},
+    }
+    res = Problem(cfg).run()
+    assert np.isclose(res.errors[("L2-face", "e")], 0.111135, rtol=1e-4)
+    assert np.isclose(res.errors[("Subgrid-L2", "e")], 0.00496611,
+                      rtol=1e-4)
