@@ -126,8 +126,14 @@ class SubgridDtN:
                                for ss in fine_mesh.sidesets}
                            for v in self.fine_vars}
         self.n_fine_dof = self.fine_disc.n_dof
-        self.newton_iters = int(cfg.get("Solver", {}).get(
-            "max nonlinear iters", 2))
+        sol_cfg = cfg.get("Solver", {}) or {}
+        self.newton_iters = int(sol_cfg.get("max nonlinear iters", 2))
+        # asynchronous subgrid stepping: the fine problem substeps
+        # through each macro step with its own tableau
+        self.sync = bool(sol_cfg.get("synchronous time stepping", True))
+        self.sub_steps = int(sol_cfg.get("number of steps", 1))
+        self.fine_tableau = sol_cfg.get("transient Butcher tableau",
+                                        "BWE")
 
         # macro basis tables at fine interface quadrature points
         ref_disc = Discretization(ref_fine, variables,
@@ -244,19 +250,26 @@ class SubgridDtN:
 
     # ------------------------------------------------------------------
 
-    def _fine_residual(self, uf, bu_f, bt_f, offset, aux, tc, pvec):
+    def _fine_residual(self, uf, bu_f, bt_f, offset, aux, tc, pvec,
+                       alpha_u=None, alpha_t=None, time=None,
+                       deltat=None):
         """Residual of one macro element's fine problem.
 
         aux: list over boundary groups of {fine var: (B, Qf)} traces.
         bu_f/bt_f: fine seeding vectors (n_fine_dof,) -- u_eval =
-        alpha_u uf + bu_f, u_dot = alpha_t uf + bt_f, with the SAME
-        alpha_u/alpha_t as the macro stage (synchronous subgrid).
+        alpha_u uf + bu_f, u_dot = alpha_t uf + bt_f.  The alphas
+        default to the macro stage's (synchronous subgrid); the
+        asynchronous path passes its own substep coefficients.
         """
         fa = self.fa
+        alpha_u = tc.alpha_u if alpha_u is None else alpha_u
+        alpha_t = tc.alpha_t if alpha_t is None else alpha_t
+        time = tc.time if time is None else time
+        deltat = tc.deltat if deltat is None else deltat
         u_e, bu_e, bt_e = uf[fa.lids], bu_f[fa.lids], bt_f[fa.lids]
-        fn = partial(fa._elem_residual, alpha_u=tc.alpha_u,
-                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
-                     deltat=tc.deltat)
+        fn = partial(fa._elem_residual, alpha_u=alpha_u,
+                     alpha_t=alpha_t, time=time, pvec=pvec,
+                     deltat=deltat)
         res_e = jax.vmap(fn, in_axes=(0, 0, 0, fa._wts_ax, 0, fa._bg_ax))(
             u_e, bu_e, bt_e, fa.g_wts, fa.g_ip + offset, fa.g_bg)
         flat = jnp.concatenate([res_e.ravel(),
@@ -264,9 +277,9 @@ class SubgridDtN:
         r = flat[fa.inc].sum(axis=1)
         for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
             u_b, bu_b, bt_b = uf[g["lids"]], bu_f[g["lids"]], bt_f[g["lids"]]
-            bfn = partial(fa._belem_residual, g, alpha_u=tc.alpha_u,
-                          alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
-                          deltat=tc.deltat)
+            bfn = partial(fa._belem_residual, g, alpha_u=alpha_u,
+                          alpha_t=alpha_t, time=time, pvec=pvec,
+                          deltat=deltat)
             res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, g["wts"],
                                   g["ip"] + offset, g["normals"],
                                   g["bg"], aux_g)
@@ -291,14 +304,7 @@ class SubgridDtN:
             stages_e = jnp.zeros((1, self.n_fine_dof), dtype=dtype)
             sw = jnp.zeros((1,), dtype=dtype)
             bw = jnp.zeros((1,), dtype=dtype)
-        aux = []
-        for g, phi in zip(fa._bnd, self._groups):
-            aux_g = {}
-            for fv, mv in self.var_map.items():
-                st, nd = self.problem.disc.offsets[mv]
-                aux_g[f"aux {fv}"] = jnp.einsum(
-                    "m,mbq->bq", lam_e[st:st + nd], phi[mv])
-            aux.append(aux_g)
+        aux = self._make_aux(lam_e)
 
         # fine seeding vectors from fine history (mirrors the macro
         # stage algebra in solvers/time_integration.py step_once)
@@ -319,7 +325,97 @@ class SubgridDtN:
         # is evaluated at the fine stage's EVALUATED solution)
         u_ev = tc.alpha_u * uf + bu_f
         u_dt = tc.alpha_t * uf + bt_f
-        res = jnp.zeros_like(lam_e)
+        res = self._flux_upscale(u_ev, u_dt, offset, aux, tc, pvec,
+                                 jnp.zeros_like(lam_e))
+        return res, uf
+
+    def _make_aux(self, lam_vec):
+        """Per-boundary-group {fine var: (B, Qf)} macro traces."""
+        aux = []
+        for g, phi in zip(self.fa._bnd, self._groups):
+            aux_g = {}
+            for fv, mv in self.var_map.items():
+                st, nd = self.problem.disc.offsets[mv]
+                aux_g[f"aux {fv}"] = jnp.einsum(
+                    "m,mbq->bq", lam_vec[st:st + nd], phi[mv])
+            aux.append(aux_g)
+        return aux
+
+    def _elem_ms_async(self, lam_e, lam_prev_e, offset, tc, pvec,
+                       prev_e, t_prev):
+        """Asynchronous subgrid: the fine problem substeps through the
+        macro step with its own tableau, the macro trace Lagrange-
+        interpolated in time (reference: subgridDtN_solver.cpp:339-442;
+        lagrangeInterpolate :564-620).
+
+        lam_prev_e: (H, ndm) macro trace at previous step times; H = 1
+        gives linear interpolation, H = 2 quadratic.
+        """
+        from mrhyde_tpu.solvers.time_integration import (butcher_tableau,
+                                                         bdf_weights)
+        A_f, b_f, c_f = butcher_tableau(self.fine_tableau)
+        w_f = bdf_weights(1)            # fine substep BDF1 history
+        nst = len(b_f)
+        dt = tc.deltat
+        sgdt = dt / self.sub_steps
+        nprev = lam_prev_e.shape[0]
+
+        def lam_at(t_s):
+            if nprev == 1:
+                a_prev = (t_prev + dt - t_s) / dt
+                a_cur = (t_s - t_prev) / dt
+                return a_prev * lam_prev_e[0] + a_cur * lam_e
+            tn, tn1, tn2 = t_prev + dt, t_prev, t_prev - dt
+            a1 = ((t_s - tn2) * (tn - t_s)) / (dt * dt)
+            a2 = -((tn - t_s) * (t_s - tn1)) / (2 * dt * dt)
+            a0 = ((t_s - tn2) * (t_s - tn1)) / (2 * dt * dt)
+            return a1 * lam_prev_e[0] + a2 * lam_prev_e[1] + a0 * lam_e
+
+        cur = prev_e[0]
+        u_ev = cur
+        u_dt = jnp.zeros_like(cur)
+        for n in range(self.sub_steps):
+            start = cur
+            stage_vals = []
+            for s in range(nst):
+                t_s = t_prev + n * sgdt + c_f[s] * sgdt
+                aux = self._make_aux(lam_at(t_s))
+                au = A_f[s, s] / b_f[s]
+                timewt = 1.0 / (sgdt * b_f[s])
+                at = w_f[0] * timewt
+                bu = (1.0 - au) * start
+                for r in range(s):
+                    bu = bu + (A_f[s, r] / b_f[r]) * (stage_vals[r]
+                                                      - start)
+                bt = w_f[1] * start * timewt
+                z = start
+                for _ in range(self.newton_iters):
+                    r_ = self._fine_residual(z, bu, bt, offset, aux, tc,
+                                             pvec, alpha_u=au,
+                                             alpha_t=at, time=t_s,
+                                             deltat=sgdt)
+                    J = jax.jacfwd(
+                        lambda v: self._fine_residual(
+                            v, bu, bt, offset, aux, tc, pvec,
+                            alpha_u=au, alpha_t=at, time=t_s,
+                            deltat=sgdt))(z)
+                    z = z - jnp.linalg.solve(J, r_)
+                stage_vals.append(z)
+                u_ev = au * z + bu
+                u_dt = at * z + bt
+                if nst > 1:
+                    cur = cur + z - start
+                else:
+                    cur = z
+        # flux at the end of the macro step, trace = current lambda
+        aux_end = self._make_aux(lam_e)
+        res = self._flux_upscale(cur, u_dt, offset, aux_end, tc, pvec,
+                                 jnp.zeros_like(lam_e))
+        return res, cur
+
+    def _flux_upscale(self, u_ev, u_dt, offset, aux, tc, pvec, res):
+        """res_macro_i += sum_sides int flux * phi_macro_i."""
+        fa = self.fa
         for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
             u_b, ud_b = u_ev[g["lids"]], u_dt[g["lids"]]
 
@@ -346,7 +442,7 @@ class SubgridDtN:
                 contrib = jnp.einsum("mbq,bq->m", phi[mv],
                                      flux[fv] * g["wts"])
                 res = res.at[st:st + nd].add(contrib)
-        return res, uf
+        return res
 
     # ------------------------------------------------------------------
 
@@ -362,10 +458,42 @@ class SubgridDtN:
         lids = self.problem.assembler.lids
         return lids if self.owns_all else lids[jnp.asarray(self.elems)]
 
+    def _is_async(self, pvec):
+        ms = (pvec or {}).get("__ms")
+        return ms is not None and "lam_prev" in ms
+
+    def _async_parts(self, pvec, u_macro, tc):
+        """(lam, lam_prev_e, offs, prev, t_prev, stripped pvec)."""
+        ms = pvec["__ms"]
+        lam = self._macro_traces(u_macro, tc)
+        lam_prev = jnp.moveaxis(ms["lam_prev"][:, self._sub_lids()], 0, 1)
+        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+        return (lam, lam_prev, offs, ms["prev"], ms["t_prev"],
+                self._strip_ms(pvec))
+
     def residual_contribution(self, u_macro, tc, pvec=None):
         """Summed upscaled residual over all macro elements (n_dof,)."""
         p = self.problem
         E = self.n_macro_elems()
+        if self._is_async(pvec):
+            lam, lam_prev, offs, prev, t_prev, spvec = \
+                self._async_parts(pvec, u_macro, tc)
+
+            def one_a(lam_e, lam_pe, off, prev_e):
+                r, _uf = self._elem_ms_async(lam_e, lam_pe,
+                                             off[None, None, :], tc,
+                                             spvec, prev_e, t_prev)
+                return r
+
+            res_e = jax.vmap(one_a, in_axes=(0, 0, 0, 0))(
+                lam, lam_prev, offs, prev)
+            if self.owns_all:
+                flat = jnp.concatenate([res_e.ravel(),
+                                        jnp.zeros(1, dtype=res_e.dtype)])
+                return flat[p.assembler.inc].sum(axis=1)
+            return jax.ops.segment_sum(res_e.ravel(),
+                                       self._sub_lids().ravel(),
+                                       num_segments=p.assembler.n_dof)
         prev, stages, sw, bw = self._unpack_ms(
             pvec, E, self.n_fine_dof, u_macro.dtype)
         pvec = self._strip_ms(pvec)
@@ -394,6 +522,19 @@ class SubgridDtN:
         (the reference's fluxwt chain-rule seed)."""
         p = self.problem
         E = self.n_macro_elems()
+        if self._is_async(pvec):
+            lam, lam_prev, offs, prev, t_prev, spvec = \
+                self._async_parts(pvec, u_macro, tc)
+
+            def one_a(lam_e, lam_pe, off, prev_e):
+                return jax.jacfwd(
+                    lambda l: self._elem_ms_async(
+                        l, lam_pe, off[None, None, :], tc, spvec,
+                        prev_e, t_prev)[0])(lam_e)
+
+            jac = jax.vmap(one_a, in_axes=(0, 0, 0, 0))(
+                lam, lam_prev, offs, prev)
+            return tc.alpha_u * jac
         prev, stages, sw, bw = self._unpack_ms(
             pvec, E, self.n_fine_dof, u_macro.dtype)
         pvec = self._strip_ms(pvec)
@@ -417,8 +558,15 @@ class SubgridDtN:
 
     # ---- integrator hooks (synchronous stage stepping) ---------------
 
-    def stage_ms_entry(self, stages, s, A, b, w, timewt, dtype):
+    def stage_ms_entry(self, stages, s, A, b, w, timewt, dtype,
+                       t=None, dt=None, u_prev=None):
         """The pvec['__ms'] value for macro stage s."""
+        if not self.sync:
+            # async: fine substeps need the macro history for the
+            # Lagrange trace interpolation and the step start time
+            return {"prev": self.fine_prev, "stages": stages,
+                    "lam_prev": u_prev[:2],
+                    "t_prev": jnp.asarray(t, dtype)}
         nstage = len(b)
         sw = np.zeros(nstage)
         sw[:s] = A[s, :s] / b[:s]
@@ -434,6 +582,17 @@ class SubgridDtN:
         """(E, n_fine_dof) fine STAGE solutions for the given macro
         state (used per accepted stage and for postprocessing)."""
         E = self.n_macro_elems()
+        if self._is_async(pvec):
+            lam, lam_prev, offs, prev, t_prev, spvec = \
+                self._async_parts(pvec, u_macro, tc)
+            if self._fine_sol_jit is None:
+                self._fine_sol_jit = jax.jit(
+                    lambda lam, lp, offs, prev, t_prev, tc, pvec:
+                    jax.vmap(lambda l, lpe, o, p_: self._elem_ms_async(
+                        l, lpe, o[None, None, :], tc, pvec, p_,
+                        t_prev)[1])(lam, lp, offs, prev))
+            return self._fine_sol_jit(lam, lam_prev, offs, prev, t_prev,
+                                      tc, spvec)
         prev, stages, sw, bw = self._unpack_ms(
             pvec, E, self.n_fine_dof, u_macro.dtype)
         pvec = self._strip_ms(pvec)
@@ -548,8 +707,10 @@ class MultiscaleModels:
     def blank_stages(self, nstage, dtype):
         return tuple(m.blank_stages(nstage, dtype) for m in self.models)
 
-    def stage_ms_entry(self, stages, s, A, b, w, timewt, dtype):
-        return tuple(m.stage_ms_entry(st, s, A, b, w, timewt, dtype)
+    def stage_ms_entry(self, stages, s, A, b, w, timewt, dtype,
+                       t=None, dt=None, u_prev=None):
+        return tuple(m.stage_ms_entry(st, s, A, b, w, timewt, dtype,
+                                      t=t, dt=dt, u_prev=u_prev)
                      for m, st in zip(self.models, stages))
 
     def record_stage(self, stages, s, z, tc, pvec):

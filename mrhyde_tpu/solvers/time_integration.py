@@ -213,7 +213,8 @@ class TransientIntegrator:
             if ms is not None:
                 pvec_stage = {**(self.pvec or {}),
                               "__ms": ms.stage_ms_entry(
-                                  ms_stages, s, A, b, w, timewt, u.dtype)}
+                                  ms_stages, s, A, b, w, timewt, u.dtype,
+                                  t=t, dt=dt, u_prev=u_prev)}
             if self.set_dirichlet is not None:
                 z0 = self.set_dirichlet(z0, t_stage)
             if self.fully_explicit:
