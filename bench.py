@@ -112,16 +112,28 @@ def main():
 
     inner = int(os.environ.get("BENCH_INNER", "5"))
 
+    # production fast path: the fused Pallas assembly kernel (one
+    # device op for gather -> qp loop -> scatter parts + jac blocks)
+    fused = None
+    if os.environ.get("BENCH_FUSED", "1") == "1":
+        from mrhyde_tpu.ops.fused_assembly import FusedThermalAssembly
+        fk = FusedThermalAssembly.build(asm)
+        if fk is not None and fk.available():
+            fused = fk
+
     @jax.jit
     def assemble_loop(u, tc):
         # chain `inner` assemblies inside ONE device program so the
         # measurement reflects device throughput, not host dispatch
         def body(carry, _):
             u = carry
-            r = asm.residual(u, tc, None)
-            J = asm.jacobian(u, tc, None)
-            u = u + 1e-12 * (r + J.vol.sum() * 0)
-            return u, jnp.sum(J.vol)
+            if fused is not None:
+                r, vol = fused.res_jac(u, tc, None)
+            else:
+                r = asm.residual(u, tc, None)
+                vol = asm.jacobian(u, tc, None).vol
+            u = u + 1e-12 * (r + vol.sum() * 0)
+            return u, jnp.sum(vol)
         u, s = jax.lax.scan(body, u, None, length=inner)
         return u, s
 

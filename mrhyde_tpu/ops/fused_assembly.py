@@ -1,0 +1,262 @@
+"""Fused Pallas assembly kernel for the structured thermal hot path.
+
+One `pallas_call` computes the element residual contributions AND the
+per-element Jacobian blocks for p1 HGRAD thermal on a uniform
+structured quad mesh -- the configuration of the headline assembly
+benchmark (the reference's equivalent fast path is the workset
+assembly with the basis database, assemblyManager.cpp:4200-4300).
+
+Why a kernel: the general path builds the (E, nd, Q, dim) element
+streams as separate XLA ops; on the TPU the assembly graph is latency-
+bound, not bandwidth-bound.  Fusing gather -> qp loop -> scatter parts
+into one kernel keeps every intermediate in VMEM and emits exactly one
+device program for the whole element loop.
+
+Quadrature-point coordinates are synthesized from the grid indices
+inside the kernel (broadcasted_iota + program_id), so no coordinate
+stream is ever read from HBM.  Material/source expressions (functions
+of x, y, t and scalar params) are traced straight into the kernel body
+through the FunctionManager.
+
+Layout: element grid (nx, ny), tiles (TI, TJ) with TJ a multiple of
+128 (f32 lane width).  Corner/qp loops are unrolled in Python so every
+traced array is a 2D (TI, TJ) tile -- the Mosaic-friendly shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["FusedThermalAssembly"]
+
+# quad p1 corner offsets in the (x-index, y-index) element grid,
+# matching the structured gather plan (assembler._build_structured_index)
+_CORNERS = ((0, 0), (1, 0), (1, 1), (0, 1))
+
+
+class _XYCtx:
+    """Expression-leaf resolver on bare coordinate tiles."""
+
+    def __init__(self, x, y, t, params):
+        self.x, self.y, self.t = x, y, t
+        self.params = params or {}
+
+    def resolve(self, leaf):
+        if leaf == "x":
+            return self.x
+        if leaf == "y":
+            return self.y
+        if leaf == "t":
+            return self.t
+        if leaf in self.params:
+            return self.params[leaf]
+        raise KeyError(f"fused kernel cannot resolve {leaf!r}")
+
+
+class FusedThermalAssembly:
+    """Drop-in residual/jacobian provider for qualifying problems.
+
+    Qualifies when: structured uniform quad mesh, a single p1 HGRAD
+    variable, thermal as the only physics module, no active boundary
+    groups (strong Dirichlet only), no multiscale, no field params.
+    Use `FusedThermalAssembly.build(asm)` -> instance or None.
+    """
+
+    def __init__(self, asm, nx, ny):
+        self.asm = asm
+        self.nx, self.ny = nx, ny
+        disc = asm.disc
+        mesh = disc.mesh
+        (x0, _x1, _nx), (y0, _y1, _ny) = mesh.box_info["bounds"]
+        ip0 = np.asarray(disc.ip[0])               # (Q, 2)
+        self.Q = ip0.shape[0]
+        self.xq = ip0[:, 0] - x0                   # offsets within elem 0
+        self.yq = ip0[:, 1] - y0
+        xs = mesh.nodes[:, 0]
+        self.hx = (xs.max() - xs.min()) / nx
+        ys = mesh.nodes[:, 1]
+        self.hy = (ys.max() - ys.min()) / ny
+        self.x0, self.y0 = float(x0), float(y0)
+        self.wts = np.asarray(disc.wts[0] if np.ndim(disc.wts) > 1
+                              else disc.wts)       # (Q,)
+        key = disc.basis_keys[disc.var_names[0]]
+        self.phi = np.asarray(disc.basis_vals[key])            # (4, Q)
+        self.grad = np.asarray(disc.basis_grads[key])[0]       # (4, Q, 2)
+        mod = asm.modules[0]
+        self.have_advection = getattr(mod, "have_advection", False)
+        self.fm = asm.fm
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def build(asm):
+        s = asm._structured
+        if s is None or len(s["plan"]) != 1 or s["plan"][0][0] != "p1":
+            return None
+        if len(s["dims"]) != 2 or asm.has_signs:
+            return None
+        if asm.multiscale is not None or asm.field_params:
+            return None
+        if len(asm.modules) != 1 or type(asm.modules[0]).__name__ \
+                != "Thermal":
+            return None
+        if asm._active_bnd_groups():
+            return None
+        nx, ny = s["dims"]
+        return FusedThermalAssembly(asm, nx, ny)
+
+    # ------------------------------------------------------------------
+
+    def _tile_sizes(self, interpret):
+        if interpret:
+            return min(self.nx, 8), min(self.ny, 8)
+        ti = 64
+        while self.nx % ti:
+            ti //= 2
+        tj = 128
+        if self.ny % tj:
+            return None
+        return ti, tj
+
+    def available(self, interpret=False):
+        return self._tile_sizes(interpret) is not None
+
+    def _kernel(self, ti, tj, dtype, pvec_names):
+        phi, grad, wts = self.phi, self.grad, self.wts
+        Q = self.Q
+        hx, hy, x0, y0 = self.hx, self.hy, self.x0, self.y0
+        xq, yq = self.xq, self.yq
+        fm = self.fm
+        have_adv = self.have_advection
+
+        def kernel(scal_ref, *refs):
+            # scal_ref (SMEM): [alpha_u, alpha_t, time, *pvec values]
+            alpha_u = scal_ref[0]
+            alpha_t = scal_ref[1]
+            t = scal_ref[2]
+            params = dict(self.asm.params)
+            for k, name in enumerate(pvec_names):
+                params[name] = scal_ref[3 + k]
+            ue = [refs[c][:] for c in range(4)]
+            ud = [refs[4 + c][:] for c in range(4)]
+            res_ref = refs[8]      # (4, ti, tj)
+            jac_ref = refs[9]      # (16, ti, tj)
+
+            i0 = pl.program_id(0) * ti
+            j0 = pl.program_id(1) * tj
+            ii = (jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+                  + i0).astype(dtype)
+            jj = (jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+                  + j0).astype(dtype)
+
+            res = [jnp.zeros((ti, tj), dtype) for _ in range(4)]
+            jac = [jnp.zeros((ti, tj), dtype) for _ in range(16)]
+            for q in range(Q):
+                x = x0 + ii * hx + xq[q]
+                y = y0 + jj * hy + yq[q]
+                ctx = _XYCtx(x, y, t, params)
+                kap = fm.evaluate("thermal diffusion", ctx) + 0.0 * x
+                rho = fm.evaluate("density", ctx)
+                cp = fm.evaluate("specific heat", ctx)
+                src = fm.evaluate("thermal source", ctx)
+                rc = rho * cp + 0.0 * x
+                udq = sum(phi[c, q] * ud[c] for c in range(4))
+                gxq = sum(grad[c, q, 0] * ue[c] for c in range(4))
+                gyq = sum(grad[c, q, 1] * ue[c] for c in range(4))
+                sval = rc * udq - src
+                if have_adv:
+                    bx = fm.evaluate("bx", ctx)
+                    by = fm.evaluate("by", ctx)
+                    sval = sval + bx * gxq + by * gyq
+                w = wts[q]
+                for c in range(4):
+                    res[c] = res[c] + w * (
+                        phi[c, q] * sval
+                        + kap * (grad[c, q, 0] * gxq
+                                 + grad[c, q, 1] * gyq))
+                    for cp_ in range(4):
+                        dsum = (grad[c, q, 0] * grad[cp_, q, 0]
+                                + grad[c, q, 1] * grad[cp_, q, 1])
+                        adv = 0.0
+                        if have_adv:
+                            adv = phi[c, q] * (bx * grad[cp_, q, 0]
+                                               + by * grad[cp_, q, 1])
+                        jac[4 * c + cp_] = jac[4 * c + cp_] + w * (
+                            alpha_t * rc * phi[c, q] * phi[cp_, q]
+                            + alpha_u * (kap * dsum + adv))
+            for c in range(4):
+                res_ref[c] = res[c]
+            for k in range(16):
+                jac_ref[k] = jac[k]
+
+        return kernel
+
+    # ------------------------------------------------------------------
+
+    def res_jac(self, u, tc, pvec=None, interpret=False):
+        """(residual (n_dof,), jac blocks (E, 4, 4)) fully fused."""
+        asm = self.asm
+        nx, ny = self.nx, self.ny
+        ti, tj = self._tile_sizes(interpret)
+        dtype = u.dtype
+        pvec = {k: v for k, v in (pvec or {}).items()
+                if jnp.ndim(v) == 0}
+        names = sorted(pvec)
+        scal = jnp.stack([jnp.asarray(v, dtype) for v in
+                          (tc.alpha_u, tc.alpha_t, tc.time,
+                           *[pvec[k] for k in names])])
+
+        u_eval = tc.alpha_u * u + tc.beta_u
+        u_dot = tc.alpha_t * u + tc.beta_t
+        grid_nodes = (nx + 1, ny + 1)
+        s = asm._structured
+        start = s["plan"][0][2]
+        ge = u_eval[start:start + (nx + 1) * (ny + 1)].reshape(grid_nodes)
+        gd = u_dot[start:start + (nx + 1) * (ny + 1)].reshape(grid_nodes)
+        ins = [ge[c0:c0 + nx, c1:c1 + ny] for (c0, c1) in _CORNERS]
+        ins += [gd[c0:c0 + nx, c1:c1 + ny] for (c0, c1) in _CORNERS]
+
+        tile = pl.BlockSpec((ti, tj), lambda i, j: (i, j))
+        res_spec = pl.BlockSpec((4, ti, tj), lambda i, j: (0, i, j))
+        jac_spec = pl.BlockSpec((16, ti, tj), lambda i, j: (0, i, j))
+        out_shape = [jax.ShapeDtypeStruct((4, nx, ny), dtype),
+                     jax.ShapeDtypeStruct((16, nx, ny), dtype)]
+        res_out, jac_out = pl.pallas_call(
+            self._kernel(ti, tj, dtype, names),
+            grid=(nx // ti, ny // tj),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [tile] * 8,
+            out_specs=[res_spec, jac_spec],
+            out_shape=out_shape,
+            interpret=interpret,
+        )(scal, *ins)
+
+        # node scatter without any transpose: one pad-add per corner
+        acc = jnp.zeros(grid_nodes, dtype=dtype)
+        for c, (c0, c1) in enumerate(_CORNERS):
+            acc = acc.at[c0:c0 + nx, c1:c1 + ny].add(res_out[c])
+        r = jnp.zeros(asm.n_dof, dtype=dtype) \
+            .at[start:start + (nx + 1) * (ny + 1)].set(acc.ravel())
+        r = jnp.where(asm.fixed, 0.0, r)
+        return r, jac_out
+
+    def res_jac_blocks(self, u, tc, pvec=None, interpret=False):
+        """(residual, jac blocks (E, 4, 4)) -- AoS layout for the
+        BlockJacobian contract (one transpose off the SoA kernel
+        output)."""
+        r, jac = self.res_jac(u, tc, pvec, interpret=interpret)
+        E = self.nx * self.ny
+        return r, jnp.moveaxis(jac.reshape(16, E), 0, 1).reshape(E, 4, 4)
+
+    def jacobian(self, u, tc, pvec=None, interpret=False):
+        from mrhyde_tpu.assembly.assembler import BlockJacobian
+        r, jac = self.res_jac_blocks(u, tc, pvec, interpret=interpret)
+        return r, BlockJacobian(vol=jac, vol_lids=self.asm.lids, bnd=[],
+                                bnd_lids=[], fixed=self.asm.fixed,
+                                inc=self.asm.inc)
