@@ -50,16 +50,16 @@ def ns_solve_bench():
     dtype = jnp.zeros(0).dtype
     tc = TimeCoeffs.steady(p.n_dof, dtype=dtype)
 
+    from mrhyde_tpu.solvers.krylov import gmres_fixed
+
     @jax.jit
     def newton_step(u):
         r = asm.residual(u, tc, None)
         J = asm.jacobian(u, tc, None)
         apply_fn = asm.matfree_apply_fn(J)
         dinv = 1.0 / J.diag()
-        import jax.scipy.sparse.linalg as jsla
-        du, _ = jsla.gmres(apply_fn, -r, M=lambda v: dinv * v,
-                           maxiter=40, restart=40, tol=0.0,
-                           solve_method="batched")
+        du = gmres_fixed(apply_fn, -r, m=40,
+                         precond=lambda v: dinv * v)
         return u + du, jnp.linalg.norm(r)
 
     u = p.initial_state()

@@ -127,6 +127,103 @@ class FusedThermalAssembly:
     def available(self, interpret=False):
         return self._tile_sizes(interpret) is not None
 
+    def _kernel_dma(self, ti, tj, dtype, pvec_names):
+        """v3: the kernel DMAs its own (ti+1, tj+1) node-grid halo
+        slabs from HBM and does the corner gather + stage seeding
+        in VMEM -- no per-corner slicing ops in the outer graph."""
+        phi, grad, wts = self.phi, self.grad, self.wts
+        Q = self.Q
+        hx, hy, x0, y0 = self.hx, self.hy, self.x0, self.y0
+        xq, yq = self.xq, self.yq
+        fm = self.fm
+        have_adv = self.have_advection
+
+        # DMA slab sizes padded to the (8, 128) f32 tiling; the node
+        # grids are zero-padded to (nx + 8, ny + 128) by the caller
+        si, sj = ti + 8, tj + 128
+
+        def kernel(scal_ref, u_ref, bu_ref, bt_ref, res_ref, jac_ref):
+            i0 = pl.program_id(0) * ti
+            j0 = pl.program_id(1) * tj
+
+            def inner(su, sbu, sbt, sem):
+                for hbm, s in ((u_ref, su), (bu_ref, sbu),
+                               (bt_ref, sbt)):
+                    dma = pltpu.make_async_copy(
+                        hbm.at[pl.ds(i0, si), pl.ds(j0, sj)],
+                        s, sem)
+                    dma.start()
+                    dma.wait()
+                alpha_u = scal_ref[0]
+                alpha_t = scal_ref[1]
+                t = scal_ref[2]
+                params = dict(self.asm.params)
+                for k, name in enumerate(pvec_names):
+                    params[name] = scal_ref[3 + k]
+                ue, ud = [], []
+                for (c0, c1) in _CORNERS:
+                    uc = su[c0:c0 + ti, c1:c1 + tj]
+                    ue.append(alpha_u * uc
+                              + sbu[c0:c0 + ti, c1:c1 + tj])
+                    ud.append(alpha_t * uc
+                              + sbt[c0:c0 + ti, c1:c1 + tj])
+
+                ii = (jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+                      + i0).astype(dtype)
+                jj = (jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+                      + j0).astype(dtype)
+
+                res = [jnp.zeros((ti, tj), dtype) for _ in range(4)]
+                jac = [jnp.zeros((ti, tj), dtype) for _ in range(16)]
+                for q in range(Q):
+                    x = x0 + ii * hx + xq[q]
+                    y = y0 + jj * hy + yq[q]
+                    ctx = _XYCtx(x, y, t, params)
+                    kap = fm.evaluate("thermal diffusion", ctx) + 0.0 * x
+                    rho = fm.evaluate("density", ctx)
+                    cp = fm.evaluate("specific heat", ctx)
+                    src = fm.evaluate("thermal source", ctx)
+                    rc = rho * cp + 0.0 * x
+                    udq = sum(phi[c, q] * ud[c] for c in range(4))
+                    gxq = sum(grad[c, q, 0] * ue[c] for c in range(4))
+                    gyq = sum(grad[c, q, 1] * ue[c] for c in range(4))
+                    sval = rc * udq - src
+                    if have_adv:
+                        bx = fm.evaluate("bx", ctx)
+                        by = fm.evaluate("by", ctx)
+                        sval = sval + bx * gxq + by * gyq
+                    w = wts[q]
+                    for c in range(4):
+                        res[c] = res[c] + w * (
+                            phi[c, q] * sval
+                            + kap * (grad[c, q, 0] * gxq
+                                     + grad[c, q, 1] * gyq))
+                        for cp_ in range(4):
+                            dsum = (grad[c, q, 0] * grad[cp_, q, 0]
+                                    + grad[c, q, 1] * grad[cp_, q, 1])
+                            adv = 0.0
+                            if have_adv:
+                                adv = phi[c, q] * (
+                                    bx * grad[cp_, q, 0]
+                                    + by * grad[cp_, q, 1])
+                            jac[4 * c + cp_] = jac[4 * c + cp_] + w * (
+                                alpha_t * rc * phi[c, q] * phi[cp_, q]
+                                + alpha_u * (kap * dsum + adv))
+                for c in range(4):
+                    res_ref[c] = res[c]
+                for k in range(16):
+                    jac_ref[k] = jac[k]
+
+            pl.run_scoped(
+                inner,
+                su=pltpu.VMEM((si, sj), dtype),
+                sbu=pltpu.VMEM((si, sj), dtype),
+                sbt=pltpu.VMEM((si, sj), dtype),
+                sem=pltpu.SemaphoreType.DMA(()),
+            )
+
+        return kernel
+
     def _kernel(self, ti, tj, dtype, pvec_names):
         phi, grad, wts = self.phi, self.grad, self.wts
         Q = self.Q
@@ -199,8 +296,8 @@ class FusedThermalAssembly:
 
     # ------------------------------------------------------------------
 
-    def res_jac(self, u, tc, pvec=None, interpret=False):
-        """(residual (n_dof,), jac blocks (E, 4, 4)) fully fused."""
+    def res_jac(self, u, tc, pvec=None, interpret=False, dma=True):
+        """(residual (n_dof,), jac blocks SoA (16, nx, ny)) fused."""
         asm = self.asm
         nx, ny = self.nx, self.ny
         ti, tj = self._tile_sizes(interpret)
@@ -212,30 +309,49 @@ class FusedThermalAssembly:
                           (tc.alpha_u, tc.alpha_t, tc.time,
                            *[pvec[k] for k in names])])
 
-        u_eval = tc.alpha_u * u + tc.beta_u
-        u_dot = tc.alpha_t * u + tc.beta_t
         grid_nodes = (nx + 1, ny + 1)
         s = asm._structured
         start = s["plan"][0][2]
-        ge = u_eval[start:start + (nx + 1) * (ny + 1)].reshape(grid_nodes)
-        gd = u_dot[start:start + (nx + 1) * (ny + 1)].reshape(grid_nodes)
-        ins = [ge[c0:c0 + nx, c1:c1 + ny] for (c0, c1) in _CORNERS]
-        ins += [gd[c0:c0 + nx, c1:c1 + ny] for (c0, c1) in _CORNERS]
+        ng = (nx + 1) * (ny + 1)
 
-        tile = pl.BlockSpec((ti, tj), lambda i, j: (i, j))
         res_spec = pl.BlockSpec((4, ti, tj), lambda i, j: (0, i, j))
         jac_spec = pl.BlockSpec((16, ti, tj), lambda i, j: (0, i, j))
         out_shape = [jax.ShapeDtypeStruct((4, nx, ny), dtype),
                      jax.ShapeDtypeStruct((16, nx, ny), dtype)]
-        res_out, jac_out = pl.pallas_call(
-            self._kernel(ti, tj, dtype, names),
-            grid=(nx // ti, ny // tj),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [tile] * 8,
-            out_specs=[res_spec, jac_spec],
-            out_shape=out_shape,
-            interpret=interpret,
-        )(scal, *ins)
+        if dma:
+            pad = ((0, nx + 8 - (nx + 1)), (0, ny + 128 - (ny + 1)))
+            gu = jnp.pad(u[start:start + ng].reshape(grid_nodes), pad)
+            gbu = jnp.pad(
+                tc.beta_u[start:start + ng].reshape(grid_nodes), pad)
+            gbt = jnp.pad(
+                tc.beta_t[start:start + ng].reshape(grid_nodes), pad)
+            hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+            res_out, jac_out = pl.pallas_call(
+                self._kernel_dma(ti, tj, dtype, names),
+                grid=(nx // ti, ny // tj),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          hbm, hbm, hbm],
+                out_specs=[res_spec, jac_spec],
+                out_shape=out_shape,
+                interpret=interpret,
+            )(scal, gu, gbu, gbt)
+        else:
+            u_eval = tc.alpha_u * u + tc.beta_u
+            u_dot = tc.alpha_t * u + tc.beta_t
+            ge = u_eval[start:start + ng].reshape(grid_nodes)
+            gd = u_dot[start:start + ng].reshape(grid_nodes)
+            ins = [ge[c0:c0 + nx, c1:c1 + ny] for (c0, c1) in _CORNERS]
+            ins += [gd[c0:c0 + nx, c1:c1 + ny] for (c0, c1) in _CORNERS]
+            tile = pl.BlockSpec((ti, tj), lambda i, j: (i, j))
+            res_out, jac_out = pl.pallas_call(
+                self._kernel(ti, tj, dtype, names),
+                grid=(nx // ti, ny // tj),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [tile] * 8,
+                out_specs=[res_spec, jac_spec],
+                out_shape=out_shape,
+                interpret=interpret,
+            )(scal, *ins)
 
         # node scatter without any transpose: one pad-add per corner
         acc = jnp.zeros(grid_nodes, dtype=dtype)

@@ -30,11 +30,17 @@ def solve_cg(J, b, tol=1e-12, maxiter=1000):
 
 
 def solve_gmres(J, b, tol=1e-12, maxiter=1000, restart=60):
+    """Jacobi-preconditioned GMRES.
+
+    Uses the fixed-shape hand-rolled GMRES (solvers/krylov.py) -- the
+    jax.scipy implementation costs ~300 ms/iteration of bookkeeping
+    overhead on the TPU. `restart` caps the Krylov dimension; `tol`
+    is advisory (the cycle always runs `restart` steps).
+    """
+    from mrhyde_tpu.solvers.krylov import gmres_fixed
     dinv = 1.0 / J.diag()
-    x, _ = jsla.gmres(J.apply, b, M=lambda v: dinv * v, tol=tol,
-                      maxiter=maxiter, restart=restart,
-                      solve_method="batched")
-    return x
+    m = int(min(restart, maxiter))
+    return gmres_fixed(J.apply, b, m=m, precond=lambda v: dinv * v)
 
 
 def solve_linear(J, b, method="direct", tol=1e-12, maxiter=1000):

@@ -100,3 +100,24 @@ def test_dofmap_shared_dofs_match_coordinates():
         phi = b.eval(pts)
         vals_per_elem.append(f[v.eldofs[e]] @ phi)
     assert np.isfinite(np.array(vals_per_elem)).all()
+
+
+def test_krylov_fixed_solvers():
+    """Hand-rolled fixed-shape GMRES/BiCGStab (solvers/krylov.py)
+    reproduce the dense solution on a well-conditioned system."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mrhyde_tpu.solvers.krylov import gmres_fixed, bicgstab_fixed
+
+    rng = np.random.RandomState(3)
+    n = 120
+    A = jnp.asarray(np.eye(n) * 4 + 0.5 * rng.randn(n, n) / np.sqrt(n))
+    b = jnp.asarray(rng.randn(n))
+    x = jnp.linalg.solve(A, b)
+    dinv = 1.0 / jnp.diag(A)
+    xg = gmres_fixed(lambda v: A @ v, b, m=30,
+                     precond=lambda v: dinv * v)
+    xb = bicgstab_fixed(lambda v: A @ v, b, iters=20,
+                        precond=lambda v: dinv * v)
+    assert float(jnp.linalg.norm(xg - x)) < 1e-10
+    assert float(jnp.linalg.norm(xb - x)) < 1e-10
