@@ -89,7 +89,7 @@ def main():
     import jax.numpy as jnp
 
     nx = int(os.environ.get("BENCH_NX", "512"))
-    reps = int(os.environ.get("BENCH_REPS", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "2"))
 
     from mrhyde_tpu.assembly.assembler import TimeCoeffs
     from mrhyde_tpu.problem import Problem
@@ -110,7 +110,7 @@ def main():
     tc = TimeCoeffs.steady(p.n_dof, dtype=dtype)
     u = jnp.zeros(p.n_dof, dtype=dtype)
 
-    inner = int(os.environ.get("BENCH_INNER", "5"))
+    inner = int(os.environ.get("BENCH_INNER", "25"))
 
     # production fast path: the fused Pallas assembly kernel (one
     # device op for gather -> qp loop -> scatter parts + jac blocks)

@@ -245,6 +245,20 @@ class Assembler:
                 take0(disc.face_normals_all), dtype=dt)
             self.g_bg["fvec"] = {k: jnp.asarray(take0(v), dtype=dt)
                                  for k, v in disc.face_vec_all.items()}
+            # HFACE trace basis at side qps: uniform (flips are folded
+            # into the dof numbering); broadcast in the non-uniform case
+            hkeys = [k for k in set(disc.basis_keys.values())
+                     if k[0] == "HFACE" and k[1] >= 1]
+            if hkeys and disc.mesh.dim == 2:
+                from mrhyde_tpu.fem.vector_basis import hface_side_vals
+                E = disc.mesh.n_elem
+                hv = {}
+                for k in hkeys:
+                    t = hface_side_vals(k[1], disc.side_pts[:, 0])
+                    if not self.uniform:
+                        t = np.broadcast_to(t, (E,) + t.shape)
+                    hv[k] = jnp.asarray(t, dtype=dt)
+                self.g_bg["hface"] = hv
         self.signs = jnp.asarray(disc.dofmap.signs, dtype=dt)
         self.has_signs = bool(np.any(disc.dofmap.signs != 1.0))
         self.g_ip = jnp.asarray(disc.ip, dtype=dt)
@@ -388,6 +402,7 @@ class Assembler:
             face_wts=bg_slices.get("fwts"),
             face_normals=bg_slices.get("fnorm"),
             face_vecs=bg_slices.get("fvec"),
+            hface_vals=bg_slices.get("hface"),
             offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
             u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
             params=params, normals=normals, side_name=side_name, bcs=bcs,
@@ -655,6 +670,25 @@ class Assembler:
                 b = b + _scatter_vec(contrib * sg, lids_v, self.n_dof)
                 continue
             if var not in exprs:
+                continue
+            if key[0] == "HFACE":
+                # facet L2 rhs: b_k = sum_sides int f psi_k w_f (pairs
+                # with the facet mass in disc.mass_blocks)
+                contrib = jnp.zeros((wtsE.shape[0], nd),
+                                    dtype=self.dtype)
+                for s, fg in enumerate(disc.faces):
+                    psi = jnp.asarray(disc.face_basis_vals[s][key],
+                                      dtype=self.dtype)   # (nd, Qf)
+                    ctxf = PointContext(jnp.asarray(fg.ip,
+                                                    dtype=self.dtype),
+                                        time=time, params=self.params)
+                    vals = jnp.broadcast_to(
+                        self.fm.evaluate_expr(exprs[var], ctxf),
+                        fg.wts.shape)
+                    contrib = contrib + jnp.einsum(
+                        "iq,eq->ei", psi,
+                        vals * jnp.asarray(fg.wts, dtype=self.dtype))
+                b = b + _scatter_vec(contrib, lids_v, self.n_dof)
                 continue
             vals = self.fm.evaluate_expr(exprs[var], ctx)  # (E, Q) or scalar
             vals = jnp.broadcast_to(vals, wtsE.shape)

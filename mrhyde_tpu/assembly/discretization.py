@@ -142,6 +142,17 @@ class Discretization:
                 gvol = volume_geometry(coords, mesh.cell_type, fg.ref_pts,
                                        np.ones(fg.ref_pts.shape[0]))
                 if key[0] == "HFACE":
+                    # full-element trace table: zero except this side's
+                    # psi rows (used by face norms / face projections)
+                    if self.topo.dim == 2:
+                        from mrhyde_tpu.fem.vector_basis import \
+                            hface_side_vals
+                        npe = key[1] + 1
+                        t = hface_side_vals(key[1], s_pts[:, 0])
+                        full = np.zeros((self.topo.n_side * npe,
+                                         t.shape[1]))
+                        full[s * npe:(s + 1) * npe] = t
+                        bv[key] = full
                     continue
                 if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
                     vb = get_vector_basis(mesh.cell_type, key[0], key[1])
@@ -208,12 +219,25 @@ class Discretization:
 
         def var_mass(key):
             if key[0] == "HFACE":
-                # trace dofs: facet-measure 'mass' so projections of
-                # facet data behave like averages
-                n = get_vector_basis(self.mesh.cell_type, "HFACE", 1).ndof
+                # trace dofs: facet L2 mass (order 0: facet measure, so
+                # projections of facet data behave like averages)
+                vb = get_vector_basis(self.mesh.cell_type, "HFACE",
+                                      key[1])
+                n = vb.ndof
+                npe = key[1] + 1 if self.mesh.dim == 2 else 1
                 M = np.zeros((self.mesh.n_elem, n, n))
-                for s in range(n):
-                    M[:, s, s] = self.face_wts_all[:, s, :].sum(axis=1)
+                if npe == 1:
+                    for s in range(n):
+                        M[:, s, s] = self.face_wts_all[:, s, :].sum(
+                            axis=1)
+                    return M
+                from mrhyde_tpu.fem.vector_basis import hface_side_vals
+                tbl = hface_side_vals(key[1], self.side_pts[:, 0])
+                for s in range(n // npe):
+                    blk = np.einsum("kq,lq,eq->ekl", tbl, tbl,
+                                    self.face_wts_all[:, s, :])
+                    M[:, s * npe:(s + 1) * npe,
+                      s * npe:(s + 1) * npe] = blk
                 return M
             if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
                 vv = self.vec_vals[key]

@@ -27,7 +27,7 @@ class Workset:
                  extra_fields=None, dtype=None, deltat=1.0,
                  is_transient=False, basis_vecs=None, basis_divs=None,
                  basis_curls=None, face_wts=None, face_normals=None,
-                 face_vecs=None):
+                 face_vecs=None, hface_vals=None):
         self.dim = dim
         self.deltat = deltat
         self.is_transient = is_transient
@@ -37,6 +37,7 @@ class Workset:
         self.face_wts = face_wts            # (n_sides, Qf)
         self.face_normals = face_normals    # (n_sides, Qf, dim)
         self._fvec = face_vecs or {}        # key -> (n_sides, nd, Qf, dim)
+        self._hface = hface_vals or {}      # key -> (npe, Qf) trace basis
         self.wts = wts                      # (Q,)
         self.ip = ip                        # (Q, dim)
         self._bv = basis_vals               # key -> (ndof, Q)
@@ -224,9 +225,17 @@ class Workset:
         return self.face_wts.shape[0]
 
     def trace(self, var, side):
-        """HFACE trace dof value on a local side (scalar)."""
+        """HFACE trace on a local side: (Qf,) values (a scalar
+        broadcast for order-0 facet constants)."""
         st, nd = self.offsets[var]
-        return self.u[st + side]
+        key = self._var_keys[var]
+        tbl = self._hface.get(key)
+        if tbl is None or tbl.shape[0] == 1:
+            npe = 1 if tbl is None else tbl.shape[0]
+            return self.u[st + side * npe]
+        npe = tbl.shape[0]
+        dofs = self.u[st + side * npe: st + (side + 1) * npe]
+        return jnp.einsum("k,kq->q", dofs, tbl)
 
     def face_sol_vec(self, var, side):
         """HDIV(-DG) solution at side quadrature points, (Qf, dim)."""
@@ -243,10 +252,20 @@ class Workset:
         self._res = self._res.at[st:st + nd].add(contrib)
 
     def add_trace_source(self, var, side, svals):
-        """res[trace dof of side] += sum_q s(q) w_f(q)."""
+        """res[trace dofs of side] += sum_q s(q) psi_k(q) w_f(q)."""
         st, nd = self.offsets[var]
-        contrib = jnp.sum(svals * self.face_wts[side])
-        self._res = self._res.at[st + side].add(contrib)
+        key = self._var_keys[var]
+        tbl = self._hface.get(key)
+        if tbl is None or tbl.shape[0] == 1:
+            npe = 1 if tbl is None else tbl.shape[0]
+            contrib = jnp.sum(svals * self.face_wts[side])
+            self._res = self._res.at[st + side * npe].add(contrib)
+            return
+        npe = tbl.shape[0]
+        contrib = jnp.einsum("kq,q->k", tbl,
+                             svals * self.face_wts[side])
+        self._res = self._res.at[st + side * npe:
+                                 st + (side + 1) * npe].add(contrib)
 
     @property
     def res(self):

@@ -184,6 +184,35 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     return VarDofMap(name, basis, n_dof, eldofs, dof_coords, signs=signs)
 
 
+def _build_hface_var(mesh: Mesh, name: str, basis) -> VarDofMap:
+    """HFACE order >= 1 (2D): (order+1) dofs per mesh edge, numbered
+    low-corner -> high-corner in global node order; elements whose
+    local edge direction disagrees use the reversed index (the nodal
+    line basis is symmetric, so this yields a continuous-per-facet
+    global trace function)."""
+    topo = cell_topology(mesh.cell_type)
+    n_elem = mesh.n_elem
+    npe = basis.order + 1
+    n_edges, elem_edges, edge_flip, _ = _edge_numbering(mesh)
+    n_loc = len(topo.edges)
+    eldofs = np.zeros((n_elem, n_loc * npe), dtype=np.int64)
+    coords = mesh.nodes[mesh.conn]                   # (E, nc, dim)
+    n_dof = n_edges * npe
+    dof_coords = np.zeros((n_dof, topo.dim))
+    # equally-spaced node parameters along the edge
+    xi = np.linspace(-1.0, 1.0, npe)
+    for idx in range(n_loc):
+        a, b = topo.edges[idx]
+        pa, pb = coords[:, a, :], coords[:, b, :]
+        for k in range(npe):
+            j = idx * npe + k
+            kk = np.where(edge_flip[:, idx], npe - 1 - k, k)
+            eldofs[:, j] = elem_edges[:, idx] * npe + kk
+            lam = 0.5 * (1.0 + xi[k])
+            dof_coords[eldofs[:, j]] = (1 - lam) * pa + lam * pb
+    return VarDofMap(name, basis, n_dof, eldofs, dof_coords)
+
+
 def _build_var(mesh: Mesh, name: str, basis: Basis) -> VarDofMap:
     topo = cell_topology(mesh.cell_type)
     ents = basis.dof_entities()
@@ -248,7 +277,15 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
     from mrhyde_tpu.fem.vector_basis import get_vector_basis
     vars_ = []
     for (name, space, order) in variables:
-        if space.upper() in ("HDIV", "HCURL", "HDIV-DG", "HFACE"):
+        if space.upper() == "HFACE":
+            # order 0 = facet constants; order n = per-facet degree n
+            vbasis = get_vector_basis(mesh.cell_type, space,
+                                      max(order, 0))
+            if vbasis.order >= 1:
+                vars_.append(_build_hface_var(mesh, name, vbasis))
+            else:
+                vars_.append(_build_vector_var(mesh, name, vbasis))
+        elif space.upper() in ("HDIV", "HCURL", "HDIV-DG"):
             vbasis = get_vector_basis(mesh.cell_type, space, max(order, 1))
             vars_.append(_build_vector_var(mesh, name, vbasis))
         else:

@@ -31,7 +31,25 @@ import numpy as np
 
 from mrhyde_tpu.fem.topology import cell_topology
 
-__all__ = ["VectorBasis", "get_vector_basis"]
+__all__ = ["VectorBasis", "get_vector_basis", "hface_side_vals"]
+
+
+def hface_side_vals(order: int, s_pts: np.ndarray) -> np.ndarray:
+    """(npe, Qf) HFACE facet basis values at side params in [-1, 1].
+
+    Rows are ordered by position along the edge (matching the dofmap's
+    low-corner -> high-corner global numbering; flipped elements get
+    the reversed row index, which is consistent because equally-spaced
+    nodal line bases satisfy psi_{n-k}(-xi) = psi_k(xi)).
+    """
+    pts = np.atleast_1d(np.asarray(s_pts, dtype=float)).reshape(-1)
+    if order == 0:
+        return np.ones((1, pts.shape[0]))
+    from mrhyde_tpu.fem.basis import get_basis
+    b = get_basis("line", "HGRAD", order)
+    vals = b.eval(pts[:, None])                  # (npe, Qf)
+    perm = np.argsort(b.dof_coords[:, 0])
+    return vals[perm]
 
 
 @dataclass(frozen=True)
@@ -288,7 +306,7 @@ _CURL = {
 @lru_cache(maxsize=None)
 def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
     space = space.upper()
-    if order != 1:
+    if space != "HFACE" and order != 1:
         raise NotImplementedError(f"{space} order {order} (lowest only)")
     topo = cell_topology(cell)
     if space in ("HDIV", "HDIV-DG"):
@@ -303,13 +321,21 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
     elif space == "HCURL":
         ents = tuple(("edge", i) for i in range(len(topo.edges)))
     elif space == "HFACE":
-        # scalar trace space: one dof per mesh facet (reference: in-tree
-        # Intrepid2_HFACE_* bases, src/tools/Intrepid2_HFACE_*.hpp)
+        # scalar trace space (reference: in-tree Intrepid2_HFACE_*
+        # bases, src/tools/Intrepid2_HFACE_*.hpp): per-facet line
+        # polynomials of degree `order`; order 0 = facet constants.
+        # Each facet's dofs are independent (discontinuous at corners).
         if topo.dim == 2:
-            ents = tuple(("edge", i) for i in range(len(topo.edges)))
+            npe = order + 1
+            ents = tuple(("edge", i)
+                         for i in range(len(topo.edges))
+                         for _ in range(npe))
         else:
+            if order > 0:
+                raise NotImplementedError(
+                    "HFACE order >= 1 on 3D cells")
             ents = tuple(("face", i) for i in range(len(topo.sides)))
-        return VectorBasis(cell=cell, space="HFACE", order=1,
+        return VectorBasis(cell=cell, space="HFACE", order=order,
                            ndof=len(ents), dof_entity=ents)
     else:
         raise ValueError(space)

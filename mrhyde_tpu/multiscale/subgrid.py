@@ -145,12 +145,33 @@ class SubgridDtN:
             assert rbg.sideset == bg.sideset and \
                 np.array_equal(rbg.elems, bg.elems)
             macro_pts = rbg.ip.reshape(-1, dim)         # (B*Qf, dim)
+            B, Qf = bg.ip.shape[0], bg.ip.shape[1]
             phi = {}
             for mv, key in macro_keys.items():
+                if key[0] == "HFACE":
+                    # macro trace basis: psi on THIS macro side only
+                    # (side param follows the local edge direction of
+                    # the reference quad; flips live in the numbering)
+                    from mrhyde_tpu.fem.vector_basis import \
+                        hface_side_vals
+                    if dim != 2:
+                        raise NotImplementedError(
+                            "HFACE multiscale traces in 3D")
+                    sidx = {"bottom": 0, "right": 1,
+                            "top": 2, "left": 3}[bg.sideset]
+                    pts = rbg.ip                        # (B, Qf, 2)
+                    param = {0: pts[..., 0], 1: pts[..., 1],
+                             2: -pts[..., 0], 3: -pts[..., 1]}[sidx]
+                    npe = key[1] + 1
+                    psi = hface_side_vals(
+                        key[1], param.ravel()).reshape(npe, B, Qf)
+                    full = np.zeros((4 * npe, B, Qf))
+                    full[sidx * npe:(sidx + 1) * npe] = psi
+                    phi[mv] = jnp.asarray(full)
+                    continue
                 mb = get_basis(macro_mesh.cell_type, key[0], key[1])
                 phi[mv] = jnp.asarray(
-                    mb.eval(macro_pts).reshape(
-                        mb.ndof, bg.ip.shape[0], bg.ip.shape[1]))
+                    mb.eval(macro_pts).reshape(mb.ndof, B, Qf))
             self._groups.append(phi)                    # var -> (ndm,B,Qf)
 
         # map fine var -> macro var of the same name (aux coupling)
@@ -165,6 +186,8 @@ class SubgridDtN:
         # macro stages). fine_prev: (E, hist, n_fine_dof) BDF history.
         self.fine_prev = None
         self._fine_sol_jit = None
+        # dynamic multimodel: (E,) 0/1 ownership mask (None = static)
+        self.mask = None
 
     # ------------------------------------------------------------------
     # transient fine-state management (synchronous with the macro
@@ -175,7 +198,7 @@ class SubgridDtN:
     def n_macro_elems(self):
         return self.offsets_np.shape[0]
 
-    def init_history(self, hist: int, dtype) -> None:
+    def init_history(self, hist: int, dtype, t0=0.0) -> None:
         """Zero fine history at transient start (reference:
         subgridDtN_solver setInitial: fine initial state = 0; nonzero
         subgrid ICs project the subgrid deck's Initial conditions)."""
@@ -190,32 +213,41 @@ class SubgridDtN:
                 u0[:, None, :], self.fine_prev.shape)
 
     def _project_initial(self, ics: dict, dtype):
-        """Interpolate subgrid initial-condition expressions at fine
-        nodes, per macro element (HGRAD fine spaces)."""
+        """L2-project subgrid initial-condition expressions onto the
+        fine space, per macro element (reference: the subgrid solver's
+        setInitial L2 projection, so the reported t=0 subgrid error
+        vanishes at the quadrature points)."""
         from mrhyde_tpu.assembly.assembler import PointContext
         disc = self.fine_disc
         E = self.n_macro_elems()
-        nodes = jnp.asarray(disc.mesh.nodes, dtype=dtype)   # (nn, dim)
         offs = jnp.asarray(self.offsets_np, dtype=dtype)
-        pts = nodes[None] + offs[:, None, :]                # (E, nn, dim)
-        u0 = jnp.zeros((E, self.n_fine_dof), dtype=dtype)
+        nfd = self.n_fine_dof
+        # global fine mass (dense; fine problems are small)
+        Mb = np.asarray(disc.mass_blocks())        # (Ef, ndt, ndt)
+        lids = np.asarray(disc.lids)
+        M = np.zeros((nfd, nfd))
+        np.add.at(M, (lids[:, :, None], lids[:, None, :]), Mb)
+        b = jnp.zeros((E, nfd), dtype=dtype)
+        ips = (jnp.asarray(disc.ip, dtype=dtype)[None]
+               + offs[:, None, None, :])           # (E, Ef, Q, dim)
+        wts = jnp.asarray(disc.wts, dtype=dtype)   # (Ef, Q)
         for var, expr in ics.items():
             if var not in disc.offsets:
                 continue
-            ctx = PointContext(pts[:, :, None, :], 0.0, self.problem.params)
+            st, nd = disc.offsets[var]
+            key = disc.basis_keys[var]
+            phi = jnp.asarray(disc.basis_vals[key], dtype=dtype)
+            ctx = PointContext(ips, 0.0, self.problem.params)
             vals = jnp.broadcast_to(
                 self.fm.evaluate_expr(str(expr), ctx),
-                (E, pts.shape[1], 1))[:, :, 0]              # (E, nn)
-            # supported: single p1 HGRAD fine var (dof k <-> node k);
-            # scatter via the element connectivity to be ordering-safe
-            st, nd = disc.offsets[var]
-            conn = jnp.asarray(disc.mesh.conn)              # (Ef, nv)
-            lids = jnp.asarray(disc.lids)[:, st:st + nd]    # (Ef, nd)
-            if nd != conn.shape[1]:
-                raise NotImplementedError(
-                    "subgrid Initial conditions: p1 HGRAD fine vars only")
-            u0 = u0.at[:, lids.ravel()].set(vals[:, conn.ravel()])
-        return u0
+                ips.shape[:3])                     # (E, Ef, Q)
+            contrib = jnp.einsum("iq,beq->bei", phi, vals * wts)
+            lv = jnp.asarray(lids[:, st:st + nd])
+            b = b.at[:, lv.ravel()].add(
+                contrib.reshape(E, -1))
+        u0 = jnp.linalg.solve(jnp.asarray(M, dtype=dtype)[None], b[:, :,
+                                                                   None])
+        return u0[:, :, 0]
 
     def blank_stages(self, nstage: int, dtype):
         return jnp.zeros((self.n_macro_elems(), nstage, self.n_fine_dof),
@@ -475,6 +507,7 @@ class SubgridDtN:
         """Summed upscaled residual over all macro elements (n_dof,)."""
         p = self.problem
         E = self.n_macro_elems()
+        pvec0 = pvec
         if self._is_async(pvec):
             lam, lam_prev, offs, prev, t_prev, spvec = \
                 self._async_parts(pvec, u_macro, tc)
@@ -487,6 +520,7 @@ class SubgridDtN:
 
             res_e = jax.vmap(one_a, in_axes=(0, 0, 0, 0))(
                 lam, lam_prev, offs, prev)
+            res_e = self._apply_mask(res_e, pvec0)
             if self.owns_all:
                 flat = jnp.concatenate([res_e.ravel(),
                                         jnp.zeros(1, dtype=res_e.dtype)])
@@ -507,12 +541,22 @@ class SubgridDtN:
             return r
 
         res_e = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
+        res_e = self._apply_mask(res_e, pvec0)
         if self.owns_all:
             flat = jnp.concatenate([res_e.ravel(),
                                     jnp.zeros(1, dtype=res_e.dtype)])
             return flat[p.assembler.inc].sum(axis=1)
         return jax.ops.segment_sum(res_e.ravel(), self._sub_lids().ravel(),
                                    num_segments=p.assembler.n_dof)
+
+    def _apply_mask(self, arr, pvec):
+        """Scale per-element contributions by the dynamic-model mask
+        riding pvec['__ms']['mask'] (1 = this model owns the element)."""
+        ms = (pvec or {}).get("__ms")
+        m = None if ms is None else ms.get("mask")
+        if m is None:
+            return arr
+        return arr * m.reshape((m.shape[0],) + (1,) * (arr.ndim - 1))
 
     def jacobian_contribution(self, u_macro, tc, pvec=None):
         """(E, ndm, ndm) macro element blocks d(res)/d(u_stage).
@@ -522,6 +566,7 @@ class SubgridDtN:
         (the reference's fluxwt chain-rule seed)."""
         p = self.problem
         E = self.n_macro_elems()
+        pvec0 = pvec
         if self._is_async(pvec):
             lam, lam_prev, offs, prev, t_prev, spvec = \
                 self._async_parts(pvec, u_macro, tc)
@@ -534,7 +579,7 @@ class SubgridDtN:
 
             jac = jax.vmap(one_a, in_axes=(0, 0, 0, 0))(
                 lam, lam_prev, offs, prev)
-            return tc.alpha_u * jac
+            return tc.alpha_u * self._apply_mask(jac, pvec0)
         prev, stages, sw, bw = self._unpack_ms(
             pvec, E, self.n_fine_dof, u_macro.dtype)
         pvec = self._strip_ms(pvec)
@@ -549,7 +594,7 @@ class SubgridDtN:
             )(lam_e)
 
         jac = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
-        return tc.alpha_u * jac
+        return tc.alpha_u * self._apply_mask(jac, pvec0)
 
     def jacobian_blocks(self, u_macro, tc, pvec=None):
         """[(blocks, lids)] pairs for the global BlockJacobian."""
@@ -564,16 +609,21 @@ class SubgridDtN:
         if not self.sync:
             # async: fine substeps need the macro history for the
             # Lagrange trace interpolation and the step start time
-            return {"prev": self.fine_prev, "stages": stages,
-                    "lam_prev": u_prev[:2],
-                    "t_prev": jnp.asarray(t, dtype)}
-        nstage = len(b)
-        sw = np.zeros(nstage)
-        sw[:s] = A[s, :s] / b[:s]
-        bw = np.zeros(self.fine_prev.shape[1])
-        bw[:len(w) - 1] = w[1:] * timewt
-        return {"prev": self.fine_prev, "stages": stages,
-                "sw": jnp.asarray(sw, dtype), "bw": jnp.asarray(bw, dtype)}
+            out = {"prev": self.fine_prev, "stages": stages,
+                   "lam_prev": u_prev[:2],
+                   "t_prev": jnp.asarray(t, dtype)}
+        else:
+            nstage = len(b)
+            sw = np.zeros(nstage)
+            sw[:s] = A[s, :s] / b[:s]
+            bw = np.zeros(self.fine_prev.shape[1])
+            bw[:len(w) - 1] = w[1:] * timewt
+            out = {"prev": self.fine_prev, "stages": stages,
+                   "sw": jnp.asarray(sw, dtype),
+                   "bw": jnp.asarray(bw, dtype)}
+        if self.mask is not None:
+            out["mask"] = jnp.asarray(self.mask, dtype)
+        return out
 
     def record_stage(self, stages, s, z, tc, pvec):
         return stages.at[:, s].set(self.fine_solutions(z, tc, pvec))
@@ -644,7 +694,10 @@ class SubgridDtN:
             tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
                                    uh.shape)
             wts = jnp.asarray(disc.wts)
-            err2 = jnp.sum(wts[None] * (uh - tru) ** 2)
+            per_e = jnp.sum(wts[None] * (uh - tru) ** 2, axis=(1, 2))
+            if self.mask is not None:
+                per_e = per_e * jnp.asarray(self.mask, per_e.dtype)
+            err2 = jnp.sum(per_e)
             kind = ("Subgrid-L2" if self.label == 0
                     else f"Subgrid-L2:{self.label}")
             out[(kind, var)] = float(jnp.sqrt(err2))
@@ -666,19 +719,44 @@ class MultiscaleModels:
 
     def __init__(self, problem, subgrid_cfg: dict):
         cfg = subgrid_cfg.get("Subgrid", subgrid_cfg)
+        self.problem = problem
         model_cfgs = [(k, v) for k, v in cfg.items()
                       if isinstance(v, dict) and "Mesh" in v]
         if not model_cfgs:
             raise ValueError("Subgrid list has no model sublists")
-        # usage votes at macro volume qps (reference semantics)
+        self.model_cfgs = model_cfgs
+        self.dynamic = not bool(cfg.get("static subgrids", True))
+        if self.dynamic:
+            # every model covers every element; per-step 0/1 masks
+            # select the winner (reference: MultiscaleManager::update,
+            # multiscaleManager.cpp:385-430 with L2 state transfer on
+            # model switches)
+            self.models = [SubgridDtN(problem, mcfg, label=j)
+                           for j, (_n, mcfg) in enumerate(model_cfgs)]
+            self._xfer = self._projection_maps()
+        else:
+            winner = self._vote(0.0)
+            self.models = []
+            for j, (_name, mcfg) in enumerate(model_cfgs):
+                elems = np.nonzero(winner == j)[0]
+                if elems.size == 0:
+                    continue
+                self.models.append(SubgridDtN(problem, mcfg,
+                                              elems=elems,
+                                              label=len(self.models)))
+        self.fine_prev = None   # presence flag for the integrator
+
+    def _vote(self, time):
+        """(E,) winner index from usage >= 1 votes at the macro volume
+        qps (ties to the LATER model; assemblyManager.cpp:8091-8110)."""
         from mrhyde_tpu.assembly.assembler import PointContext
-        disc = problem.disc
-        ips = jnp.asarray(disc.ip)                    # (E, Q, dim)
+        problem = self.problem
+        ips = jnp.asarray(problem.disc.ip)            # (E, Q, dim)
         E = ips.shape[0]
         votes = []
-        for j, (_name, mcfg) in enumerate(model_cfgs):
+        for j, (_name, mcfg) in enumerate(self.model_cfgs):
             usage = str(mcfg.get("usage", "1.0" if j == 0 else "0.0"))
-            ctx = PointContext(ips, 0.0, problem.params)
+            ctx = PointContext(ips, time, problem.params)
             vals = jnp.broadcast_to(
                 problem.fm.evaluate_expr(usage, ctx), ips.shape[:2])
             votes.append(np.asarray(vals >= 1.0).sum(axis=1))
@@ -689,19 +767,69 @@ class MultiscaleModels:
             take = votes[j] >= best
             winner[take] = j
             best = np.maximum(best, votes[j])
-        self.models = []
-        for j, (_name, mcfg) in enumerate(model_cfgs):
-            elems = np.nonzero(winner == j)[0]
-            if elems.size == 0:
-                continue
-            self.models.append(SubgridDtN(problem, mcfg,
-                                          elems=elems,
-                                          label=len(self.models)))
-        self.fine_prev = None   # presence flag for the integrator
+        return winner
 
-    def init_history(self, hist, dtype):
+    def _projection_maps(self):
+        """xfer[k][j]: (nfd_k, nfd_j) L2 projection of model j's fine
+        p1 field onto model k's fine space (nested uniform ref grids;
+        reference: subgrid_projection_maps/solvers)."""
+        def p1_eval(mesh, pts):
+            # (npts, n_nodes) bilinear evaluation matrix on a uniform
+            # [-1,1]^2 grid mesh
+            n1 = int(round(np.sqrt(mesh.conn.shape[0])))
+            h = 2.0 / n1
+            out = np.zeros((pts.shape[0], mesh.nodes.shape[0]))
+            ij = np.clip(((pts + 1.0) / h).astype(int), 0, n1 - 1)
+            xi = (pts + 1.0 - ij * h) / h * 2.0 - 1.0   # local [-1,1]
+            elems = ij[:, 0] * n1 + ij[:, 1]
+            sh = np.stack([(1 - xi[:, 0]) * (1 - xi[:, 1]),
+                           (1 + xi[:, 0]) * (1 - xi[:, 1]),
+                           (1 + xi[:, 0]) * (1 + xi[:, 1]),
+                           (1 - xi[:, 0]) * (1 + xi[:, 1])],
+                          axis=1) / 4.0
+            conn = mesh.conn[elems]                    # (npts, 4)
+            np.put_along_axis(out, conn, sh, axis=1)
+            return out
+
+        from mrhyde_tpu.fem.quadrature import cell_quadrature
+        maps = {}
+        for k, mk in enumerate(self.models):
+            maps[k] = {}
+            for j, mj in enumerate(self.models):
+                if j == k:
+                    continue
+                finer = (mk.ref_fine
+                         if mk.ref_fine.conn.shape[0]
+                         >= mj.ref_fine.conn.shape[0] else mj.ref_fine)
+                n1 = int(round(np.sqrt(finer.conn.shape[0])))
+                qp, qw = cell_quadrature("quad", 2)
+                h = 2.0 / n1
+                cents = finer.nodes[finer.conn].mean(axis=1)
+                pts = (cents[:, None, :]
+                       + qp[None, :, :] * h / 2.0).reshape(-1, 2)
+                w = np.tile(qw * (h / 2.0) ** 2, cents.shape[0])
+                Pk = p1_eval(mk.ref_fine, pts)        # (npts, nk)
+                Pj = p1_eval(mj.ref_fine, pts)        # (npts, nj)
+                M = Pk.T @ (w[:, None] * Pk)
+                B = Pk.T @ (w[:, None] * Pj)
+                maps[k][j] = np.linalg.solve(M, B)
+        return maps
+
+    def update_masks(self, time):
+        """Re-vote model ownership at the step-start time; the L2
+        state transfer happened at the previous commit (every model
+        carries a consistent global fine state)."""
+        if not self.dynamic:
+            return
+        winner = self._vote(time)
+        for j, m in enumerate(self.models):
+            m.mask = (winner == j).astype(float)
+
+    def init_history(self, hist, dtype, t0=0.0):
         for m in self.models:
             m.init_history(hist, dtype)
+        if self.dynamic:
+            self.update_masks(t0)
         self.fine_prev = True
 
     def blank_stages(self, nstage, dtype):
@@ -724,8 +852,30 @@ class MultiscaleModels:
         return tuple(out)
 
     def commit_step(self, stages, nstage):
+        if not self.dynamic:
+            for m, st in zip(self.models, stages):
+                m.commit_step(st, nstage)
+            return
+        # per-model stage combination, then blend the winners' states
+        # (L2-projected across fine spaces) into EVERY model's history
+        news = []
         for m, st in zip(self.models, stages):
-            m.commit_step(st, nstage)
+            prev0 = m.fine_prev[:, 0]
+            if nstage > 1:
+                news.append(prev0 + jnp.sum(
+                    st[:, :nstage] - prev0[:, None], axis=1))
+            else:
+                news.append(st[:, 0])
+        for k, mk in enumerate(self.models):
+            total = jnp.zeros_like(mk.fine_prev[:, 0])
+            for j, mj in enumerate(self.models):
+                v = news[j] if j == k else \
+                    news[j] @ jnp.asarray(self._xfer[k][j].T,
+                                          news[j].dtype)
+                total = total + jnp.asarray(
+                    mj.mask, v.dtype)[:, None] * v
+            mk.fine_prev = jnp.roll(mk.fine_prev, 1, axis=1) \
+                .at[:, 0].set(total)
 
     def _sub_pvec(self, pvec, i):
         if not pvec or "__ms" not in pvec:

@@ -28,7 +28,7 @@ class PorousMixedHybrid(PhysicsModule):
 
     def variables(self):
         return [("p", "HVOL", 0), ("u", "HDIV-DG", 1),
-                ("lambda", "HFACE", 1)]
+                ("lambda", "HFACE", 0)]
 
     def define_functions(self, fm, fs):
         fm.add_function("source", self._f(fs, "source", 0.0), "ip")

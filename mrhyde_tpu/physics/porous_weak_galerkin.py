@@ -21,7 +21,7 @@ class PorousWeakGalerkin(PhysicsModule):
     name = "porousWeakGalerkin"
 
     def variables(self):
-        return [("pint", "HVOL", 0), ("pbndry", "HFACE", 1),
+        return [("pint", "HVOL", 0), ("pbndry", "HFACE", 0),
                 ("u", "HDIV-DG", 1), ("t", "HDIV-DG", 1)]
 
     def define_functions(self, fm, fs):

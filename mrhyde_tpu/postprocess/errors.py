@@ -85,6 +85,9 @@ class ErrorCalculator:
         for var, expr in self.l2_exprs.items():
             if var not in disc.offsets:
                 continue
+            if disc.basis_keys[var][0] == "HFACE":
+                continue   # trace vars have no volume norm (the
+                #            reference only reports their face norm)
             st, nd = disc.offsets[var]
             phi = jnp.asarray(disc.basis_vals[disc.basis_keys[var]])
             uh = u_e[:, st:st + nd] @ phi              # (E, Q)

@@ -103,8 +103,10 @@ class Problem:
                 order = int(orders.get(name, default_order))
                 if space == "HVOL":
                     order = 0
-                variables.append((name, space, max(order, 0) or
-                                  (0 if space == "HVOL" else 1)))
+                if space in ("HVOL", "HFACE"):
+                    variables.append((name, space, max(order, 0)))
+                else:
+                    variables.append((name, space, max(order, 1)))
         # 'Extra variables' (e.g. macro trace vars in multiscale decks)
         extra_vars = phys_cfg.get("Extra variables", {}) or {}
         extra_orders = orders.get("Extra variables", {}) or {}
@@ -262,7 +264,7 @@ class Problem:
 
             def _ic(t):
                 u = jnp.zeros(self.n_dof)
-                if ics and ic_type == "L2-projection":
+                if ics and ic_type.startswith("L2-projection"):
                     M = self.assembler.mass_jacobian()
                     b = self.assembler.l2_rhs(ics, time=t)
                     u = solve_linear(M, b, method=self._proj_method())
@@ -362,7 +364,7 @@ class Problem:
 
         if self.multiscale is not None:
             self.multiscale.init_history(integ.max_history(),
-                                         jnp.asarray(0.0).dtype)
+                                         jnp.asarray(0.0).dtype, t0=t0)
 
         def observer(u, time, step):
             if record and self.compute_errors:

@@ -188,7 +188,11 @@ class TransientIntegrator:
         # butcher tableau/BDF weights into the subgrid workset)
         ms = getattr(asm, "multiscale", None)
         if ms is not None and ms.fine_prev is None:
-            ms.init_history(self.max_history(), u.dtype)
+            ms.init_history(self.max_history(), u.dtype, t0=t)
+        if ms is not None and hasattr(ms, "update_masks"):
+            # dynamic multimodel: re-vote ownership at step start
+            # (reference: solverManager.cpp:1316 identifySubgridModels)
+            ms.update_masks(t)
         ms_stages = (None if ms is None
                      else ms.blank_stages(nstage, u.dtype))
         for s in range(nstage):

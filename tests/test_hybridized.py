@@ -18,7 +18,7 @@ def test_porous_mixed_hybridized_matches_mixed_gold():
         "Solver": {"solver": "steady-state", "nonlinear TOL": 1e-7,
                    "max nonlinear iters": 2, "initial type": "none",
                    "use direct solver": True},
-        "Discretization": {"order": {"p": 0, "u": 1, "lambda": 1},
+        "Discretization": {"order": {"p": 0, "u": 1, "lambda": 0},
                            "quadrature": 2},
         "Postprocess": {"compute errors": True,
                         "True solutions": {
@@ -46,7 +46,7 @@ def test_porous_weak_galerkin_converges():
             "Solver": {"solver": "steady-state", "nonlinear TOL": 1e-8,
                        "max nonlinear iters": 2, "initial type": "none",
                        "use direct solver": True},
-            "Discretization": {"order": {"pint": 0, "pbndry": 1,
+            "Discretization": {"order": {"pint": 0, "pbndry": 0,
                                          "u": 1, "t": 1},
                                "quadrature": 2},
             "Postprocess": {"compute errors": True,
