@@ -110,7 +110,7 @@ def main():
     tc = TimeCoeffs.steady(p.n_dof, dtype=dtype)
     u = jnp.zeros(p.n_dof, dtype=dtype)
 
-    inner = int(os.environ.get("BENCH_INNER", "25"))
+    inner = int(os.environ.get("BENCH_INNER", "100"))
 
     # production fast path: the fused Pallas assembly kernel (one
     # device op for gather -> qp loop -> scatter parts + jac blocks)

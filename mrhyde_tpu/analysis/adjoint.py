@@ -55,23 +55,19 @@ def make_stage_solver(assembler, *, tol=1e-10, maxiter=10):
     fixed = assembler.fixed
 
     def newton(z0, tc, pvec, g):
+        # fixed-trip scan with a convergence freeze (not a while_loop,
+        # so the solve stays reverse-differentiable for Hessian-vector
+        # products through the custom_vjp residuals)
         z0 = jnp.where(fixed, g, z0)
 
-        def cond(state):
-            z, it, rn = state
-            return (rn > tol) & (it < maxiter)
-
-        def body(state):
-            z, it, _ = state
+        def body(z, _):
             r = assembler.residual(z, tc, pvec)
+            live = jnp.linalg.norm(r) > tol
             J = assembler.jacobian(z, tc, pvec)
             du = jnp.linalg.solve(J.dense(), -r)
-            z = z + du
-            rn = jnp.linalg.norm(assembler.residual(z, tc, pvec))
-            return (z, it + 1, rn)
+            return jnp.where(live, z + du, z), None
 
-        r0 = jnp.linalg.norm(assembler.residual(z0, tc, pvec))
-        z, _, _ = jax.lax.while_loop(cond, body, (z0, 0, r0))
+        z, _ = jax.lax.scan(body, z0, None, length=maxiter)
         return z
 
     @jax.custom_vjp

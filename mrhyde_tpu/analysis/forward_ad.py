@@ -124,6 +124,30 @@ class DifferentiableForward:
     def value_and_gradient(self, pvec):
         return jax.value_and_grad(self.objective)(pvec)
 
+    def hvp(self, pvec, vec):
+        """Hessian-vector product d2J/dp2 . vec via reverse-over-
+        reverse AD through the implicit stage solves (the reference's
+        ROL hessVec hook, analysisManager ROL2 bindings; the
+        custom_vjp adjoint is itself differentiable because its
+        backward pass is plain linear algebra + residual vjps)."""
+        def gdot(p):
+            g = jax.grad(self.objective)(p)
+            return sum(jnp.sum(jnp.asarray(g[k]) * jnp.asarray(vec[k]))
+                       for k in vec)
+        return jax.grad(gdot)(pvec)
+
+    def fd_hvp(self, pvec, vec, eps=1e-5):
+        """Central-difference of the gradient along vec (hessVec
+        verification, like ROL checkHessVec)."""
+        pp = {k: jnp.asarray(v) + eps * jnp.asarray(vec[k])
+              for k, v in pvec.items()}
+        pm = {k: jnp.asarray(v) - eps * jnp.asarray(vec[k])
+              for k, v in pvec.items()}
+        gp = self.gradient(pp)
+        gm = self.gradient(pm)
+        return {k: (np.asarray(gp[k]) - np.asarray(gm[k])) / (2 * eps)
+                for k in pvec}
+
     def fd_gradient(self, pvec, eps=1e-6):
         """Central finite-difference gradient (the reference's ROL
         checkGradient analog) for verification."""

@@ -74,3 +74,20 @@ def test_sensor_objective_gradient():
     rel = abs(float(grad["src_mag"]) - fd["src_mag"]) / (
         abs(fd["src_mag"]) + 1e-14)
     assert rel < 1e-6
+
+
+@pytest.mark.parametrize("transient", [False, True])
+def test_hessian_vector_matches_fd(transient):
+    """d2J/dp2 . v via reverse-over-reverse AD through the implicit
+    stage solves vs a central difference of the gradient (the
+    reference's ROL checkHessVec)."""
+    p = make_problem(transient)
+    om = integrated_objective(p)
+    fwd = DifferentiableForward(p, om.value)
+    pvec = {"src_mag": jnp.asarray(1.3)}
+    vec = {"src_mag": jnp.asarray(1.0)}
+    hv = fwd.hvp(pvec, vec)
+    fd = fwd.fd_hvp(pvec, vec, eps=1e-4)
+    a, b = float(hv["src_mag"]), float(fd["src_mag"])
+    assert np.isfinite(a) and abs(b) > 1e-10
+    assert abs(a - b) <= 2e-4 * max(1.0, abs(b))
