@@ -14,6 +14,7 @@ from __future__ import annotations
 import re
 
 import jax.numpy as jnp
+import numpy as np
 
 from mrhyde_tpu.assembly.assembler import PointContext
 
@@ -61,6 +62,22 @@ class ErrorCalculator:
         out = self._compute_jit(u, time)
         return {k: float(v) for k, v in out.items()}
 
+    def _emit(self, out, kind, var, e2_per_elem):
+        """Report the norm; multiblock meshes get one entry per
+        element block (reference: per-block computeError, gold files
+        repeat the line per block)."""
+        bids = getattr(self.disc.mesh, "block_ids", None)
+        if bids is None or len(getattr(self.disc.mesh, "block_names",
+                                       [])) <= 1:
+            out[(kind, var)] = jnp.sqrt(jnp.sum(e2_per_elem))
+            return
+        nb = len(self.disc.mesh.block_names)
+        for b in range(nb):
+            mask = jnp.asarray(np.asarray(bids) == b,
+                               dtype=e2_per_elem.dtype)
+            key = (kind, var) if b == 0 else (f"{kind}@{b}", var)
+            out[key] = jnp.sqrt(jnp.sum(e2_per_elem * mask))
+
     def _compute(self, u, time) -> dict:
         disc = self.disc
         out = {}
@@ -74,13 +91,13 @@ class ErrorCalculator:
             vv = jnp.asarray(disc.vec_vals[disc.basis_keys[var]])
             uh = jnp.einsum("ei,eiqd->eqd", u_e[:, st:st + nd], vv)
             ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
-            err2 = 0.0
+            e2 = 0.0
             for ax, expr in comps.items():
                 tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
                                        uh.shape[:2])
-                err2 = err2 + jnp.sum(jnp.asarray(disc.wts)
-                                      * (uh[:, :, ax] - tru) ** 2)
-            out[("L2", var)] = jnp.sqrt(err2)
+                e2 = e2 + jnp.sum(jnp.asarray(disc.wts)
+                                  * (uh[:, :, ax] - tru) ** 2, axis=1)
+            self._emit(out, "L2", var, e2)
 
         for var, expr in self.l2_exprs.items():
             if var not in disc.offsets:
@@ -94,8 +111,9 @@ class ErrorCalculator:
             ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
             tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
                                    uh.shape)
-            err2 = jnp.sum(jnp.asarray(disc.wts) * (uh - tru) ** 2)
-            out[("L2", var)] = jnp.sqrt(err2)
+            e2 = jnp.sum(jnp.asarray(disc.wts) * (uh - tru) ** 2,
+                         axis=1)
+            self._emit(out, "L2", var, e2)
 
         for var, comps in self.grad_exprs.items():
             if var not in disc.offsets:
@@ -104,19 +122,19 @@ class ErrorCalculator:
             dphi = jnp.asarray(disc.basis_grads[disc.basis_keys[var]])
             duh = jnp.einsum("ei,eiqd->eqd", u_e[:, st:st + nd], dphi)
             ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
-            err2 = 0.0
+            e2 = 0.0
             for ax, expr in comps.items():
                 tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
                                        duh.shape[:2])
-                err2 = err2 + jnp.sum(jnp.asarray(disc.wts)
-                                      * (duh[:, :, ax] - tru) ** 2)
-            out[("L2-grad", var)] = jnp.sqrt(err2)
+                e2 = e2 + jnp.sum(jnp.asarray(disc.wts)
+                                  * (duh[:, :, ax] - tru) ** 2, axis=1)
+            self._emit(out, "L2-grad", var, e2)
 
         for var, expr in self.face_exprs.items():
             if var not in disc.offsets:
                 continue
             st, nd = disc.offsets[var]
-            err2 = 0.0
+            e2 = 0.0
             for s in range(disc.topo.n_side):
                 phi_f = jnp.asarray(disc.face_basis_vals[s][
                     disc.basis_keys[var]])               # (nd, Qf)
@@ -127,8 +145,9 @@ class ErrorCalculator:
                                        uh.shape)
                 wts = jnp.asarray(fg.wts)                # (E, Qf)
                 fmeas = jnp.sum(wts, axis=1, keepdims=True)
-                err2 = err2 + jnp.sum(0.5 / fmeas * (uh - tru) ** 2 * wts)
-            out[("L2-face", var)] = jnp.sqrt(err2)
+                e2 = e2 + jnp.sum(0.5 / fmeas * (uh - tru) ** 2 * wts,
+                                  axis=1)
+            self._emit(out, "L2-face", var, e2)
 
         return out
 
@@ -139,6 +158,8 @@ class ErrorCalculator:
                  "***** Computing errors ******", ""]
         for time, errs in history:
             for (kind, var), val in errs.items():
+                kind = kind.split("@")[0]   # per-block entries repeat
+                #                             the same label (gold style)
                 if kind.startswith("Subgrid-L2"):
                     idx = kind.split(":")[1] if ":" in kind else "0"
                     label = (f"Subgrid {idx}: L2 norm of the error "

@@ -238,17 +238,41 @@ class Problem:
         xb = int(mesh_cfg.get("Xblocks", 1))
         yb = int(mesh_cfg.get("Yblocks", 1))
         zb = int(mesh_cfg.get("Zblocks", 1))
-        return box_mesh(
+        nx = int(mesh_cfg.get("NX", 1))
+        ny = int(mesh_cfg.get("NY", 1))
+        nz = int(mesh_cfg.get("NZ", 1))
+        mesh = box_mesh(
             cell,
-            nx=int(mesh_cfg.get("NX", 1)) * xb,
-            ny=int(mesh_cfg.get("NY", 1)) * yb,
-            nz=int(mesh_cfg.get("NZ", 1)) * zb,
+            nx=nx * xb, ny=ny * yb, nz=nz * zb,
             xmin=float(mesh_cfg.get("xmin", 0.0)),
             xmax=float(mesh_cfg.get("xmax", 1.0)),
             ymin=float(mesh_cfg.get("ymin", 0.0)),
             ymax=float(mesh_cfg.get("ymax", 1.0)),
             zmin=float(mesh_cfg.get("zmin", 0.0)),
             zmax=float(mesh_cfg.get("zmax", 1.0)))
+        if xb * yb * zb > 1 and cell in ("quad", "hex"):
+            # Panzer eblock-i_j(_k) element-block labeling
+            cents = mesh.nodes[mesh.conn].mean(axis=1)
+            info = mesh.box_info["bounds"]
+            idx = []
+            for d, (lo, hi, n) in enumerate(info):
+                nb = (xb, yb, zb)[d]
+                bw = (hi - lo) / nb
+                idx.append(np.clip(((cents[:, d] - lo) / bw).astype(int),
+                                   0, nb - 1))
+            if len(idx) == 2:
+                mesh.block_ids = idx[0] + xb * idx[1]
+                mesh.block_names = [f"eblock-{i}_{j}"
+                                    for j in range(yb)
+                                    for i in range(xb)]
+            else:
+                mesh.block_ids = (idx[0] + xb * idx[1]
+                                  + xb * yb * idx[2])
+                mesh.block_names = [f"eblock-{i}_{j}_{k}"
+                                    for k in range(zb)
+                                    for j in range(yb)
+                                    for i in range(xb)]
+        return mesh
 
     @property
     def n_dof(self):

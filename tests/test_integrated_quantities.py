@@ -43,5 +43,8 @@ def test_integrated_quantities():
     assert np.isclose(iq["total e"], 4 * 0.101321, rtol=1e-5)
     assert np.isclose(iq["left"], 2 * -1.00205, rtol=1e-5)
     assert np.isclose(iq["thermal vol total e"], 4 * 0.101321, rtol=1e-5)
-    assert np.isclose(res.errors[("L2", "e")], 2 * 1.09691e-05,
-                      rtol=2e-5)
+    # per-block reporting now matches the reference gold directly
+    # (the gold prints one line per element block)
+    assert np.isclose(res.errors[("L2", "e")], 1.09691e-05, rtol=2e-5)
+    for key in [k for k in res.errors if k[0].startswith("L2@")]:
+        assert np.isclose(res.errors[key], 1.09691e-05, rtol=2e-5)

@@ -120,3 +120,31 @@ def test_mixed_dirichlet_neumann():
     cfg["Solver"]["max nonlinear iters"] = 4
     res = Problem(cfg).run()
     assert np.isclose(res.errors[("L2", "e")], 0.00102733, rtol=2e-5)
+
+
+def test_multiblock_per_block_errors():
+    """thermal/2D_multiblock gold: 2x2 element blocks each report
+    their own L2 norm (all equal by symmetry): 0.000513878 x4."""
+    import numpy as np
+    from mrhyde_tpu.problem import Problem
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 10, "NY": 10, "Xblocks": 2, "Yblocks": 2},
+        "Functions": {"thermal source": "2*(pi*pi)*sin(pi*x)*sin(pi*y)"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"scalar data": True,
+                                             "e": {"top": 0.0,
+                                                   "bottom": 0.0,
+                                                   "left": 0.0,
+                                                   "right": 0.0}},
+                    "Initial conditions": {"scalar data": True,
+                                           "e": 0.0}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state", "use strong DBCs": True},
+        "Postprocess": {"compute errors": True,
+                        "True solutions": {"e": "sin(pi*x)*sin(pi*y)"}},
+    }
+    res = Problem(cfg).run()
+    for key in [("L2", "e"), ("L2@1", "e"), ("L2@2", "e"),
+                ("L2@3", "e")]:
+        assert np.isclose(res.errors[key], 0.000513878, rtol=1e-4)
