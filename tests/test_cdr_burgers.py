@@ -44,13 +44,14 @@ def burgers_result():
                                                    "right": 0.0}},
                     "Initial conditions": {"u": "exp(bubble)"}},
         "Discretization": {"order": {"u": 1}, "quadrature": 2},
-        "Functions": {"Burgers source": "0.0", "xvel": "1.0",
+        "Functions": {"Burgers source": "0.0", "xvel": "100.0",
                       "yvel": "0.0", "diffusion": "1.0e-3",
                       "bubble": "-100.0*(x-0.2)*(x-0.2)"},
         "Solver": {"solver": "transient",
                    "transient Butcher tableau": "BWE",
                    "nonlinear TOL": 1e-7, "max nonlinear iters": 10,
-                   "final time": 2.0e-2, "delta t": 1.0e-3,
+                   "final time": 0.004, "delta t": 1.0e-3,
+                   "allow backtracking": True,
                    "use direct solver": True},
         "Postprocess": {"compute errors": True,
                         "True solutions": {"u": "0.0"}},
@@ -66,7 +67,10 @@ def test_burgers_initial_projection(burgers_result):
 
 
 def test_burgers_evolution(burgers_result):
+    # burgers/1D_Nonlinear_Backtracking gold (xvel=100 advection,
+    # nonlinear Newton with backtracking)
     hist = dict((round(t, 10), e[("L2", "u")])
                 for t, e in burgers_result.error_history)
-    assert np.isclose(hist[0.001], 0.35397, rtol=2e-5)
-    assert np.isclose(hist[0.02], 0.353175, rtol=2e-5)
+    assert np.isclose(hist[0.001], 0.329584, rtol=2e-5)
+    assert np.isclose(hist[0.002], 0.313885, rtol=2e-5)
+    assert np.isclose(hist[0.004], 0.291375, rtol=2e-5)
