@@ -18,7 +18,13 @@ __all__ = ["Maxwell"]
 
 
 @register("maxwell")
+@register("maxwell control")
 class Maxwell(PhysicsModule):
+    """Also registered as 'maxwell control' (reference:
+    maxwell_control.cpp): identical E-B weak form with the current
+    source J parametrized for optimal control -- here the generic
+    parameter machinery differentiates through J, so one module
+    serves both deck names."""
     name = "maxwell"
 
     def variables(self):
