@@ -335,3 +335,25 @@ def test_dynamic_multimodel():
     assert np.isclose(e2[("L2", "e")], 0.0088867, rtol=1e-3)
     e4 = hist[0.4]
     assert np.isclose(e4[("L2", "e")], 0.00270374, rtol=1e-3)
+
+
+@pytest.mark.parametrize("name,macro,sub", [
+    ("2D_verification_multiscale_panzermesh", 0.198706, 0.042848),
+    ("3D_verification_multiscale_panzermesh", 0.48724, 0.0488942),
+])
+def test_panzermesh_decks_from_reference_yaml(name, macro, sub):
+    """The panzermesh multiscale decks (Panzer inline-mesh keys:
+    'mesh type: panzer', 'shape', 'dim') run straight from the
+    reference YAML and reproduce their golds."""
+    import yaml
+    d = f"/root/reference/regression/thermal/{name}"
+    mc = yaml.safe_load(open(f"{d}/input.yaml"))["ANONYMOUS"]
+    sc = yaml.safe_load(open(f"{d}/subgrid_input.yaml"))["ANONYMOUS"][
+        "Subgrid"]
+    cfg = {k: mc[k] for k in ("Mesh", "Physics", "Discretization",
+                              "Solver", "Postprocess") if k in mc}
+    cfg["Functions"] = mc.get("Functions") or {}
+    cfg["Subgrid"] = sc
+    res = Problem(cfg).run()
+    assert np.isclose(res.errors[("L2-face", "e")], macro, rtol=1e-4)
+    assert np.isclose(res.errors[("Subgrid-L2", "e")], sub, rtol=1e-4)
