@@ -87,17 +87,24 @@ class MultiSetProblem:
             out.error_history.append((time, errs))
 
         if mode != "transient":
-            for i, p in enumerate(self.sets):
-                from mrhyde_tpu.assembly.assembler import TimeCoeffs
-                from mrhyde_tpu.solvers.nonlinear import newton_solve
-                tc = TimeCoeffs.steady(p.n_dof, dtype=states[i].dtype)
-                pvec = self._cross_fields(i, states)
-                res = newton_solve(
-                    p.assembler, states[i], tc, pvec,
-                    maxiter=int(p.solver_cfg.get("max nonlinear iters",
-                                                 10)),
-                    linear_method=p._linear_method())
-                states[i] = res.u
+            # Picard sweeps over the sets, each seeing the others'
+            # latest solutions as frozen fields (reference: 'max
+            # subcycles' iterative coupling, solverManager steadySolver)
+            subcycles = int((self.cfg.get("Solver", {}) or {}).get(
+                "max subcycles", 1))
+            for _cycle in range(max(subcycles, 1)):
+                for i, p in enumerate(self.sets):
+                    from mrhyde_tpu.assembly.assembler import TimeCoeffs
+                    from mrhyde_tpu.solvers.nonlinear import newton_solve
+                    tc = TimeCoeffs.steady(p.n_dof,
+                                           dtype=states[i].dtype)
+                    pvec = self._cross_fields(i, states)
+                    res = newton_solve(
+                        p.assembler, states[i], tc, pvec,
+                        maxiter=int(p.solver_cfg.get(
+                            "max nonlinear iters", 10)),
+                        linear_method=p._linear_method())
+                    states[i] = res.u
             record(0.0)
             out.u, out.time = states, 0.0
             return out

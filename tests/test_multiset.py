@@ -51,3 +51,40 @@ def test_multiset_different_timeschemes():
     assert np.isclose(hist[0.005][("L2", "c")], 0.005, rtol=1e-6)
     # q: RK-4,4 startup then BDF3 (gold 1.48437e-12 at t=0.01)
     assert hist[0.01][("L2", "q")] < 5e-12
+
+
+def test_ns_cdr_fully_coupled_gold():
+    """Multiphysics/NavierStokes-CDR/Fully-Coupled: one physics set,
+    two modules, cross-variable expressions (cdr advected by ux/uy,
+    NS forced by 0.1*c^2)."""
+    import yaml
+    d = ("/root/reference/regression/Multiphysics/NavierStokes-CDR/"
+         "Fully-Coupled")
+    mc = yaml.safe_load(open(f"{d}/input.yaml"))["ANONYMOUS"]
+    cfg = {k: mc[k] for k in ("Mesh", "Physics", "Discretization",
+                              "Solver", "Postprocess", "Functions")}
+    res = make_problem(cfg).run()
+    errs = res.errors if hasattr(res, "errors") else \
+        res.error_history[-1][1]
+    assert np.isclose(errs[("L2", "ux")], 0.00376827, rtol=1e-4)
+    assert np.isclose(errs[("L2", "uy")], 0.00261266, rtol=1e-4)
+    assert np.isclose(errs[("L2", "pr")], 0.118585, rtol=1e-4)
+    assert np.isclose(errs[("L2", "c")], 2.053, rtol=1e-4)
+
+
+def test_ns_cdr_iteratively_coupled_gold():
+    """Multiphysics/NavierStokes-CDR/Iteratively-Coupled: two physics
+    sets Picard-swept with 'max subcycles: 2', each seeing the other's
+    latest solution as a frozen field."""
+    import yaml
+    d = ("/root/reference/regression/Multiphysics/NavierStokes-CDR/"
+         "Iteratively-Coupled")
+    mc = yaml.safe_load(open(f"{d}/input.yaml"))["ANONYMOUS"]
+    cfg = {k: mc[k] for k in ("Mesh", "Physics", "Discretization",
+                              "Solver", "Postprocess", "Functions")}
+    res = make_problem(cfg).run()
+    errs = res.error_history[-1][1]
+    assert np.isclose(errs[("L2", "ux")], 0.00376982, rtol=1e-4)
+    assert np.isclose(errs[("L2", "uy")], 0.00261389, rtol=1e-4)
+    assert np.isclose(errs[("L2", "pr")], 0.118639, rtol=1e-4)
+    assert np.isclose(errs[("L2", "c")], 2.05308, rtol=1e-4)
