@@ -147,6 +147,7 @@ def read_exodus(path: str) -> tuple[Mesh, dict]:
     info = {"n_steps": (f.variables["time_whole"].shape[0]
                         if "time_whole" in f.variables else 0)}
     mesh = Mesh(dim=dim, cell_type=cell_type, nodes=nodes, conn=conn,
-                sidesets=sidesets, block_ids=block_ids)
+                sidesets=sidesets, block_ids=block_ids,
+                block_names=[f"eblock-{b}" for b in range(n_blk)])
     f.close()
     return mesh, info

@@ -88,3 +88,25 @@ def test_ns_cdr_iteratively_coupled_gold():
     assert np.isclose(errs[("L2", "uy")], 0.00261389, rtol=1e-4)
     assert np.isclose(errs[("L2", "pr")], 0.118639, rtol=1e-4)
     assert np.isclose(errs[("L2", "c")], 2.05308, rtol=1e-4)
+
+
+def test_multiset_multiblock_exodus_gold():
+    """Multiphysics/MultiSet-MultiBlock: ODE + CDR sets on a two-block
+    Exodus hex mesh; every error is reported once per element block
+    (gold prints each line twice, both 1/sqrt(2) of the global norm)."""
+    import yaml
+    d = "/root/reference/regression/Multiphysics/MultiSet-MultiBlock"
+    mc = yaml.safe_load(open(f"{d}/input.yaml"))["ANONYMOUS"]
+    cfg = {k: mc[k] for k in ("Mesh", "Physics", "Discretization",
+                              "Solver", "Postprocess", "Functions")}
+    cfg["Mesh"] = dict(cfg["Mesh"])
+    cfg["Mesh"]["mesh file"] = f"{d}/two_block_3D.e"
+    res = make_problem(cfg).run()
+    hist = {round(t, 10): e for t, e in res.error_history}
+    for t, q, c in [(0.005, 1.23964e-05, 0.005),
+                    (0.01, 2.46694e-05, 0.01)]:
+        errs = hist[round(t, 10)]
+        assert np.isclose(errs[("L2", "q")], q, rtol=1e-4)
+        assert np.isclose(errs[("L2@1", "q")], q, rtol=1e-4)
+        assert np.isclose(errs[("L2", "c")], c, rtol=1e-4)
+        assert np.isclose(errs[("L2@1", "c")], c, rtol=1e-4)
