@@ -25,8 +25,13 @@ class LinearElasticity(PhysicsModule):
 
     def __init__(self, settings=None, dim: int = 2):
         super().__init__(settings, dim)
+        # thermoelastic coupling auto-activates when a temperature
+        # variable 'e' shares the set (reference: linearelasticity.cpp
+        # e_num >= 0 adds -alpha_T (T - T_ambient)(3 lambda + 2 mu) I)
         self.thermoelastic = bool(self.settings.get(
             "thermoelastic", self.settings.get("use thermoelastic", False)))
+        self.t_ambient = float(self.settings.get("T_ambient", 0.0))
+        self.alpha_T = float(self.settings.get("alpha_T", 1.0e-6))
 
     def variables(self):
         return [(d, "HGRAD", 1) for d in _DISP[:self.dim]]
@@ -39,8 +44,8 @@ class LinearElasticity(PhysicsModule):
         for d in _DISP:
             fm.add_function(f"source {d}",
                             self._f(fs, f"source {d}", 0.0), "ip")
-        if self.thermoelastic:
-            fm.add_function("alpha_T", self._f(fs, "alpha_T", 1e-6), "ip")
+        fm.add_function("alpha_T", self._f(fs, "alpha_T", self.alpha_T),
+                        "ip")
 
     def _stress(self, wk):
         dim = self.dim
@@ -52,10 +57,11 @@ class LinearElasticity(PhysicsModule):
         tr = jnp.trace(eps, axis1=1, axis2=2)
         I = jnp.eye(dim)
         sigma = (lam * tr)[:, None, None] * I + 2.0 * mu[:, None, None] * eps
-        if self.thermoelastic and "e" in wk.offsets:
+        if "e" in wk.offsets:
             aT = wk.qp(wk.f("alpha_T"))
             T = wk.sol("e")
-            sigma = sigma - (aT * (3 * lam + 2 * mu) * T)[:, None, None] * I
+            sigma = sigma - (aT * (3 * lam + 2 * mu)
+                             * (T - self.t_ambient))[:, None, None] * I
         return sigma
 
     def volume_residual(self, wk):

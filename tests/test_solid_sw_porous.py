@@ -97,3 +97,26 @@ def test_porous_2d_verification():
     assert np.isclose(res.errors[("L2", "p")], 0.00102776, rtol=2e-5)
     assert np.isclose(res.errors[("L2-grad", "p")], 0.201394, rtol=2e-5)
     assert np.isclose(res.errors[("L2-face", "p")], 0.0017603, rtol=2e-4)
+
+
+def test_thermoelastic_transient_gold():
+    """thermoelastic/2D_transient: thermal + linearelasticity in one
+    set; the stress picks up -alpha_T (T - T_ambient)(3 lambda + 2 mu) I
+    automatically when 'e' shares the set (reference:
+    linearelasticity.cpp e_num coupling)."""
+    import yaml
+    d = "/root/reference/regression/thermoelastic/2D_transient"
+    mc = yaml.safe_load(open(f"{d}/input.yaml"))["ANONYMOUS"]
+    cfg = {k: mc[k] for k in ("Mesh", "Physics", "Discretization",
+                              "Solver", "Postprocess", "Functions")}
+    from mrhyde_tpu.problem import make_problem
+    res = make_problem(cfg).run()
+    hist = {round(t, 10): e for t, e in res.error_history}
+    gold = [(0.1, 0.331419, 3.15996e-08),
+            (0.5, 0.496843, 4.73722e-08),
+            (1.0, 0.498964, 4.75745e-08)]
+    for t, ge, gd in gold:
+        errs = hist[round(t, 10)]
+        assert np.isclose(errs[("L2", "e")], ge, rtol=1e-4)
+        assert np.isclose(errs[("L2", "dx")], gd, rtol=1e-4)
+        assert np.isclose(errs[("L2", "dy")], gd, rtol=1e-4)
