@@ -24,9 +24,27 @@ class UQManager:
         cfg = uq_cfg or {}
         self.n_samples = int(cfg.get("samples", 100))
         self.seed = int(cfg.get("seed", 1234))
+        # user-supplied sample file (reference: UQ 'use user defined'
+        # + 'source', uqManager.cpp loadUserDefinedData): columns map
+        # to the stochastic parameters in declaration order
+        self.user_file = (str(cfg["source"])
+                          if cfg.get("use user defined") else None)
 
     def generate_samples(self, n=None, seed=None) -> dict:
         """name -> (n,) array of samples for each stochastic param."""
+        if self.user_file is not None:
+            data = np.atleast_2d(np.loadtxt(self.user_file))
+            names = list(self.pm.stochastic_names())
+            self.n_samples = data.shape[0]
+            cols = {}
+            col = 0
+            for name in names:
+                size = np.atleast_1d(
+                    np.asarray(self.pm.specs[name].value)).size
+                block = data[:, col:col + size]
+                cols[name] = block[:, 0] if size == 1 else block
+                col += size
+            return cols
         n = n or self.n_samples
         rng = np.random.RandomState(seed if seed is not None else self.seed)
         out = {}

@@ -149,3 +149,24 @@ def test_microstructure_generation():
     assert set(np.unique(ms["grain_ids"])) <= set(range(5))
     ms2 = generate_microstructure(mesh, n_seeds=5, seed=7)
     np.testing.assert_array_equal(ms["grain_ids"], ms2["grain_ids"])
+
+
+def test_uq_user_defined_sampling(tmp_path):
+    """UQ 'use user defined' + 'source' loads the sample file columns
+    in stochastic-parameter declaration order (reference:
+    regression/UQ/User-Defined-Sampling)."""
+    import numpy as np
+    from mrhyde_tpu.analysis.uq import UQManager
+    from mrhyde_tpu.analysis.parameters import ParameterManager
+    f = tmp_path / "pts.dat"
+    np.savetxt(f, np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]))
+    pm = ParameterManager({
+        "a": {"type": "scalar", "value": 0.0, "usage": "stochastic",
+              "distribution": "uniform", "min": 0, "max": 1},
+        "b": {"type": "scalar", "value": 0.0, "usage": "stochastic",
+              "distribution": "uniform", "min": 0, "max": 1}})
+    uq = UQManager(pm, {"use user defined": True, "source": str(f)})
+    s = uq.generate_samples()
+    assert uq.n_samples == 3
+    assert np.allclose(s["a"], [1.0, 3.0, 5.0])
+    assert np.allclose(s["b"], [2.0, 4.0, 6.0])
