@@ -28,3 +28,33 @@ def test_cdr_periodic_matches_gold():
     assert np.isclose(hist[0.0], 0.250474, rtol=2e-5)
     assert np.isclose(hist[0.1], 0.131765, rtol=2e-5)
     assert np.isclose(hist[1.0], 0.123484, rtol=2e-5)
+
+
+def test_periodic_3d_hex_thermal():
+    """3D periodic identification (front/back pair on a hex box): a
+    z-independent manufactured solution solves to the expected 2D
+    p1 accuracy with z-translation invariance enforced by the
+    periodic dof identification."""
+    import numpy as np
+    from mrhyde_tpu.problem import Problem
+    cfg = {
+        "Mesh": {"dimension": 3, "element type": "hex",
+                 "NX": 8, "NY": 8, "NZ": 4,
+                 "Periodic BCs": {"Count": 1,
+                                  "Periodic Condition 1":
+                                  "xy-all 1e-8: front;back"}},
+        "Functions": {"thermal source":
+                      "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"e": {"left": "0.0",
+                                                   "right": "0.0",
+                                                   "top": "0.0",
+                                                   "bottom": "0.0"}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state", "max nonlinear iters": 2},
+        "Postprocess": {"compute errors": True,
+                        "True solutions":
+                        {"e": "sin(2*pi*x)*sin(2*pi*y)"}},
+    }
+    res = Problem(cfg).run()
+    assert np.isclose(res.errors[("L2", "e")], 0.0255247, rtol=1e-3)
