@@ -58,3 +58,19 @@ def test_periodic_3d_hex_thermal():
     }
     res = Problem(cfg).run()
     assert np.isclose(res.errors[("L2", "e")], 0.0255247, rtol=1e-3)
+
+
+def test_periodic_edge_dofs_hcurl():
+    """Edge/face dof numbering flows through the periodic node
+    identification (_dof_conn), so HCURL/HDIV spaces on periodic
+    meshes share seam dofs: a 4x4 quad with left/right identified has
+    40 - 4 = 36 unique edges."""
+    from mrhyde_tpu.mesh.structured import box_mesh, apply_periodic
+    from mrhyde_tpu.fem.dofmap import _edge_numbering, build_dofmap
+    m = apply_periodic(box_mesh("quad", nx=4, ny=4),
+                       ["y-all 1e-8: left;right"])
+    n_e, _ee, _fl, _ = _edge_numbering(m)
+    assert n_e == 36
+    dm = build_dofmap(m, [("E", "HCURL", 1), ("B", "HVOL", 0)])
+    assert dm.vars[0].n_dof == 36
+    assert dm.vars[1].n_dof == 16
