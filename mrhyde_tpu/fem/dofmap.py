@@ -91,16 +91,69 @@ def _n_dof_nodes(mesh: Mesh) -> int:
 
 def _edge_numbering(mesh: Mesh):
     """Global edge ids. Returns (n_edges, elem_edges (n_elem, n_loc_edges),
-    edge_flipped (n_elem, n_loc_edges) bool, edge_nodes (n_edges, 2))."""
+    edge_flipped (n_elem, n_loc_edges) bool, edge_nodes (n_edges, 2)).
+
+    On periodic meshes, edges are built from RAW node ids and then
+    identified through the explicit periodic node maps (an edge whose
+    endpoints both lie on a slave face maps to the master-face edge).
+    Keying by dof-node endpoint pairs alone would alias DISTINCT edges
+    when a periodic direction is only two cells wide."""
     topo = cell_topology(mesh.cell_type)
     le = np.array(topo.edges)                        # (n_loc_edges, 2)
-    pairs = _dof_conn(mesh)[:, le]                   # (n_elem, n_le, 2)
-    flipped = pairs[:, :, 0] > pairs[:, :, 1]
-    sorted_pairs = np.sort(pairs, axis=2)
-    flat = sorted_pairs.reshape(-1, 2)
-    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
-    elem_edges = inv.reshape(pairs.shape[0], pairs.shape[1])
-    return uniq.shape[0], elem_edges, flipped, uniq
+    pmaps = getattr(mesh, "periodic_maps", None)
+    if not pmaps:
+        pairs = _dof_conn(mesh)[:, le]               # (n_elem, n_le, 2)
+        flipped = pairs[:, :, 0] > pairs[:, :, 1]
+        sorted_pairs = np.sort(pairs, axis=2)
+        flat = sorted_pairs.reshape(-1, 2)
+        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        elem_edges = inv.reshape(pairs.shape[0], pairs.shape[1])
+        return uniq.shape[0], elem_edges, flipped, uniq
+
+    raw = mesh.conn[:, le]                           # (n_elem, n_le, 2)
+    rs = np.sort(raw, axis=2).reshape(-1, 2)
+    uniq, inv = np.unique(rs, axis=0, return_inverse=True)
+    n_raw = uniq.shape[0]
+    # orientation-carrying union-find: off[i] = does edge i's
+    # canonical (low, high) direction appear REVERSED relative to its
+    # parent's canonical direction
+    parent = list(range(n_raw))
+    off = np.zeros(n_raw, dtype=bool)
+
+    def find(i):
+        if parent[i] == i:
+            return i, False
+        r, o = find(parent[i])
+        parent[i] = r
+        off[i] = off[i] ^ o
+        return r, off[i]
+
+    key = {(int(a), int(b)): i for i, (a, b) in enumerate(uniq)}
+    for m in pmaps:
+        for i, (a, b) in enumerate(uniq):
+            a, b = int(a), int(b)
+            if a in m and b in m:
+                ma, mb = m[a], m[b]
+                j = key.get((min(ma, mb), max(ma, mb)))
+                if j is None:
+                    continue
+                ri, oi = find(i)
+                rj, oj = find(j)
+                if ri != rj:
+                    # direction a->b (= low->high of i) maps to ma->mb
+                    rel = (ma > mb)          # reversed vs j's canonical
+                    parent[rj] = ri
+                    off[rj] = oj ^ rel ^ oi
+    roots = np.empty(n_raw, dtype=np.int64)
+    orient = np.zeros(n_raw, dtype=bool)
+    for i in range(n_raw):
+        roots[i], orient[i] = find(i)
+    keep, compact = np.unique(roots, return_inverse=True)
+    elem_edges = compact[inv].reshape(raw.shape[0], raw.shape[1])
+    local_rev = raw[:, :, 0] > raw[:, :, 1]
+    flipped = local_rev ^ orient[inv].reshape(local_rev.shape)
+    edge_nodes = uniq[keep]
+    return keep.shape[0], elem_edges, flipped, edge_nodes
 
 
 def _face_numbering(mesh: Mesh):

@@ -203,10 +203,17 @@ class _Parser:
 
 
 def parse_expression(s) -> Expr:
-    """Parse a DSL string (or number) into an Expr AST."""
+    """Parse a DSL string (or number) into an Expr AST.
+
+    Unbalanced opening parentheses are auto-closed (the reference
+    interpreter tolerates decks like maxwell/PlaneWave's
+    'refperm*(1.0 + 10.5*(z>zt)')."""
     if isinstance(s, (int, float)):
         return Expr("num", float(s))
     s = str(s).strip()
     if not s:
         return Expr("num", 0.0)
+    missing = s.count("(") - s.count(")")
+    if missing > 0:
+        s = s + ")" * missing
     return _Parser(_tokenize(s)).parse()

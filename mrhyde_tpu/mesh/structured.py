@@ -214,6 +214,12 @@ def apply_periodic(mesh: Mesh, conditions: list[str]) -> Mesh:
         j = np.argmin(d2, axis=1)
         ok = d2[np.arange(len(n2)), j] < tol * tol
         remap[n2[ok]] = n1[j[ok]]
+        # raw slave -> master node map for edge/face dof identification
+        # (endpoint pairs alone alias distinct edges on 2-cell-wide
+        # periodic directions)
+        pm = getattr(mesh, "periodic_maps", [])
+        pm.append(dict(zip(n2[ok].tolist(), n1[j[ok]].tolist())))
+        mesh.periodic_maps = pm
     # resolve chains, then compact to contiguous dof-node ids
     while not np.array_equal(remap, remap[remap]):
         remap = remap[remap]

@@ -150,7 +150,8 @@ class Problem:
         self.assembler.is_transient = (
             cfg.get("Solver", {}).get("solver") == "transient")
 
-        pp_cfg = cfg.get("Postprocess", {}) or {}
+        pp_cfg = _unwrap_block(cfg.get("Postprocess", {}) or {},
+                               "True solutions")
         self.compute_errors = bool(pp_cfg.get("compute errors", False))
         self.error_calc = ErrorCalculator(
             self.disc, self.fm, pp_cfg.get("True solutions", {}) or {},

@@ -74,3 +74,36 @@ def test_periodic_edge_dofs_hcurl():
     dm = build_dofmap(m, [("E", "HCURL", 1), ("B", "HVOL", 0)])
     assert dm.vars[0].n_dof == 36
     assert dm.vars[1].n_dof == 16
+
+
+def test_periodic_edge_no_aliasing_two_cells():
+    """Two-cell-wide periodic directions must NOT alias distinct
+    edges that share identified endpoints: a 2x2x2 hex torus (x and y
+    periodic) keeps both x-edges per row distinct, so a constant
+    current produces a nonzero HCURL load vector."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mrhyde_tpu.problem import Problem
+    from mrhyde_tpu.assembly.assembler import TimeCoeffs
+    cfg = {
+        "Mesh": {"dimension": 3, "element type": "hex",
+                 "NX": 2, "NY": 2, "NZ": 2,
+                 "Periodic BCs": {"Count": 2,
+                                  "Periodic Condition 1":
+                                  "xz-all 1e-8: top;bottom",
+                                  "Periodic Condition 2":
+                                  "yz-all 1e-8: left;right"}},
+        "Functions": {"current x": "1.0"},
+        "Physics": {"modules": "maxwell"},
+        "Discretization": {"order": {"E": 1, "B": 1}, "quadrature": 2},
+        "Solver": {"solver": "transient", "final time": 1e-2,
+                   "number of steps": 2},
+        "Postprocess": {},
+    }
+    p = Problem(cfg)
+    u = jnp.zeros(p.n_dof)
+    tc = TimeCoeffs(jnp.asarray(1.0), u * 0, jnp.asarray(100.0), u * 0,
+                    jnp.asarray(0.5), jnp.asarray(1e-2))
+    r = p.assembler.residual(u, tc, None)
+    assert p.n_dof == 43
+    assert float(jnp.linalg.norm(r)) > 0.1
