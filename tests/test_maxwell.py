@@ -51,3 +51,33 @@ def test_step_matches_gold(result):
     errs1 = result.error_history[-1][1]
     assert np.isclose(errs1[("L2", "E")], 0.0743729, rtol=2e-5)
     assert np.isclose(errs1[("L2", "B")], 0.101339, rtol=2e-5)
+
+
+def test_maxwell_planewave_gold():
+    """maxwell/PlaneWave: 3D HCURL/HCURL-HDIV E-B on a doubly-periodic
+    2x2x100 hex mesh driven by a gated current sheet with PML-style
+    cubic conductivity ramps; DIRK-1,2 in time. Runs straight from the
+    reference YAML includes (the permittivity expression's unbalanced
+    parenthesis is auto-closed like the reference interpreter)."""
+    import yaml
+    from mrhyde_tpu.problem import Problem
+    d = "/root/reference/regression/maxwell/PlaneWave"
+    mc = yaml.safe_load(open(f"{d}/input.yaml"))["ANONYMOUS"]
+    mesh = yaml.safe_load(open(f"{d}/input_mesh.yaml"))["ANONYMOUS"][
+        "Mesh"]
+    funcs = yaml.safe_load(open(f"{d}/input_functions.yaml"))[
+        "ANONYMOUS"]["Functions"]
+    cfg = {"Mesh": mesh, "Physics": mc["Physics"],
+           "Discretization": mc["Discretization"],
+           "Solver": mc["Solver"], "Postprocess": mc["Postprocess"],
+           "Functions": funcs}
+    res = Problem(cfg).run()
+    hist = {round(t * 1e15, 6): e for t, e in res.error_history}
+    gold = [(1.0, 2.40271e-13, 9.65806e-23),
+            (3.0, 2.07228e-12, 1.62303e-21),
+            (10.0, 1.60808e-11, None)]
+    for t, ge, gb in gold:
+        errs = hist[t]
+        assert np.isclose(errs[("L2", "E")], ge, rtol=1e-4)
+        if gb is not None:
+            assert np.isclose(errs[("L2", "B")], gb, rtol=1e-4)
