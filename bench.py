@@ -82,9 +82,7 @@ def ns_solve_bench():
     }))
 
 
-def main():
-    if os.environ.get("BENCH_MODE", "assembly") == "ns_solve":
-        return ns_solve_bench()
+def assembly_bench():
     import jax
     import jax.numpy as jnp
 
@@ -155,6 +153,17 @@ def main():
         "unit": "GDOF/s",
         "vs_baseline": round(gdofs / 1.0, 4),
     }))
+
+
+def main():
+    # A plain `python bench.py` emits BOTH BASELINE.json metrics, one
+    # JSON line each; the headline (assembly GDOF/s) prints LAST since
+    # the driver parses the tail. BENCH_MODE selects a single metric.
+    mode = os.environ.get("BENCH_MODE", "all")
+    if mode in ("ns_solve", "all"):
+        ns_solve_bench()
+    if mode in ("assembly", "all"):
+        assembly_bench()
 
 
 if __name__ == "__main__":

@@ -33,7 +33,9 @@ class UQManager:
     def generate_samples(self, n=None, seed=None) -> dict:
         """name -> (n,) array of samples for each stochastic param."""
         if self.user_file is not None:
-            data = np.atleast_2d(np.loadtxt(self.user_file))
+            # ndmin=2 keeps a single-column file of N samples as (N, 1)
+            # (atleast_2d would make it (1, N) and drop N-1 samples)
+            data = np.loadtxt(self.user_file, ndmin=2)
             names = list(self.pm.stochastic_names())
             self.n_samples = data.shape[0]
             cols = {}

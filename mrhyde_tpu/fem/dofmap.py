@@ -157,22 +157,82 @@ def _edge_numbering(mesh: Mesh):
 
 
 def _face_numbering(mesh: Mesh):
-    """Global face ids for 3D cells (sorted node tuple as key)."""
+    """Global face ids for 3D cells. Returns (n_faces, elem_faces
+    (n_elem, n_loc_faces), face_flip (n_elem, n_loc_faces) bool) where
+    face_flip marks element-face instances whose raw sorted-node normal
+    is REVERSED relative to the global face's canonical normal.
+
+    On periodic meshes, faces are keyed by RAW node ids and identified
+    through the explicit periodic node maps with an orientation-carrying
+    union-find — the same scheme _edge_numbering uses. Keying by
+    dof-node tuples would alias geometrically DISTINCT faces whenever a
+    periodic direction is only two cells wide (the 2-cell face analog of
+    the edge-aliasing bug)."""
     topo = cell_topology(mesh.cell_type)
     lf = [list(f) for f in topo.faces]
     n_fn = max(len(f) for f in lf)
-    dconn = _dof_conn(mesh)
+    pmaps = getattr(mesh, "periodic_maps", None)
+    conn = mesh.conn if pmaps else _dof_conn(mesh)
     keys = []
     for f in lf:
-        fk = np.sort(dconn[:, f], axis=1)
+        fk = np.sort(conn[:, f], axis=1)
         if fk.shape[1] < n_fn:
             fk = np.pad(fk, ((0, 0), (0, n_fn - fk.shape[1])),
                         constant_values=-1)
         keys.append(fk)
     flat = np.stack(keys, axis=1).reshape(-1, n_fn)   # (n_elem*n_lf, n_fn)
     uniq, inv = np.unique(flat, axis=0, return_inverse=True)
-    elem_faces = inv.reshape(mesh.n_elem, len(lf))
-    return uniq.shape[0], elem_faces
+    n_raw = uniq.shape[0]
+    if not pmaps:
+        elem_faces = inv.reshape(mesh.n_elem, len(lf))
+        flip = np.zeros_like(elem_faces, dtype=bool)
+        return n_raw, elem_faces, flip
+
+    def canon_normal(nodes, pts=None):
+        """Normal of the first three (sorted-order) face nodes."""
+        p = mesh.nodes[nodes] if pts is None else pts
+        return np.cross(p[1] - p[0], p[2] - p[0])
+
+    norms = np.stack([canon_normal(u[u >= 0]) for u in uniq])
+    parent = list(range(n_raw))
+    off = np.zeros(n_raw, dtype=bool)   # normal reversed vs parent's
+
+    def find(i):
+        if parent[i] == i:
+            return i, False
+        r, o = find(parent[i])
+        parent[i] = r
+        off[i] = off[i] ^ o
+        return r, off[i]
+
+    key = {tuple(int(x) for x in u): i for i, u in enumerate(uniq)}
+    for m in pmaps:
+        for i, u in enumerate(uniq):
+            nn = [int(x) for x in u if x >= 0]
+            if not all(a in m for a in nn):
+                continue
+            mapped = [m[a] for a in nn]
+            tk = sorted(mapped) + [-1] * (n_fn - len(mapped))
+            j = key.get(tuple(tk))
+            if j is None:
+                continue
+            # normal at the master positions taken in i's sorted order,
+            # compared with j's own canonical normal
+            ni = canon_normal(None, pts=mesh.nodes[np.array(mapped[:3])])
+            rel = bool(np.dot(ni, norms[j]) < 0)
+            ri, oi = find(i)
+            rj, oj = find(j)
+            if ri != rj:
+                parent[rj] = ri
+                off[rj] = oj ^ rel ^ oi
+    roots = np.empty(n_raw, dtype=np.int64)
+    orient = np.zeros(n_raw, dtype=bool)
+    for i in range(n_raw):
+        roots[i], orient[i] = find(i)
+    keep, compact = np.unique(roots, return_inverse=True)
+    elem_faces = compact[inv].reshape(mesh.n_elem, len(lf))
+    flip = orient[inv].reshape(mesh.n_elem, len(lf))
+    return keep.shape[0], elem_faces, flip
 
 
 def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
@@ -188,7 +248,7 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     if need_edges:
         n_edges, elem_edges, edge_flip, _ = _edge_numbering(mesh)
     if need_faces:
-        n_faces, elem_faces = _face_numbering(mesh)
+        n_faces, elem_faces, face_flip = _face_numbering(mesh)
 
     n_cell_dofs = sum(1 for k, _ in ents if k == "cell")
     eldofs = np.zeros((n_elem, basis.ndof), dtype=np.int64)
@@ -218,8 +278,10 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
             pg = mesh.nodes[gf]                    # (E, nf, dim)
             n_glob = np.cross(pg[:, 1] - pg[:, 0], pg[:, 2] - pg[:, 0])
             if not scalar_trace:
-                signs[:, j] = np.sign(
-                    np.einsum("ed,ed->e", n_loc, n_glob))
+                # face_flip: this instance's raw canonical normal is
+                # reversed vs the (periodic-root) global face's normal
+                signs[:, j] = (np.sign(np.einsum("ed,ed->e", n_loc, n_glob))
+                               * np.where(face_flip[:, idx], -1.0, 1.0))
     if n_cell_dofs:
         n_dof = n_elem * n_cell_dofs
     else:
@@ -285,7 +347,7 @@ def _build_var(mesh: Mesh, name: str, basis: Basis) -> VarDofMap:
     if need_edges:
         n_edges, elem_edges, edge_flip, _ = _edge_numbering(mesh)
     if need_faces:
-        n_faces, elem_faces = _face_numbering(mesh)
+        n_faces, elem_faces, _face_flip = _face_numbering(mesh)
         per_face = sum(1 for k, i, _ in ents if k == "face" and i == 0)
     else:
         n_faces, per_face = 0, 0

@@ -21,6 +21,7 @@ from mrhyde_tpu.assembly.assembler import PointContext
 __all__ = ["ErrorCalculator"]
 
 _GRAD_RE = re.compile(r"^grad\((\w+)\)\[([xyz])\]$")
+_CURL_RE = re.compile(r"^curl\((\w+)\)\[([xyz])\]$")
 _COMP_RE = re.compile(r"^(\w+)\[([xyz])\]$")
 _AX = {"x": 0, "y": 1, "z": 2}
 
@@ -38,10 +39,16 @@ class ErrorCalculator:
         self.curl_exprs = {}
         for key, expr in (true_solutions or {}).items():
             m = _GRAD_RE.match(key.strip())
+            mcu = _CURL_RE.match(key.strip())
             mc = _COMP_RE.match(key.strip())
             if m:
                 self.grad_exprs.setdefault(m.group(1), {})[
                     _AX[m.group(2)]] = expr
+            elif mcu:
+                # 3D HCURL: per-component true curl (reference key
+                # 'curl(var)[x]', postprocessManager.cpp:424-447)
+                self.curl_exprs.setdefault(mcu.group(1), {})[
+                    _AX[mcu.group(2)]] = expr
             elif mc:
                 self.comp_exprs.setdefault(mc.group(1), {})[
                     _AX[mc.group(2)]] = expr
@@ -50,7 +57,8 @@ class ErrorCalculator:
             elif key.startswith("div(") and key.endswith(")"):
                 self.div_exprs[key[4:-1]] = expr
             elif key.startswith("curl(") and key.endswith(")"):
-                self.curl_exprs[key[5:-1]] = expr
+                # 2D scalar curl
+                self.curl_exprs.setdefault(key[5:-1], {})[None] = expr
             else:
                 self.l2_exprs[key] = expr
 
@@ -130,6 +138,43 @@ class ErrorCalculator:
                                   * (duh[:, :, ax] - tru) ** 2, axis=1)
             self._emit(out, "L2-grad", var, e2)
 
+        for var, expr in self.div_exprs.items():
+            if var not in disc.offsets:
+                continue
+            st, nd = disc.offsets[var]
+            dv = jnp.asarray(disc.div_vals[disc.basis_keys[var]])
+            uh = jnp.einsum("ei,eiq->eq", u_e[:, st:st + nd], dv)
+            ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
+            tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                   uh.shape)
+            e2 = jnp.sum(jnp.asarray(disc.wts) * (uh - tru) ** 2, axis=1)
+            self._emit(out, "L2-div", var, e2)
+
+        for var, comps in self.curl_exprs.items():
+            if var not in disc.offsets:
+                continue
+            st, nd = disc.offsets[var]
+            cv = jnp.asarray(disc.curl_vals[disc.basis_keys[var]])
+            ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
+            e2 = 0.0
+            if cv.ndim == 3:                      # 2D scalar curl
+                uh = jnp.einsum("ei,eiq->eq", u_e[:, st:st + nd], cv)
+                expr = comps.get(None) or next(iter(comps.values()))
+                tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                       uh.shape)
+                e2 = jnp.sum(jnp.asarray(disc.wts) * (uh - tru) ** 2,
+                             axis=1)
+            else:                                 # 3D: per-component sum
+                uh = jnp.einsum("ei,eiqd->eqd", u_e[:, st:st + nd], cv)
+                for ax, expr in comps.items():
+                    if ax is None:
+                        continue
+                    tru = jnp.broadcast_to(
+                        self.fm.evaluate_expr(expr, ctx), uh.shape[:2])
+                    e2 = e2 + jnp.sum(jnp.asarray(disc.wts)
+                                      * (uh[:, :, ax] - tru) ** 2, axis=1)
+            self._emit(out, "L2-curl", var, e2)
+
         for var, expr in self.face_exprs.items():
             if var not in disc.offsets:
                 continue
@@ -169,6 +214,10 @@ class ErrorCalculator:
                         "L2": f"L2 norm of the error for {var}",
                         "L2-grad":
                             f"L2 norm of the error for grad({var})",
+                        "L2-div":
+                            f"L2 norm of the error for div({var})",
+                        "L2-curl":
+                            f"L2 norm of the error for curl({var})",
                         "L2-face":
                             f"L2-face norm of the error for {var}"}[kind]
                 lines.append(f"***** {label} = {val:.6g}  (time = {time:g})")

@@ -27,8 +27,13 @@ def test_porous_mixed_matches_gold():
                         "True solutions": {
                             "p": "1.0+sin(2*pi*x)*sin(2*pi*y)",
                             "u[x]": "-2*pi*cos(2*pi*x)*sin(2*pi*y)",
-                            "u[y]": "-2*pi*sin(2*pi*x)*cos(2*pi*y)"}},
+                            "u[y]": "-2*pi*sin(2*pi*x)*cos(2*pi*y)",
+                            "div(u)": "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"}},
     }
     res = Problem(cfg).run()
     assert np.isclose(res.errors[("L2", "p")], 0.158697, rtol=2e-5)
     assert np.isclose(res.errors[("L2", "u")], 1.02259, rtol=2e-5)
+    # HDIV-seminorm of the error (div(u_h) is the L2 projection of the
+    # source onto piecewise constants for lowest-order RT); value pinned
+    # as a regression guard for the DIV error-norm path
+    assert np.isclose(res.errors[("L2-div", "u")], 12.390539, rtol=1e-4)

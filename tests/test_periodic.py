@@ -105,5 +105,8 @@ def test_periodic_edge_no_aliasing_two_cells():
     tc = TimeCoeffs(jnp.asarray(1.0), u * 0, jnp.asarray(100.0), u * 0,
                     jnp.asarray(0.5), jnp.asarray(1e-2))
     r = p.assembler.residual(u, tc, None)
-    assert p.n_dof == 43
+    # 32 distinct edges (HCURL E) + 28 distinct faces (HDIV B): the
+    # 2-cell-wide periodic directions must not alias faces either
+    # (x-normal 2*2*2 + y-normal 2*2*2 + z-normal 2*2*3 = 28)
+    assert p.n_dof == 60
     assert float(jnp.linalg.norm(r)) > 0.1
