@@ -600,8 +600,17 @@ class Assembler:
                                  bnd_lids=[],
                                  fixed=jnp.zeros(self.n_dof, dtype=bool),
                                  inc=self.inc)
-        # single-var mass on the var's own dof block
-        raise NotImplementedError("per-var mass: use var=None block form")
+        # single-var mass over the var's OWN dof numbering
+        # (0..n_dof_var-1), for per-variable L2 projections
+        dm = self.disc.dofmap
+        vdm = dm.var(var)
+        st, nd = self.disc.offsets[var]
+        lids = jnp.asarray(vdm.eldofs)
+        if self.has_signs:
+            s = self.signs[:, st:st + nd]
+            M = M * s[:, :, None] * s[:, None, :]
+        return BlockJacobian(vol=M, vol_lids=lids, bnd=[], bnd_lids=[],
+                             fixed=jnp.zeros(vdm.n_dof, dtype=bool))
 
     def weighted_mass_blocks(self, u_st, tc: TimeCoeffs, pvec=None):
         """Physics-weighted mass blocks M = d(residual)/d(u_dot).

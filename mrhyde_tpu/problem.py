@@ -314,9 +314,17 @@ class Problem:
     def _linear_method(self):
         if bool(self.solver_cfg.get("use direct solver", False)):
             return "direct"
-        if self.n_dof <= 4000:
+        if self.n_dof <= 4000 and "preconditioner variant" \
+                not in self.solver_cfg:
             return "direct"
         return "gmres"
+
+    def _precond_variant(self):
+        """Reference 'preconditioner variant' / 'use preconditioner'
+        keys (linearAlgebraInterface.cpp:358-500)."""
+        if not bool(self.solver_cfg.get("use preconditioner", True)):
+            return "none"
+        return str(self.solver_cfg.get("preconditioner variant", "jacobi"))
 
     # ------------------------------------------------------------------
 
@@ -331,6 +339,7 @@ class Problem:
             maxiter=int(self.solver_cfg.get("max nonlinear iters", 10)),
             linear_method=self._linear_method(),
             linear_tol=float(self.solver_cfg.get("linear TOL", 1e-12)),
+            precond_variant=self._precond_variant(),
             backtracking=bool(self.solver_cfg.get("allow backtracking",
                                                   True)))
         out = ForwardResult(u=result.u, time=0.0)
@@ -379,6 +388,7 @@ class Problem:
             max_nonlinear_iters=int(sc.get("max nonlinear iters", 10)),
             linear_method=self._linear_method(),
             linear_tol=float(sc.get("linear TOL", 1e-12)),
+            precond_variant=self._precond_variant(),
             max_cuts=int(sc.get("maximum time step cuts", 5)),
             backtracking=bool(sc.get("allow backtracking", True)),
             set_dirichlet=self.bcs.apply, pvec=pvec,

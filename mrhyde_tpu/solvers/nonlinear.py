@@ -15,7 +15,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 
-from mrhyde_tpu.solvers.linear import solve_linear
+from mrhyde_tpu.solvers.linear import solve_linear_info
 
 __all__ = ["newton_solve", "NewtonResult"]
 
@@ -27,42 +27,54 @@ class NewtonResult:
     norm0: float
     norm: float
     converged: bool
+    linear_converged: bool = True   # every inner solve met its tolerance
+    linear_resnorm: float = 0.0     # last inner solve's final residual
 
 
-def _newton_step_fn(assembler, linear_method, linear_tol, linear_maxiter):
+def _newton_step_fn(assembler, linear_method, linear_tol, linear_maxiter,
+                    precond_variant):
     """One fused (residual, Jacobian, linear solve) step, jit-cached."""
     cache = assembler.__dict__.setdefault("_newton_step_cache", {})
-    key = (linear_method, linear_tol, linear_maxiter)
+    key = (linear_method, linear_tol, linear_maxiter, precond_variant)
     if key not in cache:
         def step(u, tc, pvec):
             r = assembler.residual(u, tc, pvec)
             J = assembler.jacobian(u, tc, pvec)
-            du = solve_linear(J, -r, method=linear_method, tol=linear_tol,
-                              maxiter=linear_maxiter)
-            return du, jnp.linalg.norm(r)
+            du, info = solve_linear_info(
+                J, -r, method=linear_method, tol=linear_tol,
+                maxiter=linear_maxiter, precond_variant=precond_variant)
+            return du, jnp.linalg.norm(r), info
         cache[key] = jax.jit(step)
     return cache[key]
 
 
 def newton_solve(assembler, u0, tc, pvec=None, *, tol=1e-6, abstol=1e-100,
                  maxiter=10, linear_method="direct", linear_tol=1e-12,
-                 linear_maxiter=2000, backtracking=True, verbose=0):
+                 linear_maxiter=2000, backtracking=True, verbose=0,
+                 precond_variant="jacobi"):
     u = u0
     step = _newton_step_fn(assembler, linear_method, linear_tol,
-                           linear_maxiter)
+                           linear_maxiter, precond_variant)
     res_fn = getattr(assembler, "residual_jit", assembler.residual)
     norm0 = None
     norm = None
     it = 0
+    lin_ok = True
+    lin_res = 0.0
     while it < maxiter:
-        du, norm_j = step(u, tc, pvec)
+        du, norm_j, info = step(u, tc, pvec)
         norm = float(norm_j)
         if norm0 is None:
             norm0 = norm if norm > 0 else 1.0
         if verbose > 1:
-            print(f"  Newton iter {it}: ||r|| = {norm:.6e}")
+            print(f"  Newton iter {it}: ||r|| = {norm:.6e} "
+                  f"(linear: {int(info.iters)} its, "
+                  f"res {float(info.resnorm):.2e})")
         if norm < max(tol * norm0, abstol):
-            return NewtonResult(u, it, norm0, norm, True)
+            return NewtonResult(u, it, norm0, norm, True,
+                                lin_ok, lin_res)
+        lin_ok = lin_ok and bool(info.converged)
+        lin_res = float(info.resnorm)
         if backtracking:
             alpha = 1.0
             for _cut in range(8):
@@ -77,4 +89,4 @@ def newton_solve(assembler, u0, tc, pvec=None, *, tol=1e-6, abstol=1e-100,
     rn = res_fn(u, tc, pvec)
     norm = float(jnp.linalg.norm(rn))
     converged = norm < max(tol * norm0, abstol)
-    return NewtonResult(u, it, norm0, norm, converged)
+    return NewtonResult(u, it, norm0, norm, converged, lin_ok, lin_res)

@@ -116,6 +116,7 @@ class TransientIntegrator:
     max_nonlinear_iters: int = 10
     linear_method: str = "direct"
     linear_tol: float = 1e-12
+    precond_variant: str = "jacobi"
     max_cuts: int = 5
     backtracking: bool = True
     verbose: int = 0
@@ -230,6 +231,7 @@ class TransientIntegrator:
                     maxiter=self.max_nonlinear_iters,
                     linear_method=self.linear_method,
                     linear_tol=self.linear_tol,
+                    precond_variant=self.precond_variant,
                     backtracking=self.backtracking,
                     verbose=self.verbose)
                 if not result.converged and result.norm > result.norm0:
