@@ -1,0 +1,526 @@
+"""Distribution v2: DOF-sharded assembly with explicit halo exchange.
+
+The TPU-native equivalent of the reference's owned/overlapped Tpetra
+maps + Import/Export (reference: src/interfaces/linearAlgebraInterface
+.cpp:145-309 builds the maps; exportVectorFromOverlapped /
+importVectorToOverlapped used around assembly and solve at
+src/managers/solverManager.cpp:1556,1652). Unlike parallel/sharding.py
+(elements sharded, DOF vector REPLICATED + psum), here the DOF vector
+itself is partitioned across the 'dp' mesh axis, so problem size scales
+with the number of chips:
+
+- elements are partitioned into contiguous chunks (one per shard);
+- each DOF is OWNED by the first shard whose elements touch it;
+- each shard keeps a ghost list for the dofs its elements reference
+  but does not own. Contiguous partitions of meshes numbered in
+  lexicographic order only ever reference neighbor shards, so the halo
+  exchange is a single `lax.ppermute` ring shift each way (the
+  Import), and the post-scatter boundary reduction is the reverse pair
+  of shifts (the Export). Only the O(surface) halo values ride the ICI
+  — never the O(volume) interior.
+
+Everything runs under `shard_map` so XLA sees one SPMD program per
+shard; segment-sums stay local, and Krylov dot products psum over the
+mesh axis.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["DofPartition", "build_dof_partition", "DofShardedStep"]
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    # check_vma=False: ppermute/psum patterns confuse the varying-axes
+    # checker; correctness is covered by the parity tests
+    return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+@dataclass
+class DofPartition:
+    """Host-side owned/ghost layout (the Tpetra map analog)."""
+    n_shards: int
+    n_dof: int
+    owner: np.ndarray            # (n_dof,) owning shard
+    local_pos: np.ndarray        # (n_dof,) position within owner's slice
+    owned: list                  # per shard: global dof ids (ascending)
+    nmax: int                    # padded owned-slice length
+    gp_max: int                  # padded ghost-from-prev length
+    gn_max: int                  # padded ghost-from-next length
+    cuts: np.ndarray             # (S+1,) element chunk boundaries
+    emax: int                    # padded elements per shard
+    gprev: list = field(default_factory=list)   # per shard: ghost dofs
+    gnext: list = field(default_factory=list)   #   owned by s-1 / s+1
+    # device arrays, all (S, ...) sharded on axis 0:
+    arrays: dict = field(default_factory=dict)
+
+    def ext_index(self, s: int, dofs: np.ndarray) -> np.ndarray:
+        """Map global dof ids -> shard s's extended-vector positions
+        ([owned | ghost_prev | ghost_next | zero])."""
+        gp_index = {d: i for i, d in enumerate(self.gprev[s])}
+        gn_index = {d: i for i, d in enumerate(self.gnext[s])}
+        flat = np.asarray(dofs).ravel()
+        out = np.empty(flat.shape[0], dtype=np.int64)
+        for k, d in enumerate(flat):
+            if self.owner[d] == s:
+                out[k] = self.local_pos[d]
+            elif self.owner[d] == s - 1:
+                out[k] = self.nmax + gp_index[d]
+            elif self.owner[d] == s + 1:
+                out[k] = self.nmax + self.gp_max + gn_index[d]
+            else:
+                raise ValueError(
+                    f"dof {d} (owner {self.owner[d]}) not reachable "
+                    f"from shard {s}")
+        return out.reshape(np.asarray(dofs).shape)
+
+    @property
+    def ext_len(self):
+        # [owned | ghost_prev | ghost_next | zero slot]
+        return self.nmax + self.gp_max + self.gn_max + 1
+
+    def to_sharded(self, vec, mesh, axis="dp"):
+        """Global (n_dof,) -> (S, nmax) owned slices on the mesh."""
+        vec = np.asarray(vec)
+        out = np.zeros((self.n_shards, self.nmax), dtype=vec.dtype)
+        for s, o in enumerate(self.owned):
+            out[s, :len(o)] = vec[o]
+        return jax.device_put(jnp.asarray(out),
+                              NamedSharding(mesh, P(axis)))
+
+    def from_sharded(self, arr):
+        """(S, nmax) owned slices -> global (n_dof,) on host."""
+        arr = np.asarray(arr)
+        out = np.zeros(self.n_dof, dtype=arr.dtype)
+        for s, o in enumerate(self.owned):
+            out[o] = arr[s, :len(o)]
+        return out
+
+
+def build_dof_partition(assembler, n_shards: int) -> DofPartition:
+    """Partition elements contiguously and derive DOF ownership + halos.
+
+    Raises if any element references a dof owned by a non-neighbor
+    shard (meshes numbered in lexicographic order never do; for such
+    meshes use the replicated scheme in parallel/sharding.py).
+    """
+    lids = np.asarray(assembler.lids)                  # (E, nd)
+    E, nd = lids.shape
+    n_dof = assembler.n_dof
+    cuts = np.linspace(0, E, n_shards + 1).astype(np.int64)
+
+    owner = np.full(n_dof, np.iinfo(np.int32).max, dtype=np.int64)
+    for s in range(n_shards - 1, -1, -1):
+        owner[np.unique(lids[cuts[s]:cuts[s + 1]])] = s
+    if owner.max() >= n_shards:
+        # dofs untouched by any element (shouldn't happen) -> shard 0
+        owner[owner >= n_shards] = 0
+
+    owned = [np.where(owner == s)[0] for s in range(n_shards)]
+    nmax = max(len(o) for o in owned)
+    local_pos = np.zeros(n_dof, dtype=np.int64)
+    for o in owned:
+        local_pos[o] = np.arange(len(o))
+
+    gprev, gnext = [], []
+    for s in range(n_shards):
+        d = np.unique(lids[cuts[s]:cuts[s + 1]])
+        g = d[owner[d] != s]
+        far = g[np.abs(owner[g] - s) > 1]
+        if far.size:
+            raise ValueError(
+                "DOF adjacency spans non-neighbor shards "
+                f"(shard {s} references dofs owned by "
+                f"{sorted(set(owner[far]))}); renumber the mesh or use "
+                "the replicated scheme")
+        gprev.append(g[owner[g] == s - 1])
+        gnext.append(g[owner[g] == s + 1])
+    gp_max = max((len(g) for g in gprev), default=0) or 1
+    gn_max = max((len(g) for g in gnext), default=0) or 1
+
+    part = DofPartition(n_shards=n_shards, n_dof=n_dof, owner=owner,
+                        local_pos=local_pos, owned=owned, nmax=nmax,
+                        gp_max=gp_max, gn_max=gn_max, cuts=cuts,
+                        emax=int(np.diff(cuts).max()),
+                        gprev=gprev, gnext=gnext)
+
+    # ---- per-shard index tables -------------------------------------
+    S, emax = n_shards, part.emax
+    ext_zero = part.ext_len - 1
+    lids_l = np.full((S, emax, nd), ext_zero, dtype=np.int64)
+    signs_l = np.ones((S, emax, nd))
+    e_valid = np.zeros((S, emax), dtype=bool)
+    # what I send to my NEXT neighbor = their ghost_prev, in MY local
+    # positions (padded entries -> trash slot nmax)
+    send_next = np.full((S, gp_max), nmax, dtype=np.int64)
+    send_prev = np.full((S, gn_max), nmax, dtype=np.int64)
+    signs = np.asarray(assembler.signs) if assembler.has_signs else None
+    for s in range(n_shards):
+        el = lids[cuts[s]:cuts[s + 1]]                 # (Es, nd)
+        ne = el.shape[0]
+        lids_l[s, :ne] = part.ext_index(s, el)
+        e_valid[s, :ne] = True
+        if signs is not None:
+            signs_l[s, :ne] = signs[cuts[s]:cuts[s + 1]]
+        if s + 1 < n_shards:
+            send_next[s, :len(gprev[s + 1])] = local_pos[gprev[s + 1]]
+        if s - 1 >= 0:
+            send_prev[s, :len(gnext[s - 1])] = local_pos[gnext[s - 1]]
+
+    fixed = np.asarray(assembler.fixed)
+    fixed_own = np.zeros((S, nmax), dtype=bool)
+    valid_own = np.zeros((S, nmax), dtype=bool)
+    for s, o in enumerate(owned):
+        fixed_own[s, :len(o)] = fixed[o]
+        valid_own[s, :len(o)] = True
+
+    part.arrays = {
+        "lids": lids_l, "signs": signs_l, "e_valid": e_valid,
+        "send_next": send_next, "send_prev": send_prev,
+        "fixed": fixed_own, "valid": valid_own,
+    }
+    return part
+
+
+class DofShardedStep:
+    """Jitted SPMD programs over a DofPartition: residual assembly and
+    a full Newton-CG step, DOF vector sharded, halos via ppermute."""
+
+    def __init__(self, assembler, mesh: Mesh, axis: str = "dp",
+                 cg_iters: int = 25):
+        if assembler.field_params:
+            raise NotImplementedError(
+                "discretized field params under DOF sharding")
+        self.asm = assembler
+        self.mesh = mesh
+        self.axis = axis
+        self.cg_iters = cg_iters
+        S = mesh.shape[axis]
+        self.part = build_dof_partition(assembler, S)
+        p, a = self.part, self.part.arrays
+        shard = NamedSharding(mesh, P(axis))
+        dtype = assembler.signs.dtype
+
+        def put(x, dt=None):
+            return jax.device_put(
+                jnp.asarray(x, dtype=dt) if dt else jnp.asarray(x), shard)
+
+        self.lids = put(a["lids"])
+        self.signs = put(a["signs"], dtype)
+        self.send_next = put(a["send_next"])
+        self.send_prev = put(a["send_prev"])
+        self.fixed = put(a["fixed"])
+        self.valid = put(a["valid"])
+
+        # per-shard element data (pad chunk to emax with zero weights)
+        cuts, emax = p.cuts, p.emax
+
+        def chunk(x, fill=0.0):
+            out = np.zeros((S, emax) + x.shape[1:], dtype=x.dtype)
+            for s in range(S):
+                ne = cuts[s + 1] - cuts[s]
+                out[s, :ne] = x[cuts[s]:cuts[s + 1]]
+            return put(out)
+
+        self.g_ip = chunk(np.asarray(assembler.g_ip))
+        uniform = getattr(assembler, "uniform", False)
+        self.uniform = uniform
+        repl = NamedSharding(mesh, P())
+        tmap = jax.tree_util.tree_map
+        if uniform:
+            self.g_wts = jax.device_put(jnp.asarray(assembler.g_wts), repl)
+            self.g_bg = tmap(lambda v: jax.device_put(jnp.asarray(v),
+                                                      repl),
+                             assembler.g_bg)
+        else:
+            self.g_wts = chunk(np.asarray(assembler.g_wts))
+            self.g_bg = tmap(lambda v: chunk(np.asarray(v)),
+                             assembler.g_bg)
+        # padded elements must not contribute: zero their weights
+        if uniform:
+            self.e_wscale = put(a["e_valid"].astype(np.float64), dtype)
+        else:
+            wmask = a["e_valid"].astype(np.float64)
+            self.g_wts = self.g_wts * jnp.asarray(
+                wmask, dtype=dtype)[..., None]
+            self.e_wscale = None
+
+        # boundary groups (weak BCs / natural Dirichlet): partition the
+        # boundary elements by their volume element's shard; their dofs
+        # are by construction inside that shard's owned+ghost set, so
+        # they reuse the same extended vector and halo machinery
+        self._groups = []       # (static group dict, per-shard arrays)
+        active = assembler._active_bnd_groups()
+        disc_groups = list(assembler.disc.boundary_groups)
+        for gdict, bgroup in zip(assembler._bnd, disc_groups):
+            if not any(gdict is g for g in active):
+                continue
+            elems = np.asarray(bgroup.elems)
+            shard_of = (np.searchsorted(cuts, elems, side="right") - 1)
+            counts = np.bincount(shard_of, minlength=S)
+            bmax = max(int(counts.max()), 1)
+            glids = np.asarray(gdict["lids"])
+            nb = glids.shape[1]
+            lids_g = np.full((S, bmax, nb), p.ext_len - 1, dtype=np.int64)
+            signs_g = np.ones((S, bmax, nb))
+            wts_g = np.zeros((S, bmax) + gdict["wts"].shape[1:])
+            ip_g = np.zeros((S, bmax) + gdict["ip"].shape[1:])
+            nrm_g = np.zeros((S, bmax) + gdict["normals"].shape[1:])
+            nrm_g[..., 0] = 1.0          # safe pad for normalizing code
+            bg_g = jax.tree_util.tree_map(
+                lambda v: np.zeros((S, bmax) + np.asarray(v).shape[1:],
+                                   dtype=np.asarray(v).dtype),
+                gdict["bg"])
+            for s in range(S):
+                rows = np.where(shard_of == s)[0]
+                if rows.size == 0:
+                    continue
+                lids_g[s, :rows.size] = p.ext_index(s, glids[rows])
+                signs_g[s, :rows.size] = np.asarray(gdict["signs"])[rows]
+                wts_g[s, :rows.size] = np.asarray(gdict["wts"])[rows]
+                ip_g[s, :rows.size] = np.asarray(gdict["ip"])[rows]
+                nrm_g[s, :rows.size] = np.asarray(gdict["normals"])[rows]
+
+                def fill(dst, src, s=s, rows=rows):
+                    dst[s, :rows.size] = np.asarray(src)[rows]
+                    return dst
+                bg_g = jax.tree_util.tree_map(fill, bg_g, gdict["bg"])
+            arrays = {
+                "lids": put(lids_g), "signs": put(signs_g, dtype),
+                "wts": put(wts_g, dtype), "ip": put(ip_g, dtype),
+                "normals": put(nrm_g, dtype),
+                "bg": jax.tree_util.tree_map(lambda v: put(v, dtype),
+                                             bg_g),
+            }
+            self._groups.append((gdict, arrays))
+
+        self._perm_fwd = [(i, i + 1) for i in range(S - 1)]
+        self._perm_bwd = [(i + 1, i) for i in range(S - 1)]
+        self._jit_cache = {}
+
+    # ---- SPMD building blocks (run inside shard_map, block shapes) ---
+
+    def _halo_gather(self, u_own, send_next, send_prev):
+        """(nmax,) owned -> (ext_len,) [owned|gprev|gnext|0] (Import)."""
+        ut = jnp.concatenate([u_own, jnp.zeros(1, dtype=u_own.dtype)])
+        out_n = ut[send_next]                     # for next's ghost_prev
+        gprev = jax.lax.ppermute(out_n, self.axis, self._perm_fwd)
+        out_p = ut[send_prev]
+        gnext = jax.lax.ppermute(out_p, self.axis, self._perm_bwd)
+        return jnp.concatenate([u_own, gprev, gnext,
+                                jnp.zeros(1, dtype=u_own.dtype)])
+
+    def _halo_reduce(self, seg, send_next, send_prev):
+        """(ext_len,) partial sums -> (nmax,) owned totals (Export)."""
+        p = self.part
+        r = jnp.concatenate([seg[:p.nmax], jnp.zeros(1, dtype=seg.dtype)])
+        to_prev = seg[p.nmax:p.nmax + p.gp_max]
+        recv_n = jax.lax.ppermute(to_prev, self.axis, self._perm_bwd)
+        r = r.at[send_next].add(recv_n)
+        to_next = seg[p.nmax + p.gp_max:p.nmax + p.gp_max + p.gn_max]
+        recv_p = jax.lax.ppermute(to_next, self.axis, self._perm_fwd)
+        r = r.at[send_prev].add(recv_p)
+        return r[:p.nmax]
+
+    def _elem_arrays(self, blk):
+        """Unpack one shard's blocks (leading dim 1 from shard_map)."""
+        (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
+         ip, wts, bg, wsc, garrs) = blk
+        sq = lambda x: x[0]
+        lids, signs, ip = sq(lids), sq(signs), sq(ip)
+        u, bu, bt = sq(u), sq(bu), sq(bt)
+        send_next, send_prev = sq(send_next), sq(send_prev)
+        fixed, valid = sq(fixed), sq(valid)
+        if not self.uniform:
+            wts = sq(wts)
+            bg = jax.tree_util.tree_map(sq, bg)
+        else:
+            wsc = sq(wsc)
+        garrs = jax.tree_util.tree_map(sq, garrs)
+        return (u, bu, bt, lids, signs, send_next, send_prev, fixed,
+                valid, ip, wts, bg, wsc, garrs)
+
+    def _local_res_jac(self, tc, pvec, blk, want_jac=True):
+        (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
+         ip, wts, bg, wsc, garrs) = self._elem_arrays(blk)
+        ext_u = self._halo_gather(u, send_next, send_prev)
+        ext_bu = self._halo_gather(bu, send_next, send_prev)
+        ext_bt = self._halo_gather(bt, send_next, send_prev)
+        ue, bue, bte = (ext_u[lids] * signs, ext_bu[lids] * signs,
+                        ext_bt[lids] * signs)
+        fn = partial(self.asm._elem_residual, alpha_u=tc.alpha_u,
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                     deltat=tc.deltat)
+        gax = None if self.uniform else 0
+        if self.uniform:
+            # scale padded elements' residuals to zero via the weights
+            wts_e = jnp.broadcast_to(wts, (ue.shape[0],) + wts.shape) \
+                * wsc[:, None]
+        else:
+            wts_e, gax = wts, 0
+        res_e = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, gax))(
+            ue, bue, bte, wts_e, ip, bg)
+        jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
+                         in_axes=(0, 0, 0, 0, 0, gax))(
+            ue, bue, bte, wts_e, ip, bg) if want_jac else None
+        res_e = res_e * signs
+        if want_jac:
+            jac_e = jac_e * signs[:, :, None] * signs[:, None, :]
+        seg = jax.ops.segment_sum(res_e.ravel(), lids.ravel(),
+                                  num_segments=self.part.ext_len)
+
+        # boundary groups: gather from the SAME extended vector,
+        # accumulate into the SAME pre-Export partial sums
+        bnd_jacs = []
+        for (gdict, _), ga in zip(self._groups, garrs):
+            glids, gsigns = ga["lids"], ga["signs"]
+            ub = ext_u[glids] * gsigns
+            bub = ext_bu[glids] * gsigns
+            btb = ext_bt[glids] * gsigns
+            bfn = partial(self.asm._belem_residual, gdict,
+                          alpha_u=tc.alpha_u, alpha_t=tc.alpha_t,
+                          time=tc.time, pvec=pvec, deltat=tc.deltat)
+            res_b = jax.vmap(bfn)(ub, bub, btb, ga["wts"], ga["ip"],
+                                  ga["normals"], ga["bg"]) * gsigns
+            seg = seg + jax.ops.segment_sum(
+                res_b.ravel(), glids.ravel(),
+                num_segments=self.part.ext_len)
+            if want_jac:
+                jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
+                    ub, bub, btb, ga["wts"], ga["ip"], ga["normals"],
+                    ga["bg"])
+                jac_b = jac_b * gsigns[:, :, None] * gsigns[:, None, :]
+                bnd_jacs.append((jac_b, glids))
+
+        r = self._halo_reduce(seg, send_next, send_prev)
+        r = jnp.where(fixed, 0.0, jnp.where(valid, r, 0.0))
+        return r, (jac_e, bnd_jacs), (lids, signs, send_next, send_prev,
+                                      fixed, valid)
+
+    def _make_blk(self, u, bu, bt):
+        garrs = tuple(ga for _, ga in self._groups)
+        return (u, bu, bt, self.lids, self.signs, self.send_next,
+                self.send_prev, self.fixed, self.valid, self.g_ip,
+                self.g_wts, self.g_bg,
+                self.e_wscale if self.uniform
+                else jnp.zeros((self.part.n_shards, 1)), garrs)
+
+    def _in_specs(self):
+        sh, rp = P(self.axis), P()
+        wts_spec = rp if self.uniform else sh
+        bg_spec = jax.tree_util.tree_map(
+            lambda _: (rp if self.uniform else sh), self.g_bg)
+        g_spec = tuple(jax.tree_util.tree_map(lambda _: sh, ga)
+                       for _, ga in self._groups)
+        return (sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, wts_spec,
+                bg_spec, sh, g_spec)
+
+    # ---- public API ---------------------------------------------------
+
+    @staticmethod
+    def _strip_tc(tc):
+        """Drop the (n_dof,) beta vectors from TimeCoeffs (they enter
+        through the SHARDED bu/bt arguments instead)."""
+        import dataclasses
+        z = jnp.zeros(0, dtype=jnp.asarray(tc.alpha_u).dtype)
+        return dataclasses.replace(tc, beta_u=z, beta_t=z)
+
+    def residual_fn(self, pvec=None):
+        """Jitted sharded residual: (u_sh, bu_sh, bt_sh, tc) -> r_sh.
+        tc's beta vectors are ignored (pass them sharded as bu/bt)."""
+        key = ("res", id(pvec) if pvec else None)
+        if key not in self._jit_cache:
+            def f(tc_, *blk):
+                r, _, _ = self._local_res_jac(tc_, pvec, blk,
+                                              want_jac=False)
+                return r[None]
+
+            smapped = _shard_map(
+                f, self.mesh, in_specs=(P(),) + self._in_specs(),
+                out_specs=P(self.axis))
+            self._jit_cache[key] = jax.jit(
+                lambda u, bu, bt, tc_: smapped(
+                    self._strip_tc(tc_), *self._make_blk(u, bu, bt)))
+        return self._jit_cache[key]
+
+    def newton_cg_step_fn(self, pvec=None):
+        """Full implicit step: assemble J,r; Jacobi-CG solve; update.
+        Returns jitted (u_sh, bu_sh, bt_sh, tc) -> (u_sh', |r|)."""
+        key = ("newton", id(pvec) if pvec else None)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        axis = self.axis
+
+        def f(tc_, *blk):
+            r, (jac_e, bnd_jacs), (lids, signs, send_next, send_prev,
+                                   fixed, valid) = \
+                self._local_res_jac(tc_, pvec, blk)
+
+            def apply(v):
+                vm = jnp.where(fixed, 0.0, v)
+                ext_v = self._halo_gather(vm, send_next, send_prev)
+                seg = jax.ops.segment_sum(
+                    jnp.einsum("eij,ej->ei", jac_e, ext_v[lids]).ravel(),
+                    lids.ravel(), num_segments=self.part.ext_len)
+                for jac_b, glids in bnd_jacs:
+                    seg = seg + jax.ops.segment_sum(
+                        jnp.einsum("eij,ej->ei", jac_b,
+                                   ext_v[glids]).ravel(),
+                        glids.ravel(), num_segments=self.part.ext_len)
+                av = self._halo_reduce(seg, send_next, send_prev)
+                return jnp.where(fixed, v, jnp.where(valid, av, 0.0))
+
+            dseg = jax.ops.segment_sum(
+                jnp.diagonal(jac_e, axis1=1, axis2=2).ravel(),
+                lids.ravel(), num_segments=self.part.ext_len)
+            for jac_b, glids in bnd_jacs:
+                dseg = dseg + jax.ops.segment_sum(
+                    jnp.diagonal(jac_b, axis1=1, axis2=2).ravel(),
+                    glids.ravel(), num_segments=self.part.ext_len)
+            diag = self._halo_reduce(dseg, send_next, send_prev)
+            dinv = jnp.where(fixed | ~valid, 1.0,
+                             1.0 / jnp.where(diag == 0, 1.0, diag))
+
+            def dot(a, b):
+                return jax.lax.psum(jnp.sum(jnp.where(valid, a * b, 0.0)),
+                                    axis)
+
+            b = -r
+            x = jnp.zeros_like(b)
+            rr = b
+            z = dinv * rr
+            pv = z
+
+            def body(_, st):
+                x, rr, z, pv = st
+                Ap = apply(pv)
+                den = dot(pv, Ap)
+                alpha = dot(rr, z) / jnp.where(den == 0, 1.0, den)
+                x1 = x + alpha * pv
+                r1 = rr - alpha * Ap
+                z1 = dinv * r1
+                num = dot(rr, z)
+                beta = dot(r1, z1) / jnp.where(num == 0, 1.0, num)
+                return (x1, r1, z1, z1 + beta * pv)
+
+            x, *_ = jax.lax.fori_loop(0, self.cg_iters, body,
+                                      (x, rr, z, pv))
+            u = blk[0][0]
+            rnorm = jnp.sqrt(dot(r, r))
+            return (u + x)[None], rnorm
+
+        smapped = _shard_map(
+            f, self.mesh, in_specs=(P(),) + self._in_specs(),
+            out_specs=(P(axis), P()))
+        fn = jax.jit(lambda u, bu, bt, tc_: smapped(
+            self._strip_tc(tc_), *self._make_blk(u, bu, bt)))
+        self._jit_cache[key] = fn
+        return fn
