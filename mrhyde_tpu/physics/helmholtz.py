@@ -34,7 +34,8 @@ class Helmholtz(PhysicsModule):
                      ("source_r", 0.0), ("source_i", 0.0)):
             fm.add_function(n, self._f(fs, n, d), "ip")
         for n in ("robin_alpha_r", "robin_alpha_i", "source_r_side",
-                  "source_i_side"):
+                  "source_i_side", "c2r_x", "c2i_x", "c2r_y", "c2i_y",
+                  "c2r_z", "c2i_z"):
             fm.add_function(n, self._f(fs, n, 0.0), "side ip")
 
     def volume_residual(self, wk):
@@ -65,12 +66,30 @@ class Helmholtz(PhysicsModule):
         bctype = wk.bcs.get("ureal") or wk.bcs.get("uimag")
         if bctype not in ("Neumann", "Robin"):
             return
+        dim = self.dim
         rar = wk.qp(wk.f("robin_alpha_r", "side ip"))
         rai = wk.qp(wk.f("robin_alpha_i", "side ip"))
         srs = wk.qp(wk.f("source_r_side", "side ip"))
         sis = wk.qp(wk.f("source_i_side", "side ip"))
         ur, ui = wk.sol("ureal"), wk.sol("uimag")
+        gur, gui = wk.grad("ureal"), wk.grad("uimag")
+        n = wk.normals
+        # plain and c2-weighted normal derivatives (reference:
+        # helmholtz.cpp boundaryResidual Neumann block, with vr=vi=phi
+        # since ureal/uimag share the basis)
+        durdn = (gur * n).sum(axis=1)
+        duidn = (gui * n).sum(axis=1)
+        c2r = [wk.qp(wk.f(f"c2r_{ax}", "side ip")) for ax in "xyz"[:dim]]
+        c2i = [wk.qp(wk.f(f"c2i_{ax}", "side ip")) for ax in "xyz"[:dim]]
+        c2durdn = sum((c2r[d] * gur[:, d] - c2i[d] * gui[:, d]) * n[:, d]
+                      for d in range(dim))
+        c2duidn = sum((c2r[d] * gui[:, d] + c2i[d] * gur[:, d]) * n[:, d]
+                      for d in range(dim))
         wk.add_source("ureal",
-                      rar * (ur + ui) - rai * (ui - ur) - (srs + sis))
+                      rar * (ur + ui) - rai * (ui - ur)
+                      + durdn + duidn - (srs + sis)
+                      - (c2durdn + c2duidn))
         wk.add_source("uimag",
-                      rar * (ui - ur) + rai * (ur + ui) - (sis - srs))
+                      rar * (ui - ur) + rai * (ur + ui)
+                      + duidn - durdn - (sis - srs)
+                      - (c2duidn - c2durdn))

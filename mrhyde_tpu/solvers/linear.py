@@ -74,9 +74,11 @@ def solve_cg(J, b, tol=1e-12, maxiter=1000, precond_variant="jacobi"):
 
 
 def solve_linear_info(J, b, method="gmres", tol=1e-10, maxiter=500,
-                      restart=40, precond_variant="jacobi"):
+                      restart=40, precond_variant="jacobi",
+                      precond_fn=None):
     """Solve J x = b; returns (x, KrylovInfo). Direct solves report a
-    computed (not assumed) residual."""
+    computed (not assumed) residual. precond_fn overrides the variant
+    (used for assembler-aware preconditioners like multigrid)."""
     if method == "direct":
         x = solve_dense(J, b)
         res = jnp.linalg.norm(b - J.apply(x))
@@ -92,7 +94,8 @@ def solve_linear_info(J, b, method="gmres", tol=1e-10, maxiter=500,
         ok = res <= tol * jnp.where(bn > 0, bn, 1.0) * 10
         return x, KrylovInfo(jnp.asarray(maxiter), res, ok)
     if method == "gmres":
-        M = build_preconditioner(J, precond_variant)
+        M = precond_fn if precond_fn is not None \
+            else build_preconditioner(J, precond_variant)
         m = int(min(restart, maxiter))
         max_restarts = max(-(-maxiter // m), 1)
         return gmres(J.apply, b, m=m, tol=tol, max_restarts=max_restarts,

@@ -37,12 +37,23 @@ def _newton_step_fn(assembler, linear_method, linear_tol, linear_maxiter,
     cache = assembler.__dict__.setdefault("_newton_step_cache", {})
     key = (linear_method, linear_tol, linear_maxiter, precond_variant)
     if key not in cache:
+        mg_variant = precond_variant in ("multigrid", "mg")
+        if mg_variant:
+            # build the (static) grid hierarchy once, outside the trace
+            from mrhyde_tpu.solvers.multigrid import StructuredMG
+            if "_mg_hierarchy" not in assembler.__dict__:
+                assembler.__dict__["_mg_hierarchy"] = \
+                    StructuredMG(assembler)
+
         def step(u, tc, pvec):
             r = assembler.residual(u, tc, pvec)
             J = assembler.jacobian(u, tc, pvec)
+            pfn = (assembler.__dict__["_mg_hierarchy"].preconditioner(J)
+                   if mg_variant else None)
             du, info = solve_linear_info(
                 J, -r, method=linear_method, tol=linear_tol,
-                maxiter=linear_maxiter, precond_variant=precond_variant)
+                maxiter=linear_maxiter, precond_variant=precond_variant,
+                precond_fn=pfn)
             return du, jnp.linalg.norm(r), info
         cache[key] = jax.jit(step)
     return cache[key]

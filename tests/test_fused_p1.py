@@ -1,0 +1,116 @@
+"""Generic fused p1 Pallas assembly (ops/fused_p1.py) vs the general
+vmapped path: multi-variable (Navier-Stokes ux/uy/pr with PSPG/SUPG),
+3D hex thermal, CDR, and transient seeding. Interpret mode on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mrhyde_tpu.assembly.assembler import TimeCoeffs
+from mrhyde_tpu.ops.fused_p1 import FusedP1Assembly
+from mrhyde_tpu.problem import Problem
+
+
+def _compare(p, tc, tol=1e-11):
+    asm = p.assembler
+    fk = FusedP1Assembly.build(asm)
+    assert fk is not None and fk.available(interpret=True)
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.randn(p.n_dof) * 0.3)
+    r_ref = asm.residual(u, tc, None)
+    J_ref = asm.jacobian(u, tc, None).vol
+    r_f, J_f = fk.res_jac_blocks(u, tc, None, interpret=True)
+    assert float(jnp.max(jnp.abs(r_f - r_ref))) < tol
+    assert float(jnp.max(jnp.abs(J_f - J_ref))) < tol
+
+
+def test_thermal_2d_matches_general():
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 4, "NY": 4},
+        "Functions": {"thermal source": "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)",
+                      "thermal diffusion": "1.0 + 0.5*x*y"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+    })
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    _compare(p, tc)
+
+
+@pytest.mark.slow
+def test_thermal_3d_hex_matches_general():
+    p = Problem({
+        "Mesh": {"dimension": 3, "element type": "hex",
+                 "NX": 4, "NY": 4, "NZ": 4},
+        "Functions": {"thermal source": "sin(pi*x)*sin(pi*y)*sin(pi*z)"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+    })
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    _compare(p, tc)
+
+
+@pytest.mark.slow
+def test_ns_pspg_multivariable_matches_general():
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "xmin": 0.0, "xmax": 5.0, "ymin": 0.0, "ymax": 1.0,
+                 "NX": 4, "NY": 4},
+        "Physics": {"modules": "navier stokes", "usePSPG": True,
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "ux": {"bottom": 0.0, "top": 0.0},
+                        "uy": {"bottom": 0.0, "top": 0.0}}},
+        "Functions": {"source ux": "1.0", "viscosity": "0.1"},
+        "Discretization": {"order": {"ux": 1, "uy": 1, "pr": 1},
+                           "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+    })
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    _compare(p, tc, tol=1e-10)
+
+
+@pytest.mark.slow
+def test_ns_supg_transient_matches_general():
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 4, "NY": 4},
+        "Physics": {"modules": "navier stokes", "usePSPG": True,
+                    "useSUPG": True,
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "ux": {"bottom": 0.0, "top": 1.0}}},
+        "Functions": {"viscosity": "0.05"},
+        "Discretization": {"order": {"ux": 1, "uy": 1, "pr": 1},
+                           "quadrature": 2},
+        "Solver": {"solver": "transient", "delta t": 0.1},
+    })
+    p.assembler.is_transient = True
+    rng = np.random.RandomState(5)
+    dt = jnp.asarray(0.1)
+    bu = jnp.asarray(rng.randn(p.n_dof) * 0.05)
+    bt = jnp.asarray(rng.randn(p.n_dof) * 0.05)
+    tc = TimeCoeffs(jnp.asarray(1.0), bu, jnp.asarray(10.0), bt,
+                    jnp.asarray(0.2), dt)
+    _compare(p, tc, tol=1e-10)
+
+
+def test_cdr_matches_general():
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 4, "NY": 4},
+        "Functions": {"source": "sin(pi*x)", "xvel": "1.0", "yvel": "0.5",
+                      "diffusion": "0.1"},
+        "Physics": {"modules": "cdr",
+                    "Dirichlet conditions": {"c": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"c": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+    })
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    _compare(p, tc)
