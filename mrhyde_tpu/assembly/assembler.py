@@ -201,13 +201,16 @@ class Assembler:
         # basis gradients are stored once and broadcast (vmap in_axes
         # None). XLA then lowers the basis contractions to batched
         # (E,Q)x(Q,nd) matmuls on the MXU instead of per-element loads.
+        # rtol 1e-9: linspace node rounding accumulates ~1e-13
+        # relative deviations at NX=512; genuinely non-uniform meshes
+        # differ at O(1), so this stays a safe classifier
         wts0 = disc.wts[0]
         self.uniform = bool(
-            np.allclose(disc.wts, wts0[None, :], rtol=1e-13, atol=1e-15)
-            and all(np.allclose(v, v[0][None], rtol=1e-13, atol=1e-15)
+            np.allclose(disc.wts, wts0[None, :], rtol=1e-9, atol=1e-12)
+            and all(np.allclose(v, v[0][None], rtol=1e-9, atol=1e-9)
                     for v in disc.basis_grads.values()))
         vec_uniform = all(
-            np.allclose(v, v[0][None], rtol=1e-13, atol=1e-15)
+            np.allclose(v, v[0][None], rtol=1e-9, atol=1e-9)
             for d in (disc.vec_vals, disc.div_vals, disc.curl_vals)
             for v in d.values())
         self.uniform = self.uniform and vec_uniform

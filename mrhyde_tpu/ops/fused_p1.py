@@ -160,20 +160,30 @@ class FusedP1Assembly:
         dims = self.dims
         if interpret:
             return tuple(min(d, 4) for d in dims)
+        # VMEM budget: the kernel holds ~nd^2 Jacobian accumulator
+        # tiles (plus T/D derivative tiles of similar total size), so
+        # the tile element count must scale down as nd grows —
+        # cap nd^2 * tile_elems * 4B at ~2 MB (16 MB scoped limit,
+        # shared with slabs and intermediates)
+        budget = (2 << 20) // 4
         if self.dim == 2:
             ti = 64
-            while dims[0] % ti:
+            while ti > 1 and (dims[0] % ti
+                              or self.nd * self.nd * ti * 128 > budget):
                 ti //= 2
-            if ti == 0 or dims[1] % 128:
+            if ti == 0 or dims[0] % ti or dims[1] % 128:
                 return None
             return (ti, 128)
         t0 = 4
-        while dims[0] % t0:
+        while t0 > 1 and (dims[0] % t0
+                          or self.nd * self.nd * t0 * 8 * 128 > budget):
             t0 //= 2
         ti = 8
-        while dims[1] % ti:
+        while ti > 1 and (dims[1] % ti
+                          or self.nd * self.nd * t0 * ti * 128 > budget):
             ti //= 2
-        if t0 == 0 or ti == 0 or dims[2] % 128:
+        if t0 == 0 or ti == 0 or dims[0] % t0 or dims[1] % ti \
+                or dims[2] % 128:
             return None
         return (t0, ti, 128)
 

@@ -31,3 +31,11 @@ class Hartmann(PhysicsModule):
         wk.add_source("u", ha * wk.grad("b")[:, 0] - wk.qp(wk.f("source u")))
         wk.add_flux("b", -wk.grad("b"))
         wk.add_source("b", ha * wk.grad("u")[:, 0])
+
+    def boundary_residual(self, wk):
+        # reference: hartmann.cpp boundaryResidual — Neumann data on b
+        # is a (possibly solution-dependent) expression ADDED to the
+        # residual: res += nsource * wts * phi
+        if wk.bcs.get("b") == "Neumann":
+            g = wk.qp(wk.f(f"Neumann b {wk.side_name}", "side ip"))
+            wk.add_source("b", g)

@@ -7,10 +7,10 @@ into real/imag pairs by hand; here the complex weak form is computed
 directly and split:
 
   K_Ad(v)  = (1/mu)[(curl A) . curl(v e_d) + (div A) dv/dx_d]
-             - w^2 eps A_d v + i w eps (dphi/dx_d v + phi dv/dx_d)
+             - w^2 eps A_d v - i w eps (dphi/dx_d v + phi dv/dx_d)
              - J_d v
   K_phi(q) = eps grad(phi) . grad(q) - w^2 eps^2 mu phi q
-             + i w eps (div A q + A . grad q) - rho_c q
+             - i w eps (div A q + A . grad q) - rho_c q
 
 with the row mapping of the reference (shared real/imag basis):
   real row += Re(K) - Im(K),   imag row += Re(K) + Im(K).
@@ -110,15 +110,17 @@ class MaxwellsFP(PhysicsModule):
                                       jnp.zeros_like(curlA)], axis=1)
             # gauge term (1/mu) div A * dv/dx_d
             flux = flux.at[:, d].add(invmu * divA)
-            # phi coupling in the flux: i w eps phi dv/dx_d
-            flux = flux.at[:, d].add(1j * w * eps * phi)
-            src = (-w * w * eps * A[d] + 1j * w * eps * gphi[:, d]
+            # phi coupling in the flux: -i w eps phi dv/dx_d
+            # (reference rows map to Re-Im / Re+Im of -i w eps P,
+            # maxwells_fp.cpp:310-316 — note the MINUS)
+            flux = flux.at[:, d].add(-1j * w * eps * phi)
+            src = (-w * w * eps * A[d] - 1j * w * eps * gphi[:, d]
                    - J[d])
             self._add_complex(wk, f"Ar{c}", f"Ai{c}", src, flux)
 
         # scalar potential equation (Lorenz gauge)
         flux_phi = eps[:, None] * gphi \
-            + (1j * w * eps)[:, None] * jnp.stack(A, axis=1)
-        src_phi = (-w * w * eps * eps * mu * phi + 1j * w * eps * divA
+            - (1j * w * eps)[:, None] * jnp.stack(A, axis=1)
+        src_phi = (-w * w * eps * eps * mu * phi - 1j * w * eps * divA
                    - rho_c)
         self._add_complex(wk, "phir", "phii", src_phi, flux_phi)

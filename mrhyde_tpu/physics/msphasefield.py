@@ -7,6 +7,8 @@ Species named phi1..phiN (number_phases setting).
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from mrhyde_tpu.physics.base import PhysicsModule
 from mrhyde_tpu.physics.registry import register
 
@@ -30,13 +32,53 @@ class MSPhasefield(PhysicsModule):
         fm.add_function("A", self._f(fs, "A", 1.0), "ip")
         fm.add_function("diff", self._f(fs, "diff", 1.0), "ip")
 
+    def _coef(self, wk, pname, fname):
+        """Reference reads these through updateParameters (scalar
+        params thermal_diff/L/A, msphasefield.cpp:510-524); fall back
+        to the function slot."""
+        if pname in wk.params:
+            return wk.params[pname]
+        return wk.qp(wk.f(fname))
+
     def volume_residual(self, wk):
-        L = wk.qp(wk.f("L"))
-        A = wk.qp(wk.f("A"))
-        diff = wk.qp(wk.f("diff"))
+        L = self._coef(wk, "L", "L")
+        A = self._coef(wk, "A", "A")
+        diff = self._coef(wk, "thermal_diff", "diff")
+        # NOTE the reference uses 16 A in 2D but 4 A in 3D
+        # (msphasefield.cpp:298 vs :311) — reproduced for parity
+        well = 16.0 if self.dim == 2 else 4.0
+        # The reference's solution vectors are push_back'ed per qp
+        # WITHOUT clearing (msphasefield.cpp:207-255), so with the
+        # regression deck's 'workset size: 1' every element's fields
+        # are frozen at its FIRST quadrature point. 'legacy first-qp
+        # sampling: true' reproduces that behavior for gold parity;
+        # the default evaluates the weak form correctly.
+        legacy = bool(self.settings.get("legacy first-qp sampling",
+                                        False))
+        # Intrepid2's first tensor-Gauss point corresponds to the LAST
+        # point in this repo's quadrature ordering (matched empirically
+        # against the 2d-3phi gold)
+        qi = int(self.settings.get("legacy qp index", -1))
+
+        def q0(a):
+            if a.ndim > 1:
+                return jnp.broadcast_to(a[..., qi:, :] if qi == -1
+                                        else a[..., qi:qi + 1, :],
+                                        a.shape)
+            return jnp.broadcast_to(a[..., qi:] if qi == -1
+                                    else a[..., qi:qi + 1], a.shape)
+
         phis = [wk.sol(p) for p in self.phases]
+        if legacy:
+            phis = [q0(p) for p in phis]
         sumphi = sum(p * p for p in phis)
         for j, name in enumerate(self.phases):
-            wk.add_source(name, wk.sol_dot(name)
-                          + L * 16.0 * A * phis[j] * (-phis[j] + sumphi))
-            wk.add_flux(name, (L * diff * diff)[:, None] * wk.grad(name))
+            pdot = wk.sol_dot(name)
+            g = wk.grad(name)
+            if legacy:
+                pdot = q0(pdot)
+                g = q0(g)
+            wk.add_source(name, pdot
+                          + L * well * A * phis[j] * (-phis[j] + sumphi))
+            wk.add_flux(name, jnp.broadcast_to(
+                jnp.asarray(L * diff * diff)[..., None], g.shape) * g)

@@ -1,0 +1,84 @@
+"""Regression parity: UQ/Embedded-Sampling + UQ/User-Defined-Sampling.
+
+The reference golds are sample-progress logs (no numbers), so parity =
+running the decks end-to-end: the 40x40 thermal problem with STOCHASTIC
+parameters resolving inside the coefficient expressions
+('thermal diffusion': 'a', 'thermal source': 'b'), 10 Monte-Carlo
+samples (seed 123) / the sample_points.dat file, every forward solve
+finite. The user-defined run additionally pins the exact sample values
+from the reference's sample_points.dat.
+"""
+
+import numpy as np
+import pytest
+
+from mrhyde_tpu.problem import Problem
+
+# reference: regression/UQ/User-Defined-Sampling/sample_points.dat
+SAMPLE_POINTS = np.array([
+    [1.17915, -2.60205], [1.41397, -1.24561], [1.93198, -0.284629],
+    [1.50036, 1.30757], [1.96723, 0.817867], [1.88821, -0.828314],
+    [1.25237, -0.401417], [1.15312, 1.06717], [1.94688, 0.418186],
+    [1.2216, 0.908696]])
+
+
+def _cfg(analysis, nx=40):
+    return {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": nx, "NY": nx},
+        "Functions": {"thermal diffusion": "a", "thermal source": "b"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "e": {"all boundaries": 0.0}},
+                    "Initial conditions": {"scalar data": True,
+                                           "e": 0.0}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state", "nonlinear TOL": 1e-7,
+                   "max nonlinear iters": 2},
+        "Analysis": analysis,
+        "Parameters": {
+            "a": {"type": "scalar", "value": 1.0, "usage": "stochastic",
+                  "distribution": "uniform", "min": 1.0, "max": 2.0},
+            "b": {"type": "scalar", "value": 0.0, "usage": "stochastic",
+                  "distribution": "Gaussian", "mean": 0.0,
+                  "variance": 1.0}},
+        "Postprocess": {"compute errors": False,
+                        "compute responses": True},
+    }
+
+
+@pytest.mark.slow
+def test_uq_embedded_sampling_deck():
+    cfg = _cfg({"analysis type": "UQ",
+                "UQ": {"seed": 123, "samples": 10}})
+    out = Problem(cfg).run()
+    assert out["responses"].shape[0] == 10
+    assert np.isfinite(out["responses"]).all()
+    # stochastic draws respect the declared distributions
+    a = np.asarray(out["samples"]["a"])
+    assert a.shape == (10,) and (a >= 1.0).all() and (a <= 2.0).all()
+    # responses scale with the sampled source/diffusion: solution of
+    # -a lap(e) = b is e = (b/a) e_unit, so response must vary
+    assert np.std(out["responses"]) > 0
+
+
+@pytest.mark.slow
+def test_uq_user_defined_sampling_deck(tmp_path):
+    f = tmp_path / "sample_points.dat"
+    np.savetxt(f, SAMPLE_POINTS)
+    cfg = _cfg({"analysis type": "UQ",
+                "UQ": {"use user defined": True, "source": str(f)}})
+    out = Problem(cfg).run()
+    assert out["responses"].shape[0] == 10
+    assert np.isfinite(out["responses"]).all()
+    np.testing.assert_allclose(np.asarray(out["samples"]["a"]),
+                               SAMPLE_POINTS[:, 0])
+    np.testing.assert_allclose(np.asarray(out["samples"]["b"]),
+                               SAMPLE_POINTS[:, 1])
+    # linear problem: e = (b/a) * e_unit, so the magnitude of any
+    # L2-type response obeys |r_i| / |b_i/a_i| == const
+    r = np.abs(np.asarray(out["responses"]).reshape(10, -1)[:, 0])
+    ratio = np.abs(SAMPLE_POINTS[:, 1] / SAMPLE_POINTS[:, 0])
+    scaled = r / ratio
+    np.testing.assert_allclose(scaled, scaled[0], rtol=1e-8)
