@@ -111,11 +111,17 @@ def assembly_bench():
     inner = int(os.environ.get("BENCH_INNER", "100"))
 
     # production fast path: the fused Pallas assembly kernel (one
-    # device op for gather -> qp loop -> scatter parts + jac blocks)
+    # device op for gather -> qp loop -> scatter parts + jac blocks).
+    # The GENERIC kernel (ops/fused_p1.py: any qp-density physics,
+    # multi-variable, 2D/3D) is preferred; the handwritten thermal
+    # kernel remains as fallback.
     fused = None
     if os.environ.get("BENCH_FUSED", "1") == "1":
-        from mrhyde_tpu.ops.fused_assembly import FusedThermalAssembly
-        fk = FusedThermalAssembly.build(asm)
+        from mrhyde_tpu.ops.fused_p1 import FusedP1Assembly
+        fk = FusedP1Assembly.build(asm)
+        if fk is None or not fk.available():
+            from mrhyde_tpu.ops.fused_assembly import FusedThermalAssembly
+            fk = FusedThermalAssembly.build(asm)
         if fk is not None and fk.available():
             fused = fk
 

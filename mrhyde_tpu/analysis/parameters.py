@@ -42,6 +42,10 @@ class ParameterManager:
                 continue
             ptype = sub.get("type", "scalar")
             val = sub.get("value", 0.0)
+            if "source" in sub:
+                # vector parameter values from a text file (reference:
+                # parameterManager.cpp 'source' key, e.g. KL coeffs)
+                val = np.loadtxt(str(sub["source"])).ravel().tolist()
             if ptype == "vector" and not isinstance(val, (list, tuple)):
                 val = [val]
             value = (np.asarray(val, dtype=float)

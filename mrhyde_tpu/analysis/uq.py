@@ -52,10 +52,15 @@ class UQManager:
         out = {}
         for name in self.pm.stochastic_names():
             s = self.pm.specs[name]
+            # vector stochastic params (e.g. KL coefficient vectors)
+            # draw one value per component per sample
+            shape = ((n,) + np.atleast_1d(np.asarray(s.value)).shape
+                     if np.ndim(s.value) else (n,))
             if s.distribution.lower() == "uniform":
-                out[name] = rng.uniform(s.min, s.max, size=n)
+                out[name] = rng.uniform(s.min, s.max, size=shape)
             elif s.distribution.lower() == "gaussian":
-                out[name] = rng.normal(s.mean, np.sqrt(s.variance), size=n)
+                out[name] = rng.normal(s.mean, np.sqrt(s.variance),
+                                       size=shape)
             else:
                 raise ValueError(f"unknown distribution {s.distribution!r}")
         return out

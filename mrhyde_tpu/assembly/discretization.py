@@ -153,6 +153,12 @@ class Discretization:
                                          t.shape[1]))
                         full[s * npe:(s + 1) * npe] = t
                         bv[key] = full
+                    elif key[1] == 0:
+                        # 3D facet constants: this side's dof = 1
+                        full = np.zeros((self.topo.n_side,
+                                         fg.ref_pts.shape[0]))
+                        full[s] = 1.0
+                        bv[key] = full
                     continue
                 if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
                     vb = get_vector_basis(mesh.cell_type, key[0], key[1])

@@ -10,6 +10,7 @@ Dirichlet pressure data enters naturally through the boundary integral.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from mrhyde_tpu.physics.base import PhysicsModule
 from mrhyde_tpu.physics.registry import register
@@ -25,6 +26,66 @@ class PorousMixed(PhysicsModule):
         super().__init__(settings, dim)
         from mrhyde_tpu.physics.wells import Wells
         self.wells = Wells(self.settings)
+        # KL-expansion log-permeability (reference: porousMixed.cpp:
+        # 53-107 builds per-direction klexpansions + total-order index
+        # set; updateKLPerm :565-700 accumulates coeff*sqrt(eval)*evec
+        # from the 'KLUQcoeffs' and 'KLStochcoeffs' parameters, and the
+        # final permeability is Kinv / exp(KL) :188-215)
+        self.use_kl = bool(self.settings.get("use KL expansion", False))
+        if self.use_kl:
+            import numpy as np
+            from mrhyde_tpu.utils.klexpansion import KLExpansion
+            klp = dict(self.settings.get("KL parameters", {}))
+            axes = ["x-direction", "y-direction",
+                    "z-direction"][:self.dim]
+            self.kl = []
+            for ax in axes:
+                sub = dict(klp.get(ax, {}))
+                self.kl.append(KLExpansion(
+                    int(sub.get("N", 1)),
+                    domain_length=float(sub.get("L", 1.0)),
+                    correlation_length=float(sub.get("eta", 1.0)),
+                    sigma=float(sub.get("sigma", 1.0))))
+            # total-order index enumeration (reference :82-107)
+            nterms = [k.N for k in self.kl]
+            idx = []
+            if self.dim == 1:
+                idx = [(i,) for i in range(nterms[0])]
+            elif self.dim == 2:
+                for alpha in range(nterms[0] + nterms[1] - 1):
+                    for j in range(nterms[1]):
+                        for i in range(nterms[0]):
+                            if i + j == alpha:
+                                idx.append((i, j))
+            else:
+                for alpha in range(sum(nterms) - 2):
+                    for k in range(nterms[2]):
+                        for j in range(nterms[1]):
+                            for i in range(nterms[0]):
+                                if i + j + k == alpha:
+                                    idx.append((i, j, k))
+            self.kl_indices = np.asarray(idx, dtype=int)
+
+    def _kl_log_perm(self, wk):
+        """sum_k c_k sqrt(prod_d lambda) prod_d phi(x_d) at the qps."""
+        coeffs = []
+        for pname in ("KLUQcoeffs", "KLStochcoeffs"):
+            if pname in wk.params:
+                coeffs.append(jnp.ravel(jnp.asarray(wk.params[pname])))
+        if not coeffs:
+            return None
+        c = jnp.concatenate(coeffs)
+        nmax = min(int(c.shape[0]), self.kl_indices.shape[0])
+        kl = 0.0
+        for k in range(nmax):
+            term = c[k]
+            for d in range(self.dim):
+                i = int(self.kl_indices[k, d])
+                term = term * float(np.sqrt(self.kl[d].lam[i])) \
+                    * jnp.asarray(self.kl[d].eigenfunction_jnp(
+                        i, wk.ip[:, d]))
+            kl = kl + term
+        return kl
 
     def variables(self):
         return [("p", "HVOL", 0), ("u", "HDIV", 1)]
@@ -43,6 +104,10 @@ class PorousMixed(PhysicsModule):
             Kinv.append(wk.qp(wk.f("Kinv_yy")))
         if dim > 2:
             Kinv.append(wk.qp(wk.f("Kinv_zz")))
+        if self.use_kl:
+            kl = self._kl_log_perm(wk)
+            if kl is not None:
+                Kinv = [Ki / jnp.exp(kl) for Ki in Kinv]
         u = wk.sol("u")                      # (Q, dim)
         p = wk.sol("p")
         Kiu = jnp.stack([Kinv[d] * u[:, d] for d in range(dim)], axis=1)

@@ -123,6 +123,13 @@ def element_schwarz_precond(J, damping=1.0):
     use = (~fixed_e) & (d_asm != 0)
     blocks = blocks + eye * jnp.where(use, d_asm - d_elem, 0.0)[:, :, None]
     inv = jnp.linalg.inv(blocks)                    # batched, MXU work
+    # guard: singular element blocks (hybridized trace methods can
+    # produce them) fall back to the block's diagonal inverse rather
+    # than poisoning the whole preconditioner with NaNs
+    ok = jnp.isfinite(inv).all(axis=(1, 2), keepdims=True)
+    dd = jnp.diagonal(blocks, axis1=1, axis2=2)
+    dinv_blk = eye * (1.0 / jnp.where(dd == 0, 1.0, dd))[:, :, None]
+    inv = jnp.where(ok, inv, dinv_blk)
     ones = jnp.ones(lids.shape, dtype=J.vol.dtype)
     mult = jax.ops.segment_sum(ones.ravel(), lids.ravel(),
                                num_segments=J.n_dof)

@@ -60,6 +60,14 @@ class KLExpansion:
         return c * (np.sin(w * np.asarray(x))
                     + self.L * w * np.cos(w * np.asarray(x)))
 
+    def eigenfunction_jnp(self, i: int, x):
+        """Traceable (jnp) eigenfunction for in-kernel KL fields."""
+        import jax.numpy as jnp
+        w = float(self.omega[i])
+        c = 1.0 / np.sqrt((self.L ** 2 * w ** 2 + 1.0) * self.d / 2.0
+                          + self.L)
+        return c * (jnp.sin(w * x) + self.L * w * jnp.cos(w * x))
+
     def field(self, x, coeffs) -> np.ndarray:
         """KL realization: sum_i sqrt(lambda_i) xi_i phi_i(x)."""
         coeffs = np.asarray(coeffs)
