@@ -230,7 +230,7 @@ class Assembler:
                      "vec": tbl(disc.vec_vals),
                      "div": tbl(disc.div_vals),
                      "curl": tbl(disc.curl_vals)}
-        needs_faces = any(k[0] in ("HFACE", "HDIV-DG")
+        needs_faces = any(k[0] in ("HFACE", "HDIV-DG", "HDIV_AC-DG")
                           for k in disc.basis_keys.values())
         if needs_faces:
             fb = {"fwts": disc.face_wts_all,

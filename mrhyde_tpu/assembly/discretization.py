@@ -99,11 +99,11 @@ class Discretization:
         for key in unique_keys:
             if key[0] == "HFACE":
                 continue    # trace space: no volumetric support
-            if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
+            if key[0] in ("HDIV", "HCURL", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG"):
                 vb = get_vector_basis(mesh.cell_type, key[0], key[1])
                 ref_v = vb.eval(ref_pts)               # (nd, Q, dim)
                 det = vol.jac_det                      # (E, Q)
-                if key[0] in ("HDIV", "HDIV-DG"):
+                if key[0] in ("HDIV", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG"):
                     # contravariant Piola: v = J v_ref / det J
                     self.vec_vals[key] = np.einsum(
                         "eqdr,iqr->eiqd", vol.jac, ref_v) / det[:, None, :,
@@ -160,10 +160,10 @@ class Discretization:
                         full[s] = 1.0
                         bv[key] = full
                     continue
-                if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
+                if key[0] in ("HDIV", "HCURL", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG"):
                     vb = get_vector_basis(mesh.cell_type, key[0], key[1])
                     ref_v = vb.eval(fg.ref_pts)
-                    if key[0] in ("HDIV", "HDIV-DG"):
+                    if key[0] in ("HDIV", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG"):
                         bv[key] = np.einsum(
                             "eqdr,iqr->eiqd", gvol.jac, ref_v)                             / gvol.jac_det[:, None, :, None]
                     else:
@@ -184,7 +184,7 @@ class Discretization:
             [fg.normals for fg in self.faces], axis=1)
         self.face_vec_all = {}
         for key in unique_keys:
-            if key[0] in ("HDIV", "HDIV-DG", "HCURL"):
+            if key[0] in ("HDIV", "HDIV-DG", "HCURL", "HDIV_AC", "HDIV_AC-DG"):
                 self.face_vec_all[key] = np.stack(
                     [self.face_basis_vals[s][key]
                      for s in range(self.topo.n_side)], axis=1)
@@ -245,7 +245,7 @@ class Discretization:
                     M[:, s * npe:(s + 1) * npe,
                       s * npe:(s + 1) * npe] = blk
                 return M
-            if key[0] in ("HDIV", "HCURL", "HDIV-DG"):
+            if key[0] in ("HDIV", "HCURL", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG"):
                 vv = self.vec_vals[key]
                 return np.einsum("eiqd,ejqd,eq->eij", vv, vv, w)
             phi = self.basis_vals[key]

@@ -75,7 +75,7 @@ class Workset:
         return self._bcurl[self._var_keys[var]]
 
     def is_vector_var(self, var):
-        return self._var_keys[var][0] in ("HDIV", "HCURL", "HDIV-DG")
+        return self._var_keys[var][0] in ("HDIV", "HCURL", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG")
 
     def _dofs(self, vec, var):
         st, nd = self.offsets[var]

@@ -210,6 +210,13 @@ def get_basis(cell: str, space: str, order: int) -> Basis:
         return Basis(cell=cell, space="HVOL", order=0, ndof=1,
                      dof_coords=np.zeros((1, cell_topology(cell).dim)),
                      _coeffs=np.ones((1, 1)), _exps=((0,),))
+    if space == "HGRAD-DG":
+        # broken nodal basis (element-local dofs): same reference
+        # functions as HGRAD; the dofmap numbers its dofs per cell
+        # (reference: 'Active variables: HGRAD-DG' decks)
+        import dataclasses
+        b = get_basis(cell, "HGRAD", order)
+        return dataclasses.replace(b, space="HGRAD-DG")
     if space != "HGRAD":
         raise ValueError(f"basis space {space!r} not handled here; "
                          "see mrhyde_tpu.fem.vector_basis")

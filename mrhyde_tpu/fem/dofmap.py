@@ -328,6 +328,19 @@ def _build_hface_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     return VarDofMap(name, basis, n_dof, eldofs, dof_coords)
 
 
+def _build_dg_scalar_var(mesh: Mesh, name: str, basis) -> VarDofMap:
+    """Broken scalar space (HGRAD-DG): every dof is element-local."""
+    n_elem = mesh.n_elem
+    nd = basis.ndof
+    eldofs = (np.arange(n_elem, dtype=np.int64)[:, None] * nd
+              + np.arange(nd, dtype=np.int64)[None, :])
+    geo = get_basis(mesh.cell_type, "HGRAD", 1)
+    gvals = geo.eval(basis.dof_coords)               # (n_corner, nd)
+    coords_el = np.einsum("ecd,cj->ejd", mesh.nodes[mesh.conn], gvals)
+    dof_coords = coords_el.reshape(-1, mesh.dim)
+    return VarDofMap(name, basis, n_elem * nd, eldofs, dof_coords)
+
+
 def _build_var(mesh: Mesh, name: str, basis: Basis) -> VarDofMap:
     topo = cell_topology(mesh.cell_type)
     ents = basis.dof_entities()
@@ -400,9 +413,13 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
                 vars_.append(_build_hface_var(mesh, name, vbasis))
             else:
                 vars_.append(_build_vector_var(mesh, name, vbasis))
-        elif space.upper() in ("HDIV", "HCURL", "HDIV-DG"):
+        elif space.upper() in ("HDIV", "HCURL", "HDIV-DG",
+                               "HDIV_AC", "HDIV_AC-DG"):
             vbasis = get_vector_basis(mesh.cell_type, space, max(order, 1))
             vars_.append(_build_vector_var(mesh, name, vbasis))
+        elif space.upper() == "HGRAD-DG":
+            basis = get_basis(mesh.cell_type, space, max(order, 1))
+            vars_.append(_build_dg_scalar_var(mesh, name, basis))
         else:
             basis = get_basis(mesh.cell_type, space, order)
             vars_.append(_build_var(mesh, name, basis))

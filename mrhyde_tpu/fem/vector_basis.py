@@ -68,19 +68,20 @@ class VectorBasis:
     # each concrete basis provides _eval/_div/_curl on reference coords
     @property
     def _lookup(self):
-        return "HDIV" if self.space == "HDIV-DG" else self.space
+        s = self.space[:-3] if self.space.endswith("-DG") else self.space
+        return s
 
     def eval(self, pts: np.ndarray) -> np.ndarray:
         """(ndof, npts, dim) reference vector values."""
-        return _EVAL[(self.cell, self._lookup)](pts)
+        return _EVAL[(self.cell, self._lookup, self.order)](pts)
 
     def div(self, pts: np.ndarray) -> np.ndarray:
         """(ndof, npts) reference divergence (HDIV only)."""
-        return _DIV[(self.cell, self._lookup)](pts)
+        return _DIV[(self.cell, self._lookup, self.order)](pts)
 
     def curl(self, pts: np.ndarray) -> np.ndarray:
         """HCURL curl: (ndof, npts) in 2D, (ndof, npts, 3) in 3D."""
-        return _CURL[(self.cell, self._lookup)](pts)
+        return _CURL[(self.cell, self._lookup, self.order)](pts)
 
     def dof_entities(self):
         out = []
@@ -123,6 +124,56 @@ def _hdiv_quad_eval(p):
 def _hdiv_quad_div(p):
     n = p.shape[0]
     return np.full((4, n), 0.25)
+
+
+# RT[1] on the reference quad (Intrepid2 HDIV_QUAD_In degree 2 span:
+# x-component in Q_{2,1}, y-component in Q_{1,2}, 12 dofs). Used as a
+# BROKEN (DG) space, so any basis of the span is equivalent; a simple
+# monomial-product basis keeps eval/div closed-form.
+_RT1_X = [(0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (2, 1)]  # x^i y^j
+_RT1_Y = [(0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)]
+
+
+def _hdiv2_quad_eval(p):
+    x, y = p[:, 0], p[:, 1]
+    z = np.zeros_like(x)
+    out = []
+    for (i, j) in _RT1_X:
+        out.append(np.stack([x ** i * y ** j, z], axis=-1))
+    for (i, j) in _RT1_Y:
+        out.append(np.stack([z, x ** i * y ** j], axis=-1))
+    return np.array(out)
+
+
+def _hdiv2_quad_div(p):
+    x, y = p[:, 0], p[:, 1]
+    out = []
+    for (i, j) in _RT1_X:
+        out.append(i * x ** max(i - 1, 0) * y ** j if i else 0 * x)
+    for (i, j) in _RT1_Y:
+        out.append(j * x ** i * y ** max(j - 1, 0) if j else 0 * x)
+    return np.array(out)
+
+
+def _hdiv_ac_quad_eval(p):
+    """Arbogast-Correa AC_QUAD I1 (reference: in-tree
+    Intrepid2_HDIV_AC_QUAD_I1_FEMDef.hpp:69-93)."""
+    x, y = p[:, 0], p[:, 1]
+    z = np.zeros_like(x)
+    one = np.ones_like(x)
+    return np.array([
+        np.stack([z, one], axis=-1),
+        np.stack([one, z], axis=-1),
+        np.stack([0.5 * (1.0 + x), 0.5 * (1.0 + y)], axis=-1),
+        np.stack([x, -y], axis=-1),
+    ])
+
+
+def _hdiv_ac_quad_div(p):
+    n = p.shape[0]
+    out = np.zeros((4, n))
+    out[2] = 1.0
+    return out
 
 
 def _hcurl_quad_eval(p):
@@ -280,41 +331,58 @@ def _hcurl_tet_curl(p):
 
 
 _EVAL = {
-    ("quad", "HDIV"): _hdiv_quad_eval,
-    ("quad", "HCURL"): _hcurl_quad_eval,
-    ("tri", "HDIV"): _hdiv_tri_eval,
-    ("tri", "HCURL"): _hcurl_tri_eval,
-    ("hex", "HDIV"): _hdiv_hex_eval,
-    ("hex", "HCURL"): _hcurl_hex_eval,
-    ("tet", "HDIV"): _hdiv_tet_eval,
-    ("tet", "HCURL"): _hcurl_tet_eval,
+    ("quad", "HDIV", 1): _hdiv_quad_eval,
+    ("quad", "HDIV", 2): _hdiv2_quad_eval,
+    ("quad", "HDIV_AC", 1): _hdiv_ac_quad_eval,
+    ("quad", "HCURL", 1): _hcurl_quad_eval,
+    ("tri", "HDIV", 1): _hdiv_tri_eval,
+    ("tri", "HCURL", 1): _hcurl_tri_eval,
+    ("hex", "HDIV", 1): _hdiv_hex_eval,
+    ("hex", "HCURL", 1): _hcurl_hex_eval,
+    ("tet", "HDIV", 1): _hdiv_tet_eval,
+    ("tet", "HCURL", 1): _hcurl_tet_eval,
 }
 _DIV = {
-    ("quad", "HDIV"): _hdiv_quad_div,
-    ("tri", "HDIV"): _hdiv_tri_div,
-    ("hex", "HDIV"): _hdiv_hex_div,
-    ("tet", "HDIV"): _hdiv_tet_div,
+    ("quad", "HDIV", 1): _hdiv_quad_div,
+    ("quad", "HDIV", 2): _hdiv2_quad_div,
+    ("quad", "HDIV_AC", 1): _hdiv_ac_quad_div,
+    ("tri", "HDIV", 1): _hdiv_tri_div,
+    ("hex", "HDIV", 1): _hdiv_hex_div,
+    ("tet", "HDIV", 1): _hdiv_tet_div,
 }
 _CURL = {
-    ("quad", "HCURL"): _hcurl_quad_curl,
-    ("tri", "HCURL"): _hcurl_tri_curl,
-    ("hex", "HCURL"): _hcurl_hex_curl,
-    ("tet", "HCURL"): _hcurl_tet_curl,
+    ("quad", "HCURL", 1): _hcurl_quad_curl,
+    ("tri", "HCURL", 1): _hcurl_tri_curl,
+    ("hex", "HCURL", 1): _hcurl_hex_curl,
+    ("tet", "HCURL", 1): _hcurl_tet_curl,
 }
+_NDOF = {k: len(f(np.zeros((1, 2 if k[0] in ("quad", "tri") else 3))))
+         for k, f in _EVAL.items()}
 
 
 @lru_cache(maxsize=None)
 def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
     space = space.upper()
-    if space != "HFACE" and order != 1:
-        raise NotImplementedError(f"{space} order {order} (lowest only)")
+    if space.startswith("HDIV_AC"):
+        # Arbogast-Correa: degree 1 on quads only (reference basis
+        # factory, discretizationInterface.cpp:400-415)
+        order = 1
     topo = cell_topology(cell)
-    if space in ("HDIV", "HDIV-DG"):
-        if space == "HDIV-DG":
-            # broken (element-local) HDIV: same functions, cell dofs
-            n = len(topo.edges) if topo.dim == 2 else len(topo.sides)
-            ents = tuple(("cell", k) for k in range(n))
-        elif topo.dim == 2:
+    if space.endswith("-DG") and space != "HFACE":
+        # broken (element-local) spaces: all dofs are cell dofs
+        key = (cell, space[:-3], order)
+        if key not in _EVAL:
+            raise NotImplementedError(f"{space} order {order} on {cell}")
+        n = _NDOF[key]
+        ents = tuple(("cell", k) for k in range(n))
+        return VectorBasis(cell=cell, space=space, order=order,
+                           ndof=n, dof_entity=ents)
+    if space != "HFACE" and order != 1:
+        raise NotImplementedError(
+            f"continuous {space} order {order} (orientation-folded "
+            "numbering implemented for lowest order only)")
+    if space == "HDIV":
+        if topo.dim == 2:
             ents = tuple(("edge", i) for i in range(len(topo.edges)))
         else:
             ents = tuple(("face", i) for i in range(len(topo.sides)))
@@ -339,8 +407,7 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
                            ndof=len(ents), dof_entity=ents)
     else:
         raise ValueError(space)
-    lookup = "HDIV" if space == "HDIV-DG" else space
-    if (cell, lookup) not in _EVAL:
+    if (cell, space, 1) not in _EVAL:
         raise NotImplementedError(f"{space} on {cell}")
     return VectorBasis(cell=cell, space=space, order=1, ndof=len(ents),
                        dof_entity=ents)

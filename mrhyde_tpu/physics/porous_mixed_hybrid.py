@@ -50,9 +50,9 @@ class PorousMixedHybrid(PhysicsModule):
         wk.add_source("p", wk.div("u") - wk.qp(wk.f("source")))
         # facet coupling terms over every element side
         for s in range(wk.n_sides()):
-            lam = wk.trace("lambda", s)
+            lam = jnp.asarray(wk.trace("lambda", s))
             n = wk.face_normals[s]                    # (Qf, dim)
-            wk.add_face_vec_source("u", s, lam * n)
+            wk.add_face_vec_source("u", s, lam[..., None] * n)
             u_f = wk.face_sol_vec("u", s)             # (Qf, dim)
             udotn = (u_f * n).sum(axis=1)
             wk.add_trace_source("lambda", s, -udotn)

@@ -10,6 +10,8 @@ pbndry (HFACE), u (HDIV-DG, the weak gradient), t (HDIV-DG, the flux):
 
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from mrhyde_tpu.physics.base import PhysicsModule
 from mrhyde_tpu.physics.registry import register
 
@@ -21,8 +23,12 @@ class PorousWeakGalerkin(PhysicsModule):
     name = "porousWeakGalerkin"
 
     def variables(self):
+        # useAC: Arbogast-Correa broken velocity/flux spaces
+        # (reference: porousWeakGalerkin.cpp:20,48-56)
+        vec = "HDIV_AC-DG" if self.settings.get("useAC", False) \
+            else "HDIV-DG"
         return [("pint", "HVOL", 0), ("pbndry", "HFACE", 0),
-                ("u", "HDIV-DG", 1), ("t", "HDIV-DG", 1)]
+                ("u", vec, 1), ("t", vec, 1)]
 
     def define_functions(self, fm, fs):
         fm.add_function("source", self._f(fs, "source", 0.0), "ip")
@@ -42,8 +48,8 @@ class PorousWeakGalerkin(PhysicsModule):
         wk.add_source("pint", wk.div("t") - wk.qp(wk.f("source")))
         # facet terms
         for s in range(wk.n_sides()):
-            pb = wk.trace("pbndry", s)
+            pb = jnp.asarray(wk.trace("pbndry", s))
             n = wk.face_normals[s]
-            wk.add_face_vec_source("u", s, -pb * n)
+            wk.add_face_vec_source("u", s, -pb[..., None] * n)
             t_f = wk.face_sol_vec("t", s)
             wk.add_trace_source("pbndry", s, -(t_f * n).sum(axis=1))
