@@ -52,28 +52,33 @@ def ns_solve_bench():
 
     from mrhyde_tpu.solvers.krylov import gmres_fixed
 
+    # the ENTIRE Newton loop is one device program (the reference pays
+    # an MPI round per Belos solve; here even the host never intervenes)
     @jax.jit
-    def newton_step(u):
-        r = asm.residual(u, tc, None)
-        J = asm.jacobian(u, tc, None)
-        apply_fn = asm.matfree_apply_fn(J)
-        dinv = 1.0 / J.diag()
-        du = gmres_fixed(apply_fn, -r, m=40,
-                         precond=lambda v: dinv * v)
-        return u + du, jnp.linalg.norm(r)
+    def newton_solve(u):
+        def step(u, _):
+            r = asm.residual(u, tc, None)
+            J = asm.jacobian(u, tc, None)
+            apply_fn = asm.matfree_apply_fn(J)
+            dinv = 1.0 / J.diag()
+            du = gmres_fixed(apply_fn, -r, m=40,
+                             precond=lambda v: dinv * v)
+            return u + du, jnp.linalg.norm(r)
+        u, norms = jax.lax.scan(step, u, None, length=newton_iters)
+        return u, norms
 
-    u = p.initial_state()
-    un, rn = newton_step(u)
-    un.block_until_ready()      # compile
+    u0 = p.initial_state()
+    un, _ = newton_solve(u0)
+    float(jnp.sum(un))          # compile + warm (forces host pull)
     t0 = time.perf_counter()
-    u = p.initial_state()
-    norms = []
-    for _ in range(newton_iters):
-        u, rn = newton_step(u)
-        norms.append(rn)
-    u.block_until_ready()
+    u, norms = newton_solve(u0)
+    float(jnp.sum(u))           # host pull = real completion barrier
     dt = time.perf_counter() - t0
-    r_final = float(jnp.linalg.norm(asm.residual(u, tc, None)))
+
+    @jax.jit
+    def final_res(u):
+        return jnp.linalg.norm(asm.residual(u, tc, None))
+    r_final = float(final_res(u))
     print(json.dumps({
         "metric": "ns_nonlinear_solve",
         "value": round(dt, 4),
@@ -125,10 +130,12 @@ def assembly_bench():
         if fk is not None and fk.available():
             fused = fk
 
-    @jax.jit
-    def assemble_loop(u, tc):
-        # chain `inner` assemblies inside ONE device program so the
-        # measurement reflects device throughput, not host dispatch
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="length")
+    def assemble_loop(u, tc, length):
+        # chain assemblies inside ONE device program so the measurement
+        # reflects device throughput, not host dispatch
         def body(carry, _):
             u = carry
             if fused is not None:
@@ -137,18 +144,26 @@ def assembly_bench():
                 r = asm.residual(u, tc, None)
                 vol = asm.jacobian(u, tc, None).vol
             u = u + 1e-12 * (r + vol.sum() * 0)
-            return u, jnp.sum(vol)
-        u, s = jax.lax.scan(body, u, None, length=inner)
-        return u, s
+            return u, None
+        u, _ = jax.lax.scan(body, u, None, length=length)
+        return jnp.sum(u)
 
-    uo, s = assemble_loop(u, tc)
-    s.block_until_ready()
+    # two-length slope estimate: dt = (T(L2) - T(L1)) / (L2 - L1)
+    # removes the fixed per-dispatch cost (the axon tunnel adds ~30 ms
+    # of round-trip latency that is NOT device time; float() forces a
+    # host pull because block_until_ready returns early on this
+    # backend)
+    L1, L2 = inner, 5 * inner
 
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        uo, s = assemble_loop(u, tc)
-    s.block_until_ready()
-    dt = (time.perf_counter() - t0) / (reps * inner)
+    def timed(length):
+        float(assemble_loop(u, tc, length))        # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            float(assemble_loop(u, tc, length))
+        return (time.perf_counter() - t0) / reps
+
+    t1, t2 = timed(L1), timed(L2)
+    dt = max(t2 - t1, 1e-9) / (L2 - L1)
 
     n_elem = asm.lids.shape[0]
     nd = asm.lids.shape[1]

@@ -115,6 +115,12 @@ class BlockJacobian:
         mask = self.fixed[:, None] | self.fixed[None, :]
         A = jnp.where(mask, 0.0, A)
         A = A + jnp.diag(jnp.where(self.fixed, 1.0, 0.0))
+        # patch EMPTY ROWS (dofs no module touches, e.g. a variable
+        # outside its block under per-block physics) — reference:
+        # fixDiagJac, assemblyManager.cpp:2458. Zero diagonals with
+        # off-diagonal coupling (saddle points) are left alone.
+        empty = jnp.abs(A).sum(axis=1) == 0
+        A = A + jnp.diag(jnp.where(empty, 1.0, 0.0))
         return A
 
 
@@ -304,6 +310,8 @@ class Assembler:
         # (reference: ParameterManager discretized params with their own
         # Panzer DOF manager, parameterManager.cpp:272)
         self.field_params: dict = {}
+        # per-block physics masks (E, n_modules) or None (single-block)
+        self.module_masks = None
         # jitted entry points (traced once per TimeCoeffs/pvec structure)
         self.residual_jit = jax.jit(self.residual)
         self.jacobian_jit = jax.jit(self.jacobian)
@@ -412,13 +420,35 @@ class Assembler:
             deltat=deltat, is_transient=self.is_transient,
             extra_fields=extra_fields)
 
+    def set_module_masks(self, masks):
+        """Per-block physics assignment (reference:
+        physicsInterface.cpp:38-54): masks is (E, n_modules) with 1
+        where module k owns the element's block. Each module's volume
+        contribution is scaled by its mask — branch-free dispatch over
+        ONE batched element array."""
+        if self._active_bnd_groups():
+            raise NotImplementedError(
+                "per-block physics with active boundary groups")
+        self.module_masks = jnp.asarray(masks, dtype=self.dtype)
+
     def _elem_residual_uv(self, u_eval, u_dot, wts, ip, bg_slices,
                           time, pvec, deltat=1.0, extra=None):
+        bm = None
+        if extra is not None and "__blockmask" in extra:
+            extra = dict(extra)
+            bm = extra.pop("__blockmask")
         wk = self._make_workset(u_eval, u_dot, wts, ip, bg_slices, time,
                                 pvec, deltat=deltat, extra_fields=extra)
         if not self.volume_off:
-            for m in self.modules:
-                m.volume_residual(wk)
+            if bm is None:
+                for m in self.modules:
+                    m.volume_residual(wk)
+            else:
+                prev = wk.res
+                for k, m in enumerate(self.modules):
+                    m.volume_residual(wk)
+                    wk._res = prev + bm[k] * (wk.res - prev)
+                    prev = wk._res
         return wk.res
 
     def _elem_residual(self, u_st, beta_u, beta_t, wts, ip, bg_slices,
@@ -431,19 +461,19 @@ class Assembler:
                                       extra=extra)
 
     def _field_param_values(self, pvec):
-        """Evaluate discretized params at volume qps: name -> (E, Q)."""
-        if not pvec or (not self.field_params
-                        and not any(str(k).startswith("__field:")
-                                    for k in pvec)):
-            return None
+        """Evaluate discretized params at volume qps: name -> (E, Q).
+        Per-block module masks ride the same vmapped channel."""
         out = {}
-        for name, fp in self.field_params.items():
-            if name in pvec:
-                pe = pvec[name][fp["eldofs"]]          # (E, ndp)
-                out[name] = jnp.einsum("ei,iq->eq", pe, fp["phi"])
-        for name, val in pvec.items():
-            if str(name).startswith("__field:"):
-                out[name[8:]] = val                    # already (E, Q)
+        if pvec:
+            for name, fp in self.field_params.items():
+                if name in pvec:
+                    pe = pvec[name][fp["eldofs"]]      # (E, ndp)
+                    out[name] = jnp.einsum("ei,iq->eq", pe, fp["phi"])
+            for name, val in pvec.items():
+                if str(name).startswith("__field:"):
+                    out[name[8:]] = val                # already (E, Q)
+        if self.module_masks is not None:
+            out["__blockmask"] = self.module_masks     # (E, n_modules)
         return out or None
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,

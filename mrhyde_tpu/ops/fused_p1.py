@@ -146,6 +146,8 @@ class FusedP1Assembly:
             return None
         if asm.multiscale is not None or asm.field_params:
             return None
+        if getattr(asm, "module_masks", None) is not None:
+            return None
         if not all(hasattr(m, "qp_density") for m in asm.modules):
             return None
         if asm._active_bnd_groups():

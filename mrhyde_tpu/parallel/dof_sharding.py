@@ -199,6 +199,9 @@ class DofShardedStep:
         if assembler.field_params:
             raise NotImplementedError(
                 "discretized field params under DOF sharding")
+        if getattr(assembler, "module_masks", None) is not None:
+            raise NotImplementedError(
+                "per-block physics under DOF sharding")
         self.asm = assembler
         self.mesh = mesh
         self.axis = axis

@@ -84,10 +84,37 @@ class Problem:
             from mrhyde_tpu.mesh.structured import apply_periodic
             self.mesh = apply_periodic(self.mesh, conds)
 
-        phys_cfg = _unwrap_block(cfg.get("Physics", {}), "modules")
+        raw_phys = cfg.get("Physics", {}) or {}
+        phys_cfg = _unwrap_block(raw_phys, "modules")
         self.phys_cfg = phys_cfg
-        self.modules = import_physics(phys_cfg.get("modules", ""),
-                                      phys_cfg, dim)
+        # per-block physics assignment (reference:
+        # physicsInterface.cpp:38-54 — each element block owns its own
+        # module list): multiple eblock sublists with distinct modules
+        block_sub = {k: v for k, v in raw_phys.items()
+                     if isinstance(v, dict) and "modules" in v}
+        bnames = list(getattr(self.mesh, "block_names", []))
+        self._module_block = None
+        if (len(block_sub) > 1
+                and all(k in bnames for k in block_sub)
+                and len({str(v.get("modules")) for v in
+                         block_sub.values()}) > 1):
+            self.modules = []
+            self._module_block = []
+            for bi, bn in enumerate(bnames):
+                sub = block_sub.get(bn)
+                if sub is None:
+                    continue
+                merged = {k2: v2 for k2, v2 in raw_phys.items()
+                          if not isinstance(v2, dict)
+                          or "modules" not in v2}
+                merged.update(sub)
+                for m in import_physics(sub.get("modules", ""),
+                                        merged, dim):
+                    self.modules.append(m)
+                    self._module_block.append(bi)
+        else:
+            self.modules = import_physics(phys_cfg.get("modules", ""),
+                                          phys_cfg, dim)
 
         # variables + orders
         disc_cfg = _unwrap_block(cfg.get("Discretization", {}), "order")
@@ -97,8 +124,12 @@ class Problem:
         # physicsInterface reads "Active variables" per block)
         active = phys_cfg.get("Active variables", {}) or {}
         variables = []
+        _seen = set()
         for m in self.modules:
             for (name, space, default_order) in m.variables():
+                if name in _seen:
+                    continue
+                _seen.add(name)
                 space = active.get(name, space)
                 order = int(orders.get(name, default_order))
                 if space == "HVOL":
@@ -146,6 +177,12 @@ class Problem:
         self.assembler = Assembler(self.disc, self.modules, self.fm,
                                    self.params,
                                    fixed_dofs=self.bcs.fixed_dofs)
+        if self._module_block is not None:
+            bids = np.asarray(self.mesh.block_ids)
+            masks = np.stack(
+                [(bids == b).astype(float) for b in self._module_block],
+                axis=1)
+            self.assembler.set_module_masks(masks)
         self.assembler.var_bcs = self.bcs.var_bcs
         self.assembler.is_transient = (
             cfg.get("Solver", {}).get("solver") == "transient")
