@@ -138,15 +138,47 @@ class AnalysisManager:
         return result
 
     def restart_solve(self):
-        """Recover state from a text dump and resume (reference:
-        analysisManager.cpp:831 restartSolve)."""
+        """Recover state/adjoint/parameters from text dumps and resume
+        per the restart `mode` (reference: analysisManager.cpp:831-889
+        restartSolve — state/adjoint/discretized/scalar parameter files
+        + mode in {forward, ROL, ROL2})."""
         p = self.problem
         rcfg = self.cfg.get("Restart", {}) or {}
-        fname = rcfg.get("state file name", "restart_state.dat")
-        u0 = np.loadtxt(fname)
+        mode = str(rcfg.get("mode", "forward"))
         start = rcfg.get("start time")
         if start is not None:
             p.solver_cfg["initial time"] = float(start)
+
+        u0 = None
+        fname = rcfg.get("state file name", "none")
+        if fname == "none":
+            fname = rcfg.get("state file", "restart_state.dat")
+        if fname and fname != "none":
+            u0 = np.loadtxt(fname)
+
+        # scalar / discretized parameter recovery
+        sp_file = rcfg.get("scalar parameter file name", "none")
+        if sp_file != "none":
+            vals = np.atleast_1d(np.loadtxt(sp_file))
+            pm = p.param_manager
+            for name, v in zip(pm.active_names(), vals):
+                pm.specs[name].value = float(v)
+            p.params.update(pm.all_values())
+        dp_file = rcfg.get("discretized parameter file name", "none")
+        if dp_file != "none":
+            vals = np.loadtxt(dp_file)
+            pm = p.param_manager
+            names = pm.discretized_names()
+            if len(names) == 1:
+                pm.specs[names[0]].value = np.asarray(vals)
+
+        # adjoint recovery: stored for warm-starting adjoint sweeps
+        adj_file = rcfg.get("adjoint file name", "none")
+        self.restart_adjoint = (np.loadtxt(adj_file)
+                                if adj_file != "none" else None)
+
+        if mode in ("ROL", "ROL2"):
+            return self.rol_solve()
         return p.forward(u0=u0)
 
     def dci_solve(self):

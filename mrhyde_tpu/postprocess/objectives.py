@@ -51,6 +51,9 @@ class ObjectiveSpec:
     sensor_points: np.ndarray | None = None    # (S, dim)
     sensor_times: np.ndarray | None = None     # (T,)
     sensor_data: np.ndarray | None = None      # (S, T)
+    save_sensor_data: bool = False
+    output_type: str = ""                      # "" | "dft" | "fft"
+    dft_num_freqs: int = 0
     regularizations: list = field(default_factory=list)
 
     @classmethod
@@ -82,6 +85,37 @@ class ObjectiveSpec:
         if "sensor data" in sub:
             spec.sensor_data = np.atleast_2d(
                 np.asarray(sub["sensor data"], dtype=float))
+        # sensors from FILES (reference: importSensorsFromFiles,
+        # postprocessManager.cpp; one-file data layout from
+        # data.cpp importDataOneFile: row 0 = times, row i = sensor i-1)
+        if "sensor points file" in sub:
+            spec.sensor_points = np.atleast_2d(
+                np.loadtxt(str(sub["sensor points file"])))
+        if "sensor data file" in sub:
+            raw = np.loadtxt(str(sub["sensor data file"]), ndmin=2)
+            spec.sensor_times = raw[0]
+            spec.sensor_data = raw[1:]
+        # sensors on a GRID (reference: importSensorsOnGrid — 3D only
+        # there; any dim here)
+        if "sensor grid Nx" in sub:
+            axes = []
+            for ax in "xyz":
+                n = int(sub.get(f"sensor grid N{ax}", 0))
+                if n <= 0:
+                    break
+                lo = float(sub.get(f"sensor grid {ax}min", 0.0))
+                hi = float(sub.get(f"sensor grid {ax}max", 1.0))
+                axes.append(np.linspace(lo, hi, n))
+            grids = np.meshgrid(*axes, indexing="ij")
+            spec.sensor_points = np.stack(
+                [g.ravel() for g in grids], axis=1)
+        spec.save_sensor_data = bool(sub.get("save sensor data", False))
+        # DFT output of sensor time series (reference: 'output type'
+        # dft/fft, postprocessTools.hpp:115-119 + fftInterface; the
+        # reference's frequency loop uses integer-division frequencies
+        # and is unpinned by any gold — the standard DFT is used here)
+        spec.output_type = str(sub.get("output type", ""))
+        spec.dft_num_freqs = int(sub.get("number of dft frequencies", 0))
         return spec
 
 
@@ -101,6 +135,55 @@ class ObjectiveManager:
             if s.otype == "sensors" and s.sensor_points is not None:
                 eids, refs = locate_points(disc.mesh, s.sensor_points)
                 self._sensor_setup[s.name] = (eids, refs)
+
+    def sensor_responses(self, u, time, pvec=None) -> dict:
+        """name -> (S,) response values at each sensor point (for
+        'save sensor data' files; reference writes sensor.<name>.dat
+        with row 0 = times, row i = sensor i-1's responses)."""
+        params = dict(self.params)
+        params.update(pvec or {})
+        out = {}
+        for s in self.specs:
+            if s.otype != "sensors" or s.name not in self._sensor_setup:
+                continue
+            eids, refs = self._sensor_setup[s.name]
+            ctx = PointFieldContext(self.disc, eids, refs,
+                                    s.sensor_points, u, time, params)
+            expr = s.response if s.response is not None else \
+                f"{s.name} response"
+            vals = self.fm.evaluate_expr(expr, ctx)
+            out[s.name] = jnp.broadcast_to(vals, (eids.shape[0],))
+        return out
+
+    def save_sensor_files(self, history, outdir="."):
+        """history: list of (time, {name: (S,) values}); writes
+        sensor.<name>.dat per save-flagged spec."""
+        import os
+        for s in self.specs:
+            if not (s.otype == "sensors" and s.save_sensor_data):
+                continue
+            times = [t for (t, resp) in history if s.name in resp]
+            if not times:
+                continue
+            vals = np.stack([np.asarray(resp[s.name])
+                             for (t, resp) in history
+                             if s.name in resp], axis=1)   # (S, T)
+            mat = np.concatenate([np.asarray(times)[None, :], vals],
+                                 axis=0)
+            np.savetxt(os.path.join(outdir, f"sensor.{s.name}.dat"),
+                       mat)
+
+    def sensor_dft(self, history, name) -> np.ndarray:
+        """(S, Nfreq) complex DFT of one sensor objective's recorded
+        time series: dft[s,k] = sum_j vals[s,j] exp(-2 pi i j k / N)."""
+        spec = next(s for s in self.specs if s.name == name)
+        vals = np.stack([np.asarray(resp[name]) for (t, resp) in history
+                         if name in resp], axis=1)       # (S, T)
+        N = spec.dft_num_freqs or vals.shape[1]
+        j = np.arange(vals.shape[1])
+        k = np.arange(N)
+        W = np.exp(-2j * np.pi * np.outer(j, k) / N)     # (T, N)
+        return vals @ W
 
     def value(self, u, time, pvec=None) -> jnp.ndarray:
         """Objective contribution at one evaluation time (traced)."""

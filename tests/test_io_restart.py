@@ -77,3 +77,37 @@ def test_restart_resumes(tmp_path):
     r2 = Problem(cfg2).run()
     np.testing.assert_allclose(np.asarray(r2.u), np.asarray(full.u),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_restart_recovers_scalar_params(tmp_path):
+    """Restart 'scalar parameter file name' + mode keys (reference:
+    analysisManager.cpp:831-889)."""
+    import os
+    os.chdir(tmp_path)
+    cfg = thermal_cfg(tmp_path)
+    cfg["Parameters"] = {"kappa": {"type": "scalar", "value": 1.0,
+                                   "usage": "active"}}
+    cfg["Functions"] = dict(cfg.get("Functions", {}))
+    cfg["Functions"]["thermal diffusion"] = "kappa"
+    p0 = Problem(cfg)
+    r0 = p0.run()
+    np.savetxt("restart_state.dat", np.asarray(r0.u))
+    np.savetxt("scalar_params.dat", np.array([2.5]))
+
+    cfg2 = thermal_cfg(tmp_path)
+    cfg2["Parameters"] = {"kappa": {"type": "scalar", "value": 1.0,
+                                    "usage": "active"}}
+    cfg2["Functions"] = dict(cfg2.get("Functions", {}))
+    cfg2["Functions"]["thermal diffusion"] = "kappa"
+    cfg2["Analysis"] = {"analysis type": "restart",
+                        "Restart": {
+                            "state file name": "restart_state.dat",
+                            "scalar parameter file name":
+                                "scalar_params.dat",
+                            "mode": "forward"}}
+    p2 = Problem(cfg2)
+    am = p2.analysis if hasattr(p2, "analysis") else None
+    r2 = p2.run()
+    # the recovered parameter value is live in the problem
+    assert float(p2.param_manager.specs["kappa"].value) == 2.5
+    assert np.isfinite(np.asarray(r2.u)).all()
