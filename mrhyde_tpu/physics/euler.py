@@ -84,6 +84,107 @@ class Euler(PhysicsModule):
         wk.add_flux("rhoE", -FE)
 
 
+    def boundary_residual(self, wk):
+        """Far-field (characteristic) and Slip boundary fluxes
+        (reference: euler.cpp computeBoundaryTerm — the HDG trace form
+        B(S_hat) = A+(S_hat)(S - S_hat) + A-(S_hat)(S_inf - S_hat);
+        in this CG formulation the trace collapses to the interior
+        state, giving the standard flux splitting
+        F_hat.n = F(S).n + A-(S)(S_inf - S), which consumes the same
+        eigendecomposition the reference unit-tests."""
+        bct = wk.bcs.get("rho") or wk.bcs.get("rhoux")
+        if bct not in ("Far-field", "Slip"):
+            return
+        dim = self.dim
+        g = self.gamma
+        names = ["rho"] + self._mom_names() + ["rhoE"]
+        S = jnp.stack([wk.sol(v) for v in names], axis=1)   # (Qf, neq)
+        n = wk.normals                                      # (Qf, dim)
+        if bct == "Slip":
+            rho = S[:, 0]
+            mom = S[:, 1:1 + dim]
+            rhoE = S[:, 1 + dim]
+            p0 = (g - 1.0) * (rhoE
+                              - 0.5 * jnp.sum(mom * mom, axis=1) / rho)
+            # slip wall flux: zero normal mass/energy flux, pressure
+            # normal force on momentum
+            for d, name in enumerate(self._mom_names()):
+                wk.add_source(name, p0 * n[:, d])
+            return
+
+        Sinf = jnp.stack(
+            [jnp.broadcast_to(
+                wk.qp(wk.f(f"Far-field {v} {wk.side_name}", "side ip")),
+                S.shape[:1]) for v in names], axis=1)
+
+        def fhat(s, nn, sinf):
+            Fn = _flux_n(s, nn, g)
+            L, lam, R = _eig_jnp(s, nn, g, dim)
+            lam_m = 0.5 * (lam - jnp.abs(lam))
+            corr = R @ (lam_m * (L @ (sinf - s)))
+            return Fn + corr
+
+        import jax
+        tot = jax.vmap(fhat)(S, n, Sinf)                    # (Qf, neq)
+        for i, v in enumerate(names):
+            wk.add_source(v, tot[:, i])
+
+
+def _flux_n(U, n, gamma):
+    """Euler normal flux F(U).n at one state (traceable)."""
+    dim = n.shape[0]
+    rho = U[0]
+    mom = U[1:1 + dim]
+    rhoE = U[1 + dim]
+    vel = mom / rho
+    p0 = (gamma - 1.0) * (rhoE - 0.5 * jnp.dot(mom, mom) / rho)
+    un = jnp.dot(vel, n)
+    return jnp.concatenate([
+        jnp.array([rho * un]), mom * un + p0 * n,
+        jnp.array([(rhoE + p0) * un])])
+
+
+def _eig_jnp(U, n, gamma, dim):
+    """Traceable (L, lambda, R) of dF_n/dU (jnp twin of
+    eigendecomp_flux_jacobian)."""
+    rho = U[0]
+    mom = U[1:1 + dim]
+    rhoE = U[1 + dim]
+    vel = mom / rho
+    p0 = (gamma - 1.0) * (rhoE - 0.5 * jnp.dot(mom, mom) / rho)
+    a = jnp.sqrt(gamma * p0 / rho)
+    un = jnp.dot(vel, n)
+    H = (rhoE + p0) / rho
+    lam = jnp.concatenate([jnp.array([un - a]),
+                           jnp.full((dim,), un),
+                           jnp.array([un + a])])
+    cols = [jnp.concatenate([jnp.array([1.0]), vel - a * n,
+                             jnp.array([H - a * un])])]
+    cols.append(jnp.concatenate([jnp.array([1.0]), vel,
+                                 jnp.array([0.5 * jnp.dot(vel, vel)])]))
+    if dim == 2:
+        t = jnp.array([-n[1], n[0]])
+        cols.append(jnp.concatenate([jnp.array([0.0]), t,
+                                     jnp.array([jnp.dot(vel, t)])]))
+    elif dim == 3:
+        # robust tangent pair (smooth enough for BC use away from
+        # axis-aligned degeneracies)
+        ref = jnp.where(jnp.abs(n[0]) < 0.9,
+                        jnp.array([1.0, 0.0, 0.0]),
+                        jnp.array([0.0, 1.0, 0.0]))
+        t1 = jnp.cross(n, ref)
+        t1 = t1 / jnp.linalg.norm(t1)
+        t2 = jnp.cross(n, t1)
+        for t in (t1, t2):
+            cols.append(jnp.concatenate(
+                [jnp.array([0.0]), t, jnp.array([jnp.dot(vel, t)])]))
+    cols.append(jnp.concatenate([jnp.array([1.0]), vel + a * n,
+                                 jnp.array([H + a * un])]))
+    R = jnp.stack(cols, axis=1)
+    L = jnp.linalg.inv(R)
+    return L, lam, R
+
+
 def normal_flux_jacobian(state, n, gamma=1.4):
     """dF_n/dU for the Euler system; state = (rho, rhou..., rhoE).
 

@@ -86,3 +86,53 @@ class ShallowWaterHybridized(PhysicsModule):
             wk.add_source(name, wk.sol_dot(name)
                           - wk.qp(wk.f(f"source {name}")))
             wk.add_flux(name, -F)
+
+    def boundary_residual(self, wk):
+        """Far-field / Slip boundary fluxes wiring the unit-tested
+        eigendecomposition into the residual (reference:
+        shallowwaterHybridized.cpp computeBoundaryTerm; the CG collapse
+        of the HDG trace form gives F_hat.n = F(S).n + A-(S)(S_inf-S))."""
+        bct = wk.bcs.get("H") or wk.bcs.get("Hux")
+        if bct not in ("Far-field", "Slip"):
+            return
+        g = self.gravity
+        dim = self.dim
+        names = ["H"] + ["Hux", "Huy"][:dim]
+        S = jnp.stack([wk.sol(v) for v in names], axis=1)   # (Qf, nv)
+        n = wk.normals
+        if bct == "Slip":
+            H = S[:, 0]
+            for d, name in enumerate(["Hux", "Huy"][:dim]):
+                wk.add_source(name, 0.5 * g * H * H * n[:, d])
+            return
+        Sinf = jnp.stack(
+            [jnp.broadcast_to(
+                wk.qp(wk.f(f"Far-field {v} {wk.side_name}", "side ip")),
+                S.shape[:1]) for v in names], axis=1)
+
+        def fhat(s, nn, sinf):
+            H = s[0]
+            mom = s[1:1 + dim]
+            vel = mom / H
+            un = jnp.dot(vel, nn)
+            Fn = jnp.concatenate([
+                jnp.array([jnp.dot(mom, nn)]),
+                mom * un + 0.5 * g * H * H * nn])
+            a = jnp.sqrt(g * H)
+            lam = jnp.concatenate([jnp.array([un - a]),
+                                   jnp.full((dim - 1,), un),
+                                   jnp.array([un + a])])
+            cols = [jnp.concatenate([jnp.array([1.0]), vel - a * nn])]
+            if dim == 2:
+                t = jnp.array([-nn[1], nn[0]])
+                cols.append(jnp.concatenate([jnp.array([0.0]), t]))
+            cols.append(jnp.concatenate([jnp.array([1.0]), vel + a * nn]))
+            R = jnp.stack(cols, axis=1)
+            L = jnp.linalg.inv(R)
+            lam_m = 0.5 * (lam - jnp.abs(lam))
+            return Fn + R @ (lam_m * (L @ (sinf - s)))
+
+        import jax
+        tot = jax.vmap(fhat)(S, n, Sinf)
+        for i, v in enumerate(names):
+            wk.add_source(v, tot[:, i])
