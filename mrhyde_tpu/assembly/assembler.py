@@ -310,6 +310,11 @@ class Assembler:
         # (reference: ParameterManager discretized params with their own
         # Panzer DOF manager, parameterManager.cpp:272)
         self.field_params: dict = {}
+        # static per-element data imported from mesh data files
+        # (reference: AssemblyManager::importMeshData,
+        # assemblyManager.cpp:8235 — element centers take the value of
+        # the closest data point; physics read it as wkset extra_data)
+        self.extra_elem_fields: dict = {}
         # per-block physics masks (E, n_modules) or None (single-block)
         self.module_masks = None
         # jitted entry points (traced once per TimeCoeffs/pvec structure)
@@ -474,6 +479,7 @@ class Assembler:
                     out[name[8:]] = val                # already (E, Q)
         if self.module_masks is not None:
             out["__blockmask"] = self.module_masks     # (E, n_modules)
+        out.update(self.extra_elem_fields)
         return out or None
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,

@@ -99,6 +99,19 @@ class Discretization:
         for key in unique_keys:
             if key[0] == "HFACE":
                 continue    # trace space: no volumetric support
+            if key[0] in ("HDIV", "HDIV-DG") and mesh.cell_type == "line":
+                # 1D HDIV = nodal line basis (reference factory,
+                # discretizationInterface.cpp:380-382); values are the
+                # scalar flux, "div" is the physical x-derivative
+                b = get_basis("line", "HGRAD", max(key[1], 1))
+                vals = b.eval(ref_pts)                 # (nd, Q)
+                E = mesh.n_elem
+                self.vec_vals[key] = np.broadcast_to(
+                    vals[None, :, :, None],
+                    (E,) + vals.shape + (1,)).copy()
+                self.div_vals[key] = physical_grad(
+                    b, ref_pts, vol.jac_inv)[..., 0]
+                continue
             if key[0] in ("HDIV", "HCURL", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG"):
                 vb = get_vector_basis(mesh.cell_type, key[0], key[1])
                 ref_v = vb.eval(ref_pts)               # (nd, Q, dim)
@@ -159,6 +172,14 @@ class Discretization:
                                          fg.ref_pts.shape[0]))
                         full[s] = 1.0
                         bv[key] = full
+                    continue
+                if (key[0] in ("HDIV", "HDIV-DG")
+                        and mesh.cell_type == "line"):
+                    b = get_basis("line", "HGRAD", max(key[1], 1))
+                    vals = b.eval(fg.ref_pts)          # (nd, Qf)
+                    bv[key] = np.broadcast_to(
+                        vals[None, :, :, None],
+                        (self.mesh.n_elem,) + vals.shape + (1,)).copy()
                     continue
                 if key[0] in ("HDIV", "HCURL", "HDIV-DG", "HDIV_AC", "HDIV_AC-DG"):
                     vb = get_vector_basis(mesh.cell_type, key[0], key[1])

@@ -29,6 +29,7 @@ def load_input_deck(path: str) -> dict:
     if isinstance(cfg, dict) and set(cfg) == {"ANONYMOUS"}:
         cfg = cfg["ANONYMOUS"]
     base = os.path.dirname(os.path.abspath(path))
+    cfg.setdefault("_deck_dir", base)
     for sub in _SUBLISTS:
         key = f"{sub} input file"
         if key in cfg:

@@ -413,6 +413,13 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
                 vars_.append(_build_hface_var(mesh, name, vbasis))
             else:
                 vars_.append(_build_vector_var(mesh, name, vbasis))
+        elif (space.upper() in ("HDIV", "HDIV-DG")
+              and mesh.cell_type == "line"):
+            # 1D HDIV is the nodal line basis in the reference factory
+            # (discretizationInterface.cpp:380-382 uses
+            # Basis_HGRAD_LINE_Cn for dimension-1 HDIV)
+            basis = get_basis("line", "HGRAD", max(order, 1))
+            vars_.append(_build_var(mesh, name, basis))
         elif space.upper() in ("HDIV", "HCURL", "HDIV-DG",
                                "HDIV_AC", "HDIV_AC-DG"):
             vbasis = get_vector_basis(mesh.cell_type, space, max(order, 1))

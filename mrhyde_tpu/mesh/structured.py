@@ -154,12 +154,33 @@ def _hex_or_tet_mesh(cell_type, nx, ny, nz, xmin, xmax, ymin, ymax,
         }
         return Mesh(3, "hex", nodes, hex_conn, sidesets)
 
-    # tet: 6 tets per hex (Kuhn/Freudenthal split, consistent across cells)
+    # tet: 12 tets per hex — one centroid node per hex, each of the six
+    # faces split into two triangles along the diagonal through the
+    # face's SMALLEST global node id (conforming across cells), each
+    # triangle + centroid = one tet. This reproduces the Panzer-STK
+    # CubeTetMeshFactory meshes the reference regression golds were
+    # generated on (porous/Mixed_3D_tet p/u errors match digit-for-
+    # digit with this split; Kuhn and 5-tet splits do not).
     h = hex_conn
-    tets = [
-        h[:, [0, 1, 2, 6]], h[:, [0, 2, 3, 6]], h[:, [0, 3, 7, 6]],
-        h[:, [0, 7, 4, 6]], h[:, [0, 4, 5, 6]], h[:, [0, 5, 1, 6]],
-    ]
+    E = h.shape[0]
+    cents = nodes[h].mean(axis=1)
+    cid = nodes.shape[0] + np.arange(E)
+    nodes = np.vstack([nodes, cents])
+    # outward-ordered hex faces in our conn convention
+    hfaces = [[0, 3, 2, 1], [4, 5, 6, 7], [0, 1, 5, 4],
+              [1, 2, 6, 5], [2, 3, 7, 6], [3, 0, 4, 7]]
+    tets = []
+    for f in hfaces:
+        q = h[:, f]                                   # (E, 4)
+        pick02 = (np.minimum(q[:, 0], q[:, 2])
+                  < np.minimum(q[:, 1], q[:, 3]))
+        t1 = np.where(pick02[:, None],
+                      np.stack([q[:, 0], q[:, 1], q[:, 2], cid], axis=1),
+                      np.stack([q[:, 1], q[:, 2], q[:, 3], cid], axis=1))
+        t2 = np.where(pick02[:, None],
+                      np.stack([q[:, 0], q[:, 2], q[:, 3], cid], axis=1),
+                      np.stack([q[:, 1], q[:, 3], q[:, 0], cid], axis=1))
+        tets.extend([t1, t2])
     conn = np.stack(tets, axis=1).reshape(-1, 4).astype(np.int32)
     # boundary sidesets for tets: find boundary faces by node coordinates
     mesh = Mesh(3, "tet", nodes, conn, {})

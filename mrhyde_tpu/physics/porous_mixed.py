@@ -31,6 +31,11 @@ class PorousMixed(PhysicsModule):
         # set; updateKLPerm :565-700 accumulates coeff*sqrt(eval)*evec
         # from the 'KLUQcoeffs' and 'KLStochcoeffs' parameters, and the
         # final permeability is Kinv / exp(KL) :188-215)
+        # permeability from imported mesh element data (reference:
+        # porousMixed.cpp:46 usePermData; updatePerm :550-563 sets
+        # Kinv = 1/data(elem,0) from the closest-point element data)
+        self.use_perm_data = bool(
+            self.settings.get("use permeability data", False))
         self.use_kl = bool(self.settings.get("use KL expansion", False))
         if self.use_kl:
             import numpy as np
@@ -99,11 +104,15 @@ class PorousMixed(PhysicsModule):
 
     def volume_residual(self, wk):
         dim = self.dim
-        Kinv = [wk.qp(wk.f("Kinv_xx"))]
-        if dim > 1:
-            Kinv.append(wk.qp(wk.f("Kinv_yy")))
-        if dim > 2:
-            Kinv.append(wk.qp(wk.f("Kinv_zz")))
+        if self.use_perm_data:
+            ki = wk.qp(1.0 / wk.extra_fields["mesh_data"])
+            Kinv = [ki] * dim
+        else:
+            Kinv = [wk.qp(wk.f("Kinv_xx"))]
+            if dim > 1:
+                Kinv.append(wk.qp(wk.f("Kinv_yy")))
+            if dim > 2:
+                Kinv.append(wk.qp(wk.f("Kinv_zz")))
         if self.use_kl:
             kl = self._kl_log_perm(wk)
             if kl is not None:

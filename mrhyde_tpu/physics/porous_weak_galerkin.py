@@ -35,7 +35,12 @@ class PorousWeakGalerkin(PhysicsModule):
         fm.add_function("perm", self._f(fs, "permeability", 1.0), "ip")
 
     def volume_residual(self, wk):
-        perm = wk.qp(wk.f("perm"))
+        # perm = closest-point mesh element data when imported
+        # (reference: porousWeakGalerkin.cpp:107-115, updatePerm :601)
+        if self.settings.get("use permeability data", False):
+            perm = wk.qp(wk.extra_fields["mesh_data"])
+        else:
+            perm = wk.qp(wk.f("perm"))
         u = wk.sol("u")
         t = wk.sol("t")
         pint = wk.sol("pint")

@@ -114,8 +114,15 @@ class ErrorCalculator:
                 continue   # trace vars have no volume norm (the
                 #            reference only reports their face norm)
             st, nd = disc.offsets[var]
-            phi = jnp.asarray(disc.basis_vals[disc.basis_keys[var]])
-            uh = u_e[:, st:st + nd] @ phi              # (E, Q)
+            key = disc.basis_keys[var]
+            if key not in disc.basis_vals and key in disc.vec_vals \
+                    and disc.vec_vals[key].shape[-1] == 1:
+                # 1D HDIV: a scalar-valued flux (nodal line basis)
+                vv = jnp.asarray(disc.vec_vals[key][..., 0])
+                uh = jnp.einsum("ei,eiq->eq", u_e[:, st:st + nd], vv)
+            else:
+                phi = jnp.asarray(disc.basis_vals[key])
+                uh = u_e[:, st:st + nd] @ phi          # (E, Q)
             ctx = PointContext(jnp.asarray(disc.ip), time, self.params)
             tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
                                    uh.shape)

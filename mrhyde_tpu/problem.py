@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -177,6 +179,24 @@ class Problem:
         self.assembler = Assembler(self.disc, self.modules, self.fm,
                                    self.params,
                                    fixed_dofs=self.bcs.fixed_dofs)
+        data_tag = str(mesh_cfg.get("data file", "none"))
+        if data_tag != "none":
+            # mesh element data import (reference: importMeshData,
+            # assemblyManager.cpp:8235 — element centers take the value
+            # of the CLOSEST data point; physics read column 0 as
+            # wkset extra_data, e.g. porousMixed updatePerm)
+            base = cfg.get("_deck_dir", ".")
+            pts_tag = str(mesh_cfg.get("data points file",
+                                       "mesh_data_pts"))
+            pts = np.loadtxt(os.path.join(base, pts_tag + ".dat"),
+                             ndmin=2)
+            vals = np.loadtxt(os.path.join(base, data_tag + ".dat"),
+                              ndmin=2)
+            cents = self.mesh.nodes[self.mesh.conn].mean(axis=1)
+            d2 = ((cents[:, None, :] - pts[None, :, :dim]) ** 2).sum(-1)
+            nearest = np.argmin(d2, axis=1)
+            self.assembler.extra_elem_fields["mesh_data"] = jnp.asarray(
+                vals[nearest, 0])
         if self._module_block is not None:
             bids = np.asarray(self.mesh.block_ids)
             masks = np.stack(

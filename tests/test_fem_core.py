@@ -69,7 +69,9 @@ def test_face_geometry_normals_and_measure(cell):
 
 @pytest.mark.parametrize("cell,order,expected", [
     ("quad", 1, 16), ("quad", 2, 49), ("tri", 1, 16), ("tri", 2, 49),
-    ("hex", 1, 8), ("hex", 2, 27), ("tet", 1, 8), ("tet", 2, 27),
+    # tet: the Panzer CubeTetMeshFactory split (12 tets/hex with a
+    # centroid node) — 1 hex -> 9 nodes (8 corners + centroid)
+    ("hex", 1, 8), ("hex", 2, 27), ("tet", 1, 9), ("tet", 2, 35),
 ])
 def test_dofmap_counts(cell, order, expected):
     if cell in ("quad", "tri"):
