@@ -63,7 +63,11 @@ class Discretization:
             quadrature_degree = 2 * max_order
         self.quadrature_degree = int(quadrature_degree)
         if side_quadrature_degree is None:
-            side_quadrature_degree = self.quadrature_degree
+            # reference default: 'side quadrature' falls back to
+            # 2*max_order, NOT to the volume 'quadrature' key
+            # (discretizationInterface.cpp:203) — a p0 trace variable
+            # gets a 1-point face rule even when quadrature: 2 is set
+            side_quadrature_degree = 2 * max_order
         self.side_quadrature_degree = int(side_quadrature_degree)
 
         self.dofmap: DofMap = build_dofmap(mesh, variables)

@@ -18,9 +18,15 @@ ALL fine solves run as one vmapped batched program: fine Newton with
 batched dense solves, and the macro Jacobian (the reference's
 forwardSensitivityPropagation) is jax.jacfwd through the whole thing.
 
-Current scope: steady subgrid physics on translation-uniform macro
-meshes (the fine tables are built once on a representative macro
-element; per-element data is just the quadrature-point offset).
+Two geometry regimes (reference: subgridTools.cpp fine-mesh
+generation from macro nodes):
+
+- translation-uniform quad/hex macro meshes: the fine tables are built
+  once on a representative macro element and per-element data is just
+  the quadrature-point offset (fast path, O(1) geometry memory)
+- general macro meshes (tets, distorted elements, Exodus-sourced fine
+  templates): per-macro-element fine geometry batched with a leading
+  macro axis (multiscale/geometry.py) that every fine solve vmaps over
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ class SubgridDtN:
         from mrhyde_tpu.mesh.structured import Mesh, box_mesh
         from mrhyde_tpu.physics.registry import import_physics
         from mrhyde_tpu.fem.basis import get_basis
+        from mrhyde_tpu.fem.topology import cell_topology
 
         self.problem = problem
         cfg = subgrid_cfg.get("Subgrid", subgrid_cfg)
@@ -54,19 +61,6 @@ class SubgridDtN:
         macro_mesh = problem.mesh
         dim = macro_mesh.dim
         cell = macro_mesh.cell_type
-        if cell not in ("quad", "hex"):
-            raise NotImplementedError(
-                "subgrid DtN: quad/hex macro cells only")
-
-        # representative fine mesh in macro REFERENCE coords [-1,1]^dim
-        if cell == "hex":
-            ref_fine = box_mesh("hex", nx=n1, ny=n1, nz=n1,
-                                xmin=-1.0, xmax=1.0, ymin=-1.0, ymax=1.0,
-                                zmin=-1.0, zmax=1.0)
-        else:
-            ref_fine = box_mesh("quad", nx=n1, ny=n1, xmin=-1.0, xmax=1.0,
-                                ymin=-1.0, ymax=1.0)
-        self.ref_fine = ref_fine
 
         # macro element subset this model owns (multimodel decks assign
         # disjoint subsets by usage votes; default = all elements)
@@ -75,24 +69,46 @@ class SubgridDtN:
                       else np.asarray(elems, dtype=int))
         self.owns_all = self.elems.size == n_macro
 
-        # physical fine mesh for the representative macro element
-        # (translation-uniform within the subset)
         macro_coords = macro_mesh.nodes[macro_mesh.conn]   # (E, nv, dim)
         sub_coords = macro_coords[self.elems]
-        geo = get_basis(cell, "HGRAD", 1)
-        gvals = geo.eval(ref_fine.nodes)                   # (nv, nfn)
-        phys0 = np.einsum("cd,cn->nd", sub_coords[0], gvals)
-        fine_mesh = Mesh(dim=dim, cell_type=cell, nodes=phys0,
-                         conn=ref_fine.conn,
-                         sidesets=dict(ref_fine.sidesets))
-
-        # uniformity check + per-macro-element ip offsets
         cents = sub_coords.mean(axis=1)
-        self.offsets_np = cents - cents[0]
         spans = sub_coords.max(axis=1) - sub_coords.min(axis=1)
-        if not np.allclose(spans, spans[0], rtol=1e-12):
-            raise NotImplementedError(
-                "subgrid DtN currently requires a uniform macro mesh")
+        is_exo = str(mesh_cfg.get("mesh type", "")).lower() == "exodus"
+        # fast path: translation-uniform quad/hex macro subsets share
+        # ONE set of fine tables; anything else batches per-macro
+        # geometry (multiscale/geometry.py)
+        self.general = (cell not in ("quad", "hex") or is_exo
+                        or not np.allclose(spans, spans[0], rtol=1e-12))
+        self.offsets_np = cents - cents[0]
+        self._side_map = None
+        self._geo_np = None
+        self._geo_cache = {}
+
+        if self.general:
+            from mrhyde_tpu.multiscale.geometry import fine_template
+            deck_dir = (problem.cfg or {}).get("_deck_dir", ".")
+            ref_fine, self._side_map = fine_template(
+                mesh_cfg, cell, dim, deck_dir)
+            fine_mesh = ref_fine        # structure only (ref coords)
+        else:
+            # representative fine mesh in macro REFERENCE coords
+            # [-1,1]^dim
+            if cell == "hex":
+                ref_fine = box_mesh("hex", nx=n1, ny=n1, nz=n1,
+                                    xmin=-1.0, xmax=1.0, ymin=-1.0,
+                                    ymax=1.0, zmin=-1.0, zmax=1.0)
+            else:
+                ref_fine = box_mesh("quad", nx=n1, ny=n1, xmin=-1.0,
+                                    xmax=1.0, ymin=-1.0, ymax=1.0)
+            # physical fine mesh for the representative macro element
+            # (translation-uniform within the subset)
+            geo = get_basis(cell, "HGRAD", 1)
+            gvals = geo.eval(ref_fine.nodes)               # (nv, nfn)
+            phys0 = np.einsum("cd,cn->nd", sub_coords[0], gvals)
+            fine_mesh = Mesh(dim=dim, cell_type=cell, nodes=phys0,
+                             conn=ref_fine.conn,
+                             sidesets=dict(ref_fine.sidesets))
+        self.ref_fine = ref_fine
 
         # fine physics from the subgrid deck
         phys_cfg = cfg.get("Physics", {}) or {}
@@ -136,9 +152,22 @@ class SubgridDtN:
                                         "BWE")
 
         # macro basis tables at fine interface quadrature points
-        ref_disc = Discretization(ref_fine, variables,
-                                  None if qdeg is None else int(qdeg))
+        if self.general:
+            from mrhyde_tpu.multiscale.geometry import build_batched_geo
+            ref_disc = self.fine_disc       # already in macro ref coords
+            self._geo_np = build_batched_geo(
+                sub_coords, ref_fine, cell, variables,
+                None if qdeg is None else int(qdeg))
+            smap = self._side_map
+        else:
+            ref_disc = Discretization(ref_fine, variables,
+                                      None if qdeg is None else int(qdeg))
+            smap = ({"bottom": 0, "right": 1, "top": 2, "left": 3}
+                    if cell == "quad" else
+                    {"back": 0, "front": 1, "bottom": 2, "right": 3,
+                     "top": 4, "left": 5})
         macro_keys = problem.disc.basis_keys
+        macro_nside = len(cell_topology(cell).sides)
         self._groups = []
         for gi, bg in enumerate(self.fine_disc.boundary_groups):
             rbg = ref_disc.boundary_groups[gi]
@@ -146,6 +175,7 @@ class SubgridDtN:
                 np.array_equal(rbg.elems, bg.elems)
             macro_pts = rbg.ip.reshape(-1, dim)         # (B*Qf, dim)
             B, Qf = bg.ip.shape[0], bg.ip.shape[1]
+            sidx = smap[bg.sideset]
             phi = {}
             for mv, key in macro_keys.items():
                 if key[0] == "HFACE":
@@ -154,11 +184,17 @@ class SubgridDtN:
                     # the reference quad; flips live in the numbering)
                     from mrhyde_tpu.fem.vector_basis import \
                         hface_side_vals
-                    if dim != 2:
+                    if key[1] == 0:
+                        # facet constants (any dim): indicator of the
+                        # macro side this group lies on
+                        full = np.zeros((macro_nside, B, Qf))
+                        full[sidx] = 1.0
+                        phi[mv] = jnp.asarray(full)
+                        continue
+                    if dim != 2 or cell != "quad":
                         raise NotImplementedError(
-                            "HFACE multiscale traces in 3D")
-                    sidx = {"bottom": 0, "right": 1,
-                            "top": 2, "left": 3}[bg.sideset]
+                            "HFACE order >= 1 multiscale traces only "
+                            "on quad macro cells")
                     pts = rbg.ip                        # (B, Qf, 2)
                     param = {0: pts[..., 0], 1: pts[..., 1],
                              2: -pts[..., 0], 3: -pts[..., 1]}[sidx]
@@ -220,17 +256,27 @@ class SubgridDtN:
         from mrhyde_tpu.assembly.assembler import PointContext
         disc = self.fine_disc
         E = self.n_macro_elems()
-        offs = jnp.asarray(self.offsets_np, dtype=dtype)
         nfd = self.n_fine_dof
-        # global fine mass (dense; fine problems are small)
-        Mb = np.asarray(disc.mass_blocks())        # (Ef, ndt, ndt)
         lids = np.asarray(disc.lids)
-        M = np.zeros((nfd, nfd))
-        np.add.at(M, (lids[:, :, None], lids[:, None, :]), Mb)
+        # per-macro fine mass (dense; fine problems are small)
+        if self.general:
+            Mb = np.asarray(self._geo_np["mass"])  # (E, Ef, ndt, ndt)
+            M = np.zeros((E, nfd, nfd))
+            np.add.at(M, (np.arange(E)[:, None, None, None],
+                          lids[None, :, :, None],
+                          lids[None, :, None, :]), Mb)
+            ips = jnp.asarray(self._geo_np["ip"], dtype=dtype)
+            wts = jnp.asarray(self._geo_np["wts"], dtype=dtype)[:, :, :]
+        else:
+            Mb = np.asarray(disc.mass_blocks())    # (Ef, ndt, ndt)
+            M = np.zeros((nfd, nfd))
+            np.add.at(M, (lids[:, :, None], lids[:, None, :]), Mb)
+            M = M[None]
+            offs = jnp.asarray(self.offsets_np, dtype=dtype)
+            ips = (jnp.asarray(disc.ip, dtype=dtype)[None]
+                   + offs[:, None, None, :])       # (E, Ef, Q, dim)
+            wts = jnp.asarray(disc.wts, dtype=dtype)[None]  # (1, Ef, Q)
         b = jnp.zeros((E, nfd), dtype=dtype)
-        ips = (jnp.asarray(disc.ip, dtype=dtype)[None]
-               + offs[:, None, None, :])           # (E, Ef, Q, dim)
-        wts = jnp.asarray(disc.wts, dtype=dtype)   # (Ef, Q)
         for var, expr in ics.items():
             if var not in disc.offsets:
                 continue
@@ -245,8 +291,7 @@ class SubgridDtN:
             lv = jnp.asarray(lids[:, st:st + nd])
             b = b.at[:, lv.ravel()].add(
                 contrib.reshape(E, -1))
-        u0 = jnp.linalg.solve(jnp.asarray(M, dtype=dtype)[None], b[:, :,
-                                                                   None])
+        u0 = jnp.linalg.solve(jnp.asarray(M, dtype=dtype), b[:, :, None])
         return u0[:, :, 0]
 
     def blank_stages(self, nstage: int, dtype):
@@ -282,11 +327,39 @@ class SubgridDtN:
 
     # ------------------------------------------------------------------
 
-    def _fine_residual(self, uf, bu_f, bt_f, offset, aux, tc, pvec,
+    def _percell(self, dtype):
+        """Per-macro-element geometry pytree (leading macro axis) the
+        fine solves vmap over: {"off": translation offsets} on the
+        uniform fast path, the full batched physical tables otherwise
+        (multiscale/geometry.py build_batched_geo)."""
+        key = str(dtype)
+        if key in self._geo_cache:
+            return self._geo_cache[key]
+        # cache numpy-cast trees (never traced values): they embed as
+        # jaxpr constants wherever the residual is traced
+        if not self.general:
+            out = {"off": np.asarray(self.offsets_np, dtype=dtype)}
+        else:
+            g = self._geo_np
+
+            def conv(a):
+                return np.asarray(a, dtype=dtype)
+
+            out = {"wts": conv(g["wts"]), "ip": conv(g["ip"]),
+                   "bg": jax.tree_util.tree_map(conv, g["bg"]),
+                   "bnd": [{"wts": conv(b["wts"]), "ip": conv(b["ip"]),
+                            "normals": conv(b["normals"]),
+                            "bg": jax.tree_util.tree_map(conv, b["bg"])}
+                           for b in g["bnd"]]}
+        self._geo_cache[key] = out
+        return out
+
+    def _fine_residual(self, uf, bu_f, bt_f, geo, aux, tc, pvec,
                        alpha_u=None, alpha_t=None, time=None,
                        deltat=None):
         """Residual of one macro element's fine problem.
 
+        geo: this macro element's slice of the _percell pytree.
         aux: list over boundary groups of {fine var: (B, Qf)} traces.
         bu_f/bt_f: fine seeding vectors (n_fine_dof,) -- u_eval =
         alpha_u uf + bu_f, u_dot = alpha_t uf + bt_f.  The alphas
@@ -299,27 +372,51 @@ class SubgridDtN:
         time = tc.time if time is None else time
         deltat = tc.deltat if deltat is None else deltat
         u_e, bu_e, bt_e = uf[fa.lids], bu_f[fa.lids], bt_f[fa.lids]
+        if fa.has_signs:
+            u_e, bu_e = u_e * fa.signs, bu_e * fa.signs
+            bt_e = bt_e * fa.signs
         fn = partial(fa._elem_residual, alpha_u=alpha_u,
                      alpha_t=alpha_t, time=time, pvec=pvec,
                      deltat=deltat)
-        res_e = jax.vmap(fn, in_axes=(0, 0, 0, fa._wts_ax, 0, fa._bg_ax))(
-            u_e, bu_e, bt_e, fa.g_wts, fa.g_ip + offset, fa.g_bg)
+        uniform = "off" in geo
+        if uniform:
+            off = geo["off"][None, None, :]
+            res_e = jax.vmap(fn, in_axes=(0, 0, 0, fa._wts_ax, 0,
+                                          fa._bg_ax))(
+                u_e, bu_e, bt_e, fa.g_wts, fa.g_ip + off, fa.g_bg)
+        else:
+            res_e = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))(
+                u_e, bu_e, bt_e, geo["wts"], geo["ip"], geo["bg"])
+        if fa.has_signs:
+            res_e = res_e * fa.signs
         flat = jnp.concatenate([res_e.ravel(),
                                 jnp.zeros(1, dtype=res_e.dtype)])
         r = flat[fa.inc].sum(axis=1)
-        for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
+        for gi, (g, phi, aux_g) in enumerate(zip(fa._bnd, self._groups,
+                                                 aux)):
             u_b, bu_b, bt_b = uf[g["lids"]], bu_f[g["lids"]], bt_f[g["lids"]]
+            if fa.has_signs:
+                u_b, bu_b = u_b * g["signs"], bu_b * g["signs"]
+                bt_b = bt_b * g["signs"]
             bfn = partial(fa._belem_residual, g, alpha_u=alpha_u,
                           alpha_t=alpha_t, time=time, pvec=pvec,
                           deltat=deltat)
-            res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, g["wts"],
-                                  g["ip"] + offset, g["normals"],
-                                  g["bg"], aux_g)
+            if uniform:
+                res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, g["wts"],
+                                      g["ip"] + off, g["normals"],
+                                      g["bg"], aux_g)
+            else:
+                gb = geo["bnd"][gi]
+                res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, gb["wts"],
+                                      gb["ip"], gb["normals"],
+                                      gb["bg"], aux_g)
+            if fa.has_signs:
+                res_b = res_b * g["signs"]
             r = r + jax.ops.segment_sum(res_b.ravel(), g["lids"].ravel(),
                                         num_segments=self.n_fine_dof)
         return r
 
-    def _elem_ms_residual(self, lam_e, offset, tc, pvec,
+    def _elem_ms_residual(self, lam_e, geo, tc, pvec,
                           prev_e=None, stages_e=None, sw=None, bw=None):
         """Upscaled macro-element residual (ndof_macro_total,).
 
@@ -346,9 +443,9 @@ class SubgridDtN:
 
         uf = prev_e[0]
         for _ in range(self.newton_iters):
-            r = self._fine_residual(uf, bu_f, bt_f, offset, aux, tc, pvec)
+            r = self._fine_residual(uf, bu_f, bt_f, geo, aux, tc, pvec)
             J = jax.jacfwd(
-                lambda v: self._fine_residual(v, bu_f, bt_f, offset, aux,
+                lambda v: self._fine_residual(v, bu_f, bt_f, geo, aux,
                                               tc, pvec))(uf)
             uf = uf - jnp.linalg.solve(J, r)
 
@@ -357,7 +454,7 @@ class SubgridDtN:
         # is evaluated at the fine stage's EVALUATED solution)
         u_ev = tc.alpha_u * uf + bu_f
         u_dt = tc.alpha_t * uf + bt_f
-        res = self._flux_upscale(u_ev, u_dt, offset, aux, tc, pvec,
+        res = self._flux_upscale(u_ev, u_dt, geo, aux, tc, pvec,
                                  jnp.zeros_like(lam_e))
         return res, uf
 
@@ -373,7 +470,7 @@ class SubgridDtN:
             aux.append(aux_g)
         return aux
 
-    def _elem_ms_async(self, lam_e, lam_prev_e, offset, tc, pvec,
+    def _elem_ms_async(self, lam_e, lam_prev_e, geo, tc, pvec,
                        prev_e, t_prev):
         """Asynchronous subgrid: the fine problem substeps through the
         macro step with its own tableau, the macro trace Lagrange-
@@ -422,13 +519,13 @@ class SubgridDtN:
                 bt = w_f[1] * start * timewt
                 z = start
                 for _ in range(self.newton_iters):
-                    r_ = self._fine_residual(z, bu, bt, offset, aux, tc,
+                    r_ = self._fine_residual(z, bu, bt, geo, aux, tc,
                                              pvec, alpha_u=au,
                                              alpha_t=at, time=t_s,
                                              deltat=sgdt)
                     J = jax.jacfwd(
                         lambda v: self._fine_residual(
-                            v, bu, bt, offset, aux, tc, pvec,
+                            v, bu, bt, geo, aux, tc, pvec,
                             alpha_u=au, alpha_t=at, time=t_s,
                             deltat=sgdt))(z)
                     z = z - jnp.linalg.solve(J, r_)
@@ -441,15 +538,22 @@ class SubgridDtN:
                     cur = z
         # flux at the end of the macro step, trace = current lambda
         aux_end = self._make_aux(lam_e)
-        res = self._flux_upscale(cur, u_dt, offset, aux_end, tc, pvec,
+        res = self._flux_upscale(cur, u_dt, geo, aux_end, tc, pvec,
                                  jnp.zeros_like(lam_e))
         return res, cur
 
-    def _flux_upscale(self, u_ev, u_dt, offset, aux, tc, pvec, res):
+    def _flux_upscale(self, u_ev, u_dt, geo, aux, tc, pvec, res):
         """res_macro_i += sum_sides int flux * phi_macro_i."""
         fa = self.fa
-        for g, phi, aux_g in zip(fa._bnd, self._groups, aux):
+        uniform = "off" in geo
+        for gi, (g, phi, aux_g) in enumerate(zip(fa._bnd, self._groups,
+                                                 aux)):
             u_b, ud_b = u_ev[g["lids"]], u_dt[g["lids"]]
+            if fa.has_signs:
+                u_b, ud_b = u_b * g["signs"], ud_b * g["signs"]
+            gb = (dict(wts=g["wts"], ip=g["ip"] + geo["off"][None, None],
+                       normals=g["normals"], bg=g["bg"])
+                  if uniform else geo["bnd"][gi])
 
             def flux_fn(u_row, ud_row, w_row, ip_row, n_row, bg_row,
                         aux_row):
@@ -465,14 +569,13 @@ class SubgridDtN:
                         out.update(f)
                 return out
 
-            aux_rows = aux_g
             flux = jax.vmap(flux_fn)(
-                u_b, ud_b, g["wts"], g["ip"] + offset, g["normals"],
-                g["bg"], aux_rows)                     # var -> (B, Qf)
+                u_b, ud_b, gb["wts"], gb["ip"], gb["normals"],
+                gb["bg"], aux_g)                       # var -> (B, Qf)
             for fv, mv in self.var_map.items():
                 st, nd = self.problem.disc.offsets[mv]
                 contrib = jnp.einsum("mbq,bq->m", phi[mv],
-                                     flux[fv] * g["wts"])
+                                     flux[fv] * gb["wts"])
                 res = res.at[st:st + nd].add(contrib)
         return res
 
@@ -495,12 +598,12 @@ class SubgridDtN:
         return ms is not None and "lam_prev" in ms
 
     def _async_parts(self, pvec, u_macro, tc):
-        """(lam, lam_prev_e, offs, prev, t_prev, stripped pvec)."""
+        """(lam, lam_prev_e, geo, prev, t_prev, stripped pvec)."""
         ms = pvec["__ms"]
         lam = self._macro_traces(u_macro, tc)
         lam_prev = jnp.moveaxis(ms["lam_prev"][:, self._sub_lids()], 0, 1)
-        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
-        return (lam, lam_prev, offs, ms["prev"], ms["t_prev"],
+        geo = self._percell(u_macro.dtype)
+        return (lam, lam_prev, geo, ms["prev"], ms["t_prev"],
                 self._strip_ms(pvec))
 
     def residual_contribution(self, u_macro, tc, pvec=None):
@@ -509,17 +612,16 @@ class SubgridDtN:
         E = self.n_macro_elems()
         pvec0 = pvec
         if self._is_async(pvec):
-            lam, lam_prev, offs, prev, t_prev, spvec = \
+            lam, lam_prev, geo, prev, t_prev, spvec = \
                 self._async_parts(pvec, u_macro, tc)
 
-            def one_a(lam_e, lam_pe, off, prev_e):
-                r, _uf = self._elem_ms_async(lam_e, lam_pe,
-                                             off[None, None, :], tc,
+            def one_a(lam_e, lam_pe, geo_e, prev_e):
+                r, _uf = self._elem_ms_async(lam_e, lam_pe, geo_e, tc,
                                              spvec, prev_e, t_prev)
                 return r
 
             res_e = jax.vmap(one_a, in_axes=(0, 0, 0, 0))(
-                lam, lam_prev, offs, prev)
+                lam, lam_prev, geo, prev)
             res_e = self._apply_mask(res_e, pvec0)
             if self.owns_all:
                 flat = jnp.concatenate([res_e.ravel(),
@@ -532,15 +634,14 @@ class SubgridDtN:
             pvec, E, self.n_fine_dof, u_macro.dtype)
         pvec = self._strip_ms(pvec)
         lam = self._macro_traces(u_macro, tc)
-        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+        geo = self._percell(u_macro.dtype)
 
-        def one(lam_e, off, prev_e, stages_e):
-            r, _uf = self._elem_ms_residual(lam_e, off[None, None, :],
-                                            tc, pvec, prev_e, stages_e,
-                                            sw, bw)
+        def one(lam_e, geo_e, prev_e, stages_e):
+            r, _uf = self._elem_ms_residual(lam_e, geo_e, tc, pvec,
+                                            prev_e, stages_e, sw, bw)
             return r
 
-        res_e = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
+        res_e = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, geo, prev, stages)
         res_e = self._apply_mask(res_e, pvec0)
         if self.owns_all:
             flat = jnp.concatenate([res_e.ravel(),
@@ -568,32 +669,32 @@ class SubgridDtN:
         E = self.n_macro_elems()
         pvec0 = pvec
         if self._is_async(pvec):
-            lam, lam_prev, offs, prev, t_prev, spvec = \
+            lam, lam_prev, geo, prev, t_prev, spvec = \
                 self._async_parts(pvec, u_macro, tc)
 
-            def one_a(lam_e, lam_pe, off, prev_e):
+            def one_a(lam_e, lam_pe, geo_e, prev_e):
                 return jax.jacfwd(
                     lambda l: self._elem_ms_async(
-                        l, lam_pe, off[None, None, :], tc, spvec,
+                        l, lam_pe, geo_e, tc, spvec,
                         prev_e, t_prev)[0])(lam_e)
 
             jac = jax.vmap(one_a, in_axes=(0, 0, 0, 0))(
-                lam, lam_prev, offs, prev)
+                lam, lam_prev, geo, prev)
             return tc.alpha_u * self._apply_mask(jac, pvec0)
         prev, stages, sw, bw = self._unpack_ms(
             pvec, E, self.n_fine_dof, u_macro.dtype)
         pvec = self._strip_ms(pvec)
         lam = self._macro_traces(u_macro, tc)
-        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+        geo = self._percell(u_macro.dtype)
 
-        def one(lam_e, off, prev_e, stages_e):
+        def one(lam_e, geo_e, prev_e, stages_e):
             return jax.jacfwd(
-                lambda l: self._elem_ms_residual(l, off[None, None, :],
-                                                 tc, pvec, prev_e,
-                                                 stages_e, sw, bw)[0]
+                lambda l: self._elem_ms_residual(l, geo_e, tc, pvec,
+                                                 prev_e, stages_e,
+                                                 sw, bw)[0]
             )(lam_e)
 
-        jac = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, offs, prev, stages)
+        jac = jax.vmap(one, in_axes=(0, 0, 0, 0))(lam, geo, prev, stages)
         return tc.alpha_u * self._apply_mask(jac, pvec0)
 
     def jacobian_blocks(self, u_macro, tc, pvec=None):
@@ -633,35 +734,29 @@ class SubgridDtN:
         state (used per accepted stage and for postprocessing)."""
         E = self.n_macro_elems()
         if self._is_async(pvec):
-            lam, lam_prev, offs, prev, t_prev, spvec = \
+            lam, lam_prev, geo, prev, t_prev, spvec = \
                 self._async_parts(pvec, u_macro, tc)
             if self._fine_sol_jit is None:
                 self._fine_sol_jit = jax.jit(
-                    lambda lam, lp, offs, prev, t_prev, tc, pvec:
-                    jax.vmap(lambda l, lpe, o, p_: self._elem_ms_async(
-                        l, lpe, o[None, None, :], tc, pvec, p_,
-                        t_prev)[1])(lam, lp, offs, prev))
-            return self._fine_sol_jit(lam, lam_prev, offs, prev, t_prev,
+                    lambda lam, lp, geo, prev, t_prev, tc, pvec:
+                    jax.vmap(lambda l, lpe, g, p_: self._elem_ms_async(
+                        l, lpe, g, tc, pvec, p_,
+                        t_prev)[1])(lam, lp, geo, prev))
+            return self._fine_sol_jit(lam, lam_prev, geo, prev, t_prev,
                                       tc, spvec)
         prev, stages, sw, bw = self._unpack_ms(
             pvec, E, self.n_fine_dof, u_macro.dtype)
         pvec = self._strip_ms(pvec)
         lam = self._macro_traces(u_macro, tc)
-        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
-
-        def one(lam_e, off, prev_e, stages_e):
-            _r, uf = self._elem_ms_residual(lam_e, off[None, None, :],
-                                            tc, pvec, prev_e, stages_e,
-                                            sw, bw)
-            return uf
+        geo = self._percell(u_macro.dtype)
 
         if self._fine_sol_jit is None:
             self._fine_sol_jit = jax.jit(
-                lambda lam, offs, prev, stages, sw, bw, tc, pvec:
-                jax.vmap(lambda l, o, p_, s_: self._elem_ms_residual(
-                    l, o[None, None, :], tc, pvec, p_, s_, sw, bw)[1]
-                )(lam, offs, prev, stages))
-        return self._fine_sol_jit(lam, offs, prev, stages, sw, bw, tc,
+                lambda lam, geo, prev, stages, sw, bw, tc, pvec:
+                jax.vmap(lambda l, g, p_, s_: self._elem_ms_residual(
+                    l, g, tc, pvec, p_, s_, sw, bw)[1]
+                )(lam, geo, prev, stages))
+        return self._fine_sol_jit(lam, geo, prev, stages, sw, bw, tc,
                                   pvec)
 
     def compute_errors(self, u_macro, time=0.0, pvec=None) -> dict:
@@ -680,27 +775,69 @@ class SubgridDtN:
             ufs = self.fine_solutions(u_macro, tc, pvec)
         disc = self.fine_disc
         out = {}
-        offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+        if self.general:
+            ips = jnp.asarray(self._geo_np["ip"], dtype=u_macro.dtype)
+            wts = jnp.asarray(self._geo_np["wts"], dtype=u_macro.dtype)
+        else:
+            offs = jnp.asarray(self.offsets_np, dtype=u_macro.dtype)
+            ips = (jnp.asarray(disc.ip)[None] +
+                   offs[:, None, None, :])              # (E, Ef, Q, dim)
+            wts = jnp.asarray(disc.wts)[None]           # (1, Ef, Q)
+        lids = jnp.asarray(disc.lids)
+        u_all = ufs[:, lids]                            # (E, Ef, ndt)
+        signs = np.asarray(disc.dofmap.signs)
+        if np.any(signs != 1.0):
+            u_all = u_all * jnp.asarray(signs, u_all.dtype)
+        ctx = PointContext(ips, time, self.problem.params)
+        kind = ("Subgrid-L2" if self.label == 0
+                else f"Subgrid-L2:{self.label}")
+
+        # group 'u[x]'-style component entries per vector variable
+        comp_exprs, scal_exprs = {}, {}
         for var, expr in exprs.items():
+            if var.endswith("]") and "[" in var:
+                vname = var[: var.index("[")]
+                comp_exprs.setdefault(vname, {})[
+                    {"x": 0, "y": 1, "z": 2}[var[-2]]] = expr
+            else:
+                scal_exprs[var] = expr
+
+        def finish(var, e2_per_macro):
+            if self.mask is not None:
+                e2_per_macro = e2_per_macro * jnp.asarray(
+                    self.mask, e2_per_macro.dtype)
+            out[(kind, var)] = float(jnp.sqrt(jnp.sum(e2_per_macro)))
+
+        for var, expr in scal_exprs.items():
             if var not in disc.offsets:
                 continue
             st, nd = disc.offsets[var]
             phi = jnp.asarray(disc.basis_vals[disc.basis_keys[var]])
-            u_e = ufs[:, jnp.asarray(disc.lids)][:, :, st:st + nd]
-            uh = jnp.einsum("efi,iq->efq", u_e, phi)    # (E, Ef, Q)
-            ips = (jnp.asarray(disc.ip)[None] +
-                   offs[:, None, None, :])              # (E, Ef, Q, dim)
-            ctx = PointContext(ips, time, self.problem.params)
+            uh = jnp.einsum("efi,iq->efq", u_all[:, :, st:st + nd], phi)
             tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
                                    uh.shape)
-            wts = jnp.asarray(disc.wts)
-            per_e = jnp.sum(wts[None] * (uh - tru) ** 2, axis=(1, 2))
-            if self.mask is not None:
-                per_e = per_e * jnp.asarray(self.mask, per_e.dtype)
-            err2 = jnp.sum(per_e)
-            kind = ("Subgrid-L2" if self.label == 0
-                    else f"Subgrid-L2:{self.label}")
-            out[(kind, var)] = float(jnp.sqrt(err2))
+            finish(var, jnp.sum(wts * (uh - tru) ** 2, axis=(1, 2)))
+
+        for var, comps in comp_exprs.items():
+            if var not in disc.offsets:
+                continue
+            st, nd = disc.offsets[var]
+            key = disc.basis_keys[var]
+            if self.general:
+                vv = jnp.asarray(self._geo_np["bg"]["vec"][key])
+                uh = jnp.einsum("efi,efiqd->efqd",
+                                u_all[:, :, st:st + nd], vv)
+            else:
+                vv = jnp.asarray(disc.vec_vals[key])    # (Ef,nd,Q,dim)
+                uh = jnp.einsum("efi,fiqd->efqd",
+                                u_all[:, :, st:st + nd], vv)
+            e2 = 0.0
+            for ax, expr in comps.items():
+                tru = jnp.broadcast_to(self.fm.evaluate_expr(expr, ctx),
+                                       uh.shape[:3])
+                e2 = e2 + jnp.sum(wts * (uh[..., ax] - tru) ** 2,
+                                  axis=(1, 2))
+            finish(var, e2)
         return out
 
 

@@ -131,3 +131,15 @@ class PorousMixed(PhysicsModule):
         if wk.bcs.get("p") == "Dirichlet":
             pD = wk.qp(wk.f(f"Dirichlet p {wk.side_name}", "side ip"))
             wk.add_vec_source("u", pD[:, None] * wk.normals)
+        elif wk.bcs.get("p") == "interface":
+            # multiscale coupling: the macro trace lambda acts as the
+            # boundary pressure (reference: porousMixed.cpp:410-430,
+            # res_u += <lambda, v.n>)
+            lam = wk.qp(wk.resolve("aux p"))
+            wk.add_vec_source("u", lam[:, None] * wk.normals)
+
+    def compute_flux(self, wk):
+        """Upscaled flux for multiscale coupling: u.n (reference:
+        porousMixed.cpp:440-500 computeFlux writes u.n into aux p)."""
+        u = wk.sol("u")
+        return {"p": (u * wk.normals).sum(axis=1)}

@@ -132,6 +132,11 @@ class Problem:
                 if name in _seen:
                     continue
                 _seen.add(name)
+                if active and name not in active:
+                    # 'Active variables' RESTRICTS the variable list
+                    # (reference: porousMixed.cpp:21-30 — only listed
+                    # vars are registered when the sublist exists)
+                    continue
                 space = active.get(name, space)
                 order = int(orders.get(name, default_order))
                 if space == "HVOL":
@@ -168,8 +173,10 @@ class Problem:
         self.params = self.param_manager.all_values()
 
         qdeg = disc_cfg.get("quadrature")
+        sqdeg = disc_cfg.get("side quadrature")
         self.disc = Discretization(self.mesh, variables,
-                                   None if qdeg is None else int(qdeg))
+                                   None if qdeg is None else int(qdeg),
+                                   None if sqdeg is None else int(sqdeg))
 
         use_weak = bool(phys_cfg.get("use weak Dirichlet", False))
         self.bcs = BoundaryConditions.from_config(

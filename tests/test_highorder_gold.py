@@ -56,7 +56,7 @@ def test_weak_galerkin_ac_matches_gold():
 def test_weak_galerkin_highorder_matches_gold():
     cfg = _wg_cfg({"pint": 1, "pbndry": 1, "u": 2, "t": 2}, 4,
                   active={"pint": "HGRAD-DG", "u": "HDIV-DG",
-                          "t": "HDIV-DG"})
+                          "t": "HDIV-DG", "pbndry": "HFACE"})
     res = Problem(cfg).run()
     assert np.isclose(res.errors[("L2", "pint")], 0.0103523, rtol=2e-5)
     assert np.isclose(res.errors[("L2-face", "pbndry")], 0.103523,

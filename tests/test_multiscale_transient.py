@@ -357,3 +357,48 @@ def test_panzermesh_decks_from_reference_yaml(name, macro, sub):
     res = Problem(cfg).run()
     assert np.isclose(res.errors[("L2-face", "e")], macro, rtol=1e-4)
     assert np.isclose(res.errors[("Subgrid-L2", "e")], sub, rtol=1e-4)
+
+
+def _ref_deck(d):
+    import yaml
+    mc = yaml.safe_load(open(f"{d}/input.yaml"))["ANONYMOUS"]
+    sc = yaml.safe_load(open(f"{d}/subgrid_input.yaml"))["ANONYMOUS"][
+        "Subgrid"]
+    cfg = {k: mc[k] for k in ("Mesh", "Physics", "Discretization",
+                              "Solver", "Postprocess") if k in mc}
+    cfg["Functions"] = mc.get("Functions") or {}
+    cfg["Subgrid"] = sc
+    cfg["_deck_dir"] = d
+    return cfg
+
+
+def test_exodusmesh_multiscale_gold():
+    """thermal/3D_verification_multiscale_exodusmesh: hex macro mesh
+    with a tet fine template read from cube_tet.e (reference:
+    subgridTools.cpp fine-mesh generation; here
+    multiscale/geometry.fine_template classifies the Exodus template's
+    boundary faces onto macro reference faces and build_batched_geo
+    instantiates per-macro-element physical tables)."""
+    cfg = _ref_deck("/root/reference/regression/thermal/"
+                    "3D_verification_multiscale_exodusmesh")
+    res = Problem(cfg).run()
+    assert np.isclose(res.errors[("L2-face", "e")], 1.1178, rtol=1e-4)
+    assert np.isclose(res.errors[("Subgrid-L2", "e")], 0.103055,
+                      rtol=1e-4)
+
+
+def test_tet_hybrid_multiscale_gold():
+    """porous/Mixed_TET_hybrid_multiscale: HFACE p0 trace variable on
+    a tet macro mesh (Active variables restricts 'porous mixed' to p),
+    DtN2 subgrid = RT0/P0 mixed porous on each macro tet (refinements
+    0 embeds the macro cell). The macro L2-face norm uses the
+    reference's side-quadrature default 2*max_order — a 1-point
+    centroid rule here (discretizationInterface.cpp:203)."""
+    cfg = _ref_deck("/root/reference/regression/porous/"
+                    "Mixed_TET_hybrid_multiscale")
+    res = Problem(cfg).run()
+    assert np.isclose(res.errors[("L2-face", "p")], 1.78874, rtol=1e-4)
+    assert np.isclose(res.errors[("Subgrid-L2", "p")], 0.150117,
+                      rtol=1e-4)
+    assert np.isclose(res.errors[("Subgrid-L2", "u")], 1.79512,
+                      rtol=1e-4)
