@@ -66,9 +66,12 @@ def classify_macro_sides(mesh: Mesh, macro_cell: str):
         C = mtopo.corners[list(side_nodes)]
         c0 = C[0]
         A = C[1:] - c0                                 # (k-1, dim)
-        # normal = null space of A
-        _u, _s, vt = np.linalg.svd(A)
-        n = vt[-1]
+        if A.shape[0] == 0:                            # 1D: side = point
+            n = np.ones(1)
+        else:
+            # normal = null space of A
+            _u, _s, vt = np.linalg.svd(A)
+            n = vt[-1]
         planes.append((c0, n))
 
     sidesets = {}
@@ -107,6 +110,11 @@ def fine_template(mesh_cfg: dict, macro_cell: str, dim: int,
             path = os.path.join(deck_dir, path)
         tmpl, _info = read_exodus(path)
         ss, side_map = classify_macro_sides(tmpl, macro_cell)
+        tmpl.sidesets = ss
+        return tmpl, side_map
+    if macro_cell == "line":
+        tmpl = box_mesh("line", nx=n1, xmin=-1.0, xmax=1.0)
+        ss, side_map = classify_macro_sides(tmpl, "line")
         tmpl.sidesets = ss
         return tmpl, side_map
     if macro_cell in ("quad", "hex"):

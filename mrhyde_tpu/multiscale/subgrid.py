@@ -116,9 +116,18 @@ class SubgridDtN:
                                            phys_cfg, dim)
         disc_cfg = cfg.get("Discretization", {}) or {}
         orders = disc_cfg.get("order", {}) or {}
+        # 'Active variables' restricts the fine variable list AND may
+        # override basis types (reference: porousWeakGalerkin.cpp:22-39
+        # — the WG subgrid decks drop pbndry and switch u/t from
+        # HDIV-DG to conforming HDIV, which makes the facet terms
+        # vanish and the fine problem equal the conforming mixed one)
+        active = phys_cfg.get("Active variables", {}) or {}
         variables = []
         for m in self.fine_modules:
             for (name, space, dflt) in m.variables():
+                if active and name not in active:
+                    continue
+                space = active.get(name, space)
                 order = int(orders.get(name, dflt))
                 variables.append((name, space,
                                   order if space != "HVOL" else 0))
@@ -210,9 +219,19 @@ class SubgridDtN:
                     mb.eval(macro_pts).reshape(mb.ndof, B, Qf))
             self._groups.append(phi)                    # var -> (ndm,B,Qf)
 
-        # map fine var -> macro var of the same name (aux coupling)
+        # map fine var -> macro var of the same name (aux coupling);
+        # the pressure-trace macro variable may also be named
+        # p / lambda / pbndry / pint (reference alias scans:
+        # porousMixed.cpp:525-541, porousWeakGalerkin.cpp:583-590)
         self.var_map = {v: v for v in self.fine_vars
                         if v in problem.disc.offsets}
+        alias = ("p", "pint", "lambda", "pbndry")
+        un_macro = [mv for mv in problem.disc.offsets
+                    if mv in alias and mv not in self.var_map.values()]
+        un_fine = [fv for fv in alias if fv in self.fine_vars
+                   and fv not in self.var_map]
+        if len(un_macro) == 1 and un_fine:
+            self.var_map[un_fine[0]] = un_macro[0]
         self._built = False
         self._last_fine = None
         # transient fine state (reference: subgridDtN_solver.cpp:81-86
@@ -465,8 +484,12 @@ class SubgridDtN:
             aux_g = {}
             for fv, mv in self.var_map.items():
                 st, nd = self.problem.disc.offsets[mv]
-                aux_g[f"aux {fv}"] = jnp.einsum(
+                val = jnp.einsum(
                     "m,mbq->bq", lam_vec[st:st + nd], phi[mv])
+                # key by BOTH names so a fine module can resolve the
+                # trace under its own canonical name or the macro's
+                aux_g[f"aux {fv}"] = val
+                aux_g.setdefault(f"aux {mv}", val)
             aux.append(aux_g)
         return aux
 
@@ -810,6 +833,12 @@ class SubgridDtN:
 
         for var, expr in scal_exprs.items():
             if var not in disc.offsets:
+                continue
+            key = disc.basis_keys[var]
+            if key not in disc.basis_vals and key in disc.vec_vals:
+                # 1D vector space under a scalar true-solution name
+                # (reference 'u' in the 1D mixed decks)
+                comp_exprs.setdefault(var, {})[0] = expr
                 continue
             st, nd = disc.offsets[var]
             phi = jnp.asarray(disc.basis_vals[disc.basis_keys[var]])

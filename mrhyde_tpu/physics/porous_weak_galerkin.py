@@ -51,10 +51,28 @@ class PorousWeakGalerkin(PhysicsModule):
         wk.add_vec_source("t", perm[:, None] * u + t)
         # conservation
         wk.add_source("pint", wk.div("t") - wk.qp(wk.f("source")))
-        # facet terms
+        # facet terms (skipped when pbndry is restricted away — the
+        # multiscale fine decks use conforming HDIV u/t, so interior
+        # facet jumps vanish; reference: porousWeakGalerkin.cpp:22-39)
+        if "pbndry" not in wk.offsets:
+            return
         for s in range(wk.n_sides()):
             pb = jnp.asarray(wk.trace("pbndry", s))
             n = wk.face_normals[s]
             wk.add_face_vec_source("u", s, -pb[..., None] * n)
             t_f = wk.face_sol_vec("t", s)
             wk.add_trace_source("pbndry", s, -(t_f * n).sum(axis=1))
+
+    def boundary_residual(self, wk):
+        if wk.bcs.get("pint") == "interface":
+            # multiscale coupling: the macro trace acts as the boundary
+            # pressure in the weak-gradient equation (reference:
+            # porousWeakGalerkin.cpp:393-415, res_u -= <lambda, v.n>)
+            lam = wk.qp(wk.resolve("aux pint"))
+            wk.add_vec_source("u", -lam[:, None] * wk.normals)
+
+    def compute_flux(self, wk):
+        """Upscaled flux for multiscale coupling: t.n (reference:
+        porousWeakGalerkin.cpp:515-553 computeFlux)."""
+        t = wk.sol("t")
+        return {"pint": (t * wk.normals).sum(axis=1)}

@@ -402,3 +402,30 @@ def test_tet_hybrid_multiscale_gold():
                       rtol=1e-4)
     assert np.isclose(res.errors[("Subgrid-L2", "u")], 1.79512,
                       rtol=1e-4)
+
+
+@pytest.mark.parametrize("name,vals", [
+    ("Mixed_hybrid_multiscale",
+     {("L2-face", "p"): 0.0170789, ("Subgrid-L2", "p"): 0.0322694,
+      ("Subgrid-L2", "u"): 0.338954}),
+    ("Mixed_hybrid_multiscale2",
+     {("L2-face", "lambda"): 0.431541, ("Subgrid-L2", "p"): 0.158697,
+      ("Subgrid-L2", "u"): 1.02259}),
+    ("Mixed_hybrid_multiscale_1D",
+     {("L2", "lambda"): 0.00145876, ("Subgrid-L2", "p"): 0.00200399,
+      ("Subgrid-L2", "u"): 3.56847e-05}),
+    ("WeakGalerkin_hybrid_multiscale",
+     {("L2-face", "pbndry"): 0.0170789, ("Subgrid-L2", "u"): 0.338954,
+      ("Subgrid-L2", "t"): 0.338954}),
+])
+def test_porous_hybrid_multiscale_golds(name, vals):
+    """porous/*_hybrid_multiscale decks: HFACE/HGRAD macro traces with
+    mixed / weak-Galerkin fine physics, run straight from the reference
+    YAML. The trace variable rides the reference's alias convention
+    (p/lambda/pbndry/pint — porousMixed.cpp:525-541,
+    porousWeakGalerkin.cpp:583-590); the WG fine decks restrict to
+    conforming HDIV u/t so the facet terms vanish."""
+    cfg = _ref_deck(f"/root/reference/regression/porous/{name}")
+    res = Problem(cfg).run()
+    for k, v in vals.items():
+        assert np.isclose(res.errors[k], v, rtol=1e-4), (k, res.errors)
