@@ -136,18 +136,45 @@ def read_exodus(path: str) -> tuple[Mesh, dict]:
     conn = np.concatenate(conns, axis=0).astype(np.int32)
     block_ids = np.concatenate(block_ids)
 
-    sidesets = {}
+    def _names(var, n, fallback):
+        """Decode an exodus char-array name table."""
+        out = []
+        raw = f.variables[var][:] if var in f.variables else None
+        for i in range(n):
+            name = ""
+            if raw is not None:
+                name = bytes(raw[i]).split(b"\x00")[0].decode(
+                    "ascii", "ignore").strip()
+            out.append(name or fallback(i))
+        return out
+
     n_ss = f.dimensions.get("num_side_sets", 0) or 0
+    ss_names = _names("ss_names", n_ss, lambda i: f"surface_{i + 1}")
+    sidesets = {}
+    # Exodus local-side ordering -> ours. HEX8 Exodus sides are
+    # (0,1,5,4),(1,2,6,5),(2,3,7,6),(0,4,7,3),(0,3,2,1),(4,5,6,7);
+    # quad/tri/tet match our topology ordering directly.
+    perm = {"hex": np.array([2, 3, 4, 5, 0, 1])}.get(cell_type)
     for s in range(1, n_ss + 1):
         elems = np.asarray(f.variables[f"elem_ss{s}"][:]) - 1
         sides = np.asarray(f.variables[f"side_ss{s}"][:]) - 1
-        sidesets[f"surface_{s}"] = np.stack(
+        if perm is not None:
+            sides = perm[sides]
+        sidesets[ss_names[s - 1]] = np.stack(
             [elems, sides], axis=1).astype(np.int32)
+
+    n_ns = f.dimensions.get("num_node_sets", 0) or 0
+    ns_names = _names("ns_names", n_ns, lambda i: f"nodelist_{i + 1}")
+    nodesets = {}
+    for s in range(1, n_ns + 1):
+        nodesets[ns_names[s - 1]] = (
+            np.asarray(f.variables[f"node_ns{s}"][:]) - 1).astype(np.int32)
 
     info = {"n_steps": (f.variables["time_whole"].shape[0]
                         if "time_whole" in f.variables else 0)}
     mesh = Mesh(dim=dim, cell_type=cell_type, nodes=nodes, conn=conn,
                 sidesets=sidesets, block_ids=block_ids,
-                block_names=[f"eblock-{b}" for b in range(n_blk)])
+                block_names=[f"eblock-{b}" for b in range(n_blk)],
+                nodesets=nodesets)
     f.close()
     return mesh, info

@@ -29,6 +29,8 @@ class Mesh:
     # each sideset value: (n_sides, 2) int32 of (elem, local_side)
     block_ids: np.ndarray | None = None  # (n_elem,) element-block index
     block_names: list[str] = field(default_factory=lambda: ["eblock-0_0"])
+    nodesets: dict[str, np.ndarray] = field(default_factory=dict)
+    # each nodeset value: (n,) int32 node ids (Exodus point-BC sets)
 
     @property
     def n_elem(self) -> int:

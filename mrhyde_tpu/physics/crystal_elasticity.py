@@ -20,15 +20,41 @@ __all__ = ["CrystalElasticity", "cubic_stiffness", "rotate_stiffness"]
 
 
 def cubic_stiffness(c11, c12, c44, dim=3) -> np.ndarray:
-    """Cubic C_ijkl tensor (dim x dim x dim x dim)."""
-    C = np.zeros((dim, dim, dim, dim))
-    for i in range(dim):
-        for j in range(dim):
-            C[i, i, j, j] = c11 if i == j else c12
-            if i != j:
-                C[i, j, i, j] += c44 / 2.0
-                C[i, j, j, i] += c44 / 2.0
-    return C
+    """C_ijkl tensor replicating the reference's fill order EXACTLY
+    (CrystalElasticity.cpp:88-147), including its asymmetry: the c55
+    block writes (0,2,0,0) instead of (0,2,2,0), and the c15 block
+    later overwrites (0,2,0,0) — so C(0,2,2,0)=0 while the other
+    minor-symmetric partners carry c55. Gold parity requires the quirk.
+    """
+    c13 = c23 = c12
+    c22 = c33 = c11
+    c55 = c66 = c44
+    c15 = c25 = c35 = c46 = 0.0
+    C = np.zeros((3, 3, 3, 3))
+    C[0, 0, 0, 0] = c11
+    C[1, 1, 1, 1] = c22
+    C[2, 2, 2, 2] = c33
+    C[0, 0, 1, 1] = C[1, 1, 0, 0] = c12
+    C[0, 0, 2, 2] = C[2, 2, 0, 0] = c13
+    C[1, 1, 2, 2] = C[2, 2, 1, 1] = c23
+    C[0, 1, 0, 1] = C[1, 0, 1, 0] = c66
+    C[0, 1, 1, 0] = C[1, 0, 0, 1] = c66
+    C[2, 0, 2, 0] = C[0, 2, 0, 2] = c55
+    C[2, 0, 0, 2] = c55
+    C[0, 2, 0, 0] = c55          # reference writes this, not (0,2,2,0)
+    C[2, 1, 2, 1] = C[1, 2, 1, 2] = c44
+    C[1, 2, 2, 1] = C[2, 1, 1, 2] = c44
+    C[0, 0, 0, 2] = C[0, 0, 2, 0] = c15
+    C[0, 2, 0, 0] = C[2, 0, 0, 0] = c15   # overwrites the c55 write
+    C[1, 1, 0, 2] = C[1, 1, 2, 0] = c25
+    C[0, 2, 1, 1] = C[2, 0, 1, 1] = c25
+    C[2, 2, 0, 2] = C[2, 2, 2, 0] = c35
+    C[0, 2, 2, 2] = C[2, 0, 2, 2] = c35
+    C[1, 2, 0, 1] = C[1, 2, 1, 0] = c46
+    C[2, 1, 0, 1] = C[2, 1, 1, 0] = c46
+    C[0, 1, 1, 2] = C[1, 0, 1, 2] = c46
+    C[0, 1, 2, 1] = C[1, 0, 2, 1] = c46
+    return C[:dim, :dim, :dim, :dim]
 
 
 def rotate_stiffness(C: np.ndarray, R: np.ndarray) -> np.ndarray:
@@ -42,9 +68,15 @@ class CrystalElasticity(PhysicsModule):
 
     def __init__(self, settings=None, dim: int = 2):
         super().__init__(settings, dim)
-        s = self.settings
-        lam = float(s.get("lambda", 1.0))
-        mu = float(s.get("mu", 0.5))
+        # reference defaults (CrystalElasticity.cpp:22-50): E=1, nu=0.4
+        # give lambda/mu, C11=2mu+lambda, C12=lambda, C44=2mu; read from
+        # the 'Crystal elastic parameters' sublist when present
+        s = dict(self.settings.get("Crystal elastic parameters", {})
+                 or {})
+        E = float(s.get("E", 1.0))
+        nu = float(s.get("nu", 0.4))
+        lam = (E * nu) / ((1.0 + nu) * (1.0 - 2.0 * nu))
+        mu = E / (2.0 * (1.0 + nu))
         self.c11 = float(s.get("C11", 2.0 * mu + lam))
         self.c12 = float(s.get("C12", lam))
         self.c44 = float(s.get("C44", 2.0 * mu))
@@ -94,3 +126,11 @@ class CrystalElasticity(PhysicsModule):
         for d, name in enumerate(_DISP[:dim]):
             wk.add_flux(name, sigma[:, d, :])
             wk.add_source(name, -wk.qp(wk.f(f"source {name}")))
+
+    def boundary_residual(self, wk):
+        # Neumann tractions (reference: linearelasticity.cpp
+        # boundaryResidual, shared by the crystal variant)
+        for name in _DISP[:self.dim]:
+            if wk.bcs.get(name) == "Neumann":
+                g = wk.f(f"Neumann {name} {wk.side_name}", "side ip")
+                wk.add_source(name, -wk.qp(g))

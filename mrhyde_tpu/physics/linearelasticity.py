@@ -47,10 +47,10 @@ class LinearElasticity(PhysicsModule):
         fm.add_function("alpha_T", self._f(fs, "alpha_T", self.alpha_T),
                         "ip")
 
-    def _stress(self, wk):
+    def _stress(self, wk, loc="ip"):
         dim = self.dim
-        lam = wk.qp(wk.f("lambda"))
-        mu = wk.qp(wk.f("mu"))
+        lam = wk.qp(wk.f("lambda", loc))
+        mu = wk.qp(wk.f("mu", loc))
         grads = [wk.grad(d)[:, :dim] for d in _DISP[:dim]]  # list of (Q,dim)
         G = jnp.stack(grads, axis=1)            # (Q, dim, dim): G[q,i,j]=d_i,j
         eps = 0.5 * (G + jnp.swapaxes(G, 1, 2))
@@ -70,3 +70,61 @@ class LinearElasticity(PhysicsModule):
         for d, name in enumerate(_DISP[:dim]):
             wk.add_flux(name, sigma[:, d, :])
             wk.add_source(name, -wk.qp(wk.f(f"source {name}")))
+
+    def boundary_residual(self, wk):
+        dim = self.dim
+        names = _DISP[:dim]
+        if any(wk.bcs.get(n) == "interface" for n in names):
+            # multiscale Nitsche coupling vs the macro displacement
+            # trace (reference: linearelasticity.cpp:333-470):
+            # res_i += [-(sigma n)_i + pen (u-lam)_i] v
+            #          - form_param * tau(u-lam, n)_i . grad v
+            # with tau(D,n) = lambda (D.n) I + mu (D x n + n x D)
+            lam = wk.qp(wk.f("lambda", "side ip"))
+            mu = wk.qp(wk.f("mu", "side ip"))
+            n = wk.normals
+            sigma = self._stress(wk, "side ip")
+            pen = (float(self.settings.get("penalty", 10.0))
+                   * (lam + 2.0 * mu) / wk.side_h)
+            sf = float(self.settings.get("form_param", 1.0))
+            delta = jnp.stack(
+                [wk.sol(v) - wk.qp(wk.resolve(f"aux {v}"))
+                 for v in names], axis=1)                  # (Q, dim)
+            dn = (delta * n).sum(axis=1)
+            I = jnp.eye(dim)
+            tau = (lam * dn)[:, None, None] * I + mu[:, None, None] * (
+                delta[:, :, None] * n[:, None, :]
+                + n[:, :, None] * delta[:, None, :])       # (Q, dim, dim)
+            for i, v in enumerate(names):
+                fluxn = (sigma[:, i, :] * n).sum(axis=1)
+                wk.add_source(v, pen * delta[:, i] - fluxn)
+                if sf != 0.0:
+                    st, nd = wk.offsets[v]
+                    dg = wk.basis_grad(v)                  # (ndof, Q, dim)
+                    contrib = -sf * jnp.einsum(
+                        "iqd,qd,q->i", dg, tau[:, i, :], wk.wts)
+                    wk._res = wk._res.at[st:st + nd].add(contrib)
+            return
+        # Neumann tractions per displacement component (reference:
+        # linearelasticity.cpp:267-315, res += -g v wts)
+        for name in names:
+            if wk.bcs.get(name) == "Neumann":
+                g = wk.f(f"Neumann {name} {wk.side_name}", "side ip")
+                wk.add_source(name, -wk.qp(g))
+
+    def compute_flux(self, wk):
+        """Upscaled traction for multiscale coupling (reference:
+        linearelasticity.cpp:677-800 computeFlux):
+        flux_i = (sigma n)_i + pen (lam - u)_i."""
+        dim = self.dim
+        lam = wk.qp(wk.f("lambda", "side ip"))
+        mu = wk.qp(wk.f("mu", "side ip"))
+        n = wk.normals
+        sigma = self._stress(wk, "side ip")
+        pen = (float(self.settings.get("penalty", 10.0))
+               * (lam + 2.0 * mu) / wk.side_h)
+        out = {}
+        for i, v in enumerate(_DISP[:dim]):
+            delta = wk.qp(wk.resolve(f"aux {v}")) - wk.sol(v)
+            out[v] = (sigma[:, i, :] * n).sum(axis=1) + pen * delta
+        return out

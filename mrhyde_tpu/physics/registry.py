@@ -29,6 +29,12 @@ def import_physics(names, settings=None, dim=2):
         names = [n.strip() for n in names.split(",") if n.strip()]
     modules = []
     for n in names:
+        # 'use crystal elasticity' swaps the anisotropic variant in
+        # (reference: linearelasticity.cpp useCE constructs a
+        # CrystalElastic for computeStress)
+        if (n == "linearelasticity" and settings
+                and settings.get("use crystal elasticity", False)):
+            n = "crystal elasticity"
         if n not in _REGISTRY:
             raise KeyError(f"unknown physics module {n!r}; "
                            f"available: {available_modules()}")

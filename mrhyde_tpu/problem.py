@@ -75,8 +75,10 @@ class Problem:
             self.mesh = mesh
         elif mesh_cfg.get("source", "Internal") == "Exodus":
             from mrhyde_tpu.mesh.exodus import read_exodus
-            self.mesh, _ = read_exodus(mesh_cfg.get("mesh file",
-                                                    "mesh.exo"))
+            path = mesh_cfg.get("mesh file", "mesh.exo")
+            if not os.path.isabs(path):
+                path = os.path.join(cfg.get("_deck_dir", "."), path)
+            self.mesh, _ = read_exodus(path)
         else:
             self.mesh = self._internal_mesh(mesh_cfg, cell)
         pbc = mesh_cfg.get("Periodic BCs", {}) or {}
@@ -202,8 +204,24 @@ class Problem:
             cents = self.mesh.nodes[self.mesh.conn].mean(axis=1)
             d2 = ((cents[:, None, :] - pts[None, :, :dim]) ** 2).sum(-1)
             nearest = np.argmin(d2, axis=1)
-            self.assembler.extra_elem_fields["mesh_data"] = jnp.asarray(
-                vals[nearest, 0])
+            if mesh_cfg.get("have mesh data rotations", False):
+                # 9 columns per data point = a grain rotation matrix;
+                # rotate each crystal-elasticity stiffness tensor per
+                # element (reference: meshInterface 'have mesh data
+                # rotations' -> wkset->rotation,
+                # CrystalElasticity.cpp:412-450 updateRotatedTensor)
+                from mrhyde_tpu.physics.crystal_elasticity import (
+                    CrystalElasticity)
+                R = vals[nearest].reshape(-1, 3, 3)[:, :dim, :dim]
+                for m in self.modules:
+                    if isinstance(m, CrystalElasticity):
+                        Ce = np.einsum("eia,ejb,ekc,eld,abcd->eijkl",
+                                       R, R, R, R, m.C_ref)
+                        self.assembler.extra_elem_fields["crystal_C"] \
+                            = jnp.asarray(Ce.reshape(Ce.shape[0], -1))
+            else:
+                self.assembler.extra_elem_fields["mesh_data"] = \
+                    jnp.asarray(vals[nearest, 0])
         if self._module_block is not None:
             bids = np.asarray(self.mesh.block_ids)
             masks = np.stack(

@@ -96,6 +96,20 @@ class BoundaryConditions:
                         else:
                             fm.add_function(f"{eff} {var} {ss}", expr,
                                             "side ip")
+
+        # point Dirichlet BCs on Exodus nodesets: '<var>_point_DBCs:
+        # <nodeset names>' pins the var's nodal dofs to zero
+        # (reference: discretizationInterface.cpp:2637-2672)
+        for key, names in physics_cfg.items():
+            if not (isinstance(key, str) and key.endswith("_point_DBCs")):
+                continue
+            var = key[: -len("_point_DBCs")]
+            for ns, node_ids in mesh.nodesets.items():
+                if ns and ns in str(names):
+                    dofs = dofmap.global_dofs(
+                        var, np.asarray(node_ids, dtype=np.int64))
+                    self.strong.append(_DirichletEntry(
+                        var, f"point:{ns}", 0.0, np.asarray(dofs)))
         return self
 
     @property
