@@ -286,6 +286,7 @@ class Assembler:
                     bvals[k] = jnp.asarray(v, dtype=dt)
             self._bnd.append(dict(
                 sideset=bg.sideset, side=bg.side,
+                elems=np.asarray(bg.elems),
                 lids=jnp.asarray(bg.lids),
                 signs=jnp.asarray(disc.dofmap.signs[bg.elems], dtype=dt),
                 wts=jnp.asarray(bg.wts, dtype=dt),
@@ -496,6 +497,13 @@ class Assembler:
                                 extra_fields=extra)
         for m in self.modules:
             m.boundary_residual(wk)
+        # physics-agnostic 'Flux conditions' (reference:
+        # physicsInterface.cpp:1703 fluxConditions -- res += -flux*w*phi
+        # applied by the assembly manager for any module)
+        for v in self.disc.var_names:
+            if bcs.get(v) == "Flux":
+                g = wk.f(f"Flux {v} {group['sideset']}", "side ip")
+                wk.add_source(v, -wk.qp(g))
         return wk.res
 
     # ------------------------------------------------------------------

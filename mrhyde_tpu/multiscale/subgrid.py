@@ -31,6 +31,7 @@ generation from macro nodes):
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -151,6 +152,49 @@ class SubgridDtN:
                                for ss in fine_mesh.sidesets}
                            for v in self.fine_vars}
         self.n_fine_dof = self.fine_disc.n_dof
+
+        # per-(macro, fine-element) data import: fine element data /
+        # grain rotations from files, assigned by closest data point to
+        # each fine element's PHYSICAL center (reference: subgrid decks
+        # with 'data file' in their Mesh sublist, e.g.
+        # le/crystal_elasticity_multiscale)
+        self._extra_np = None
+        self._extra_bnd_np = None
+        data_tag = str(mesh_cfg.get("data file", "none"))
+        if data_tag != "none":
+            deck_dir = (problem.cfg or {}).get("_deck_dir", ".")
+            pts_tag = str(mesh_cfg.get("data points file",
+                                       "mesh_data_pts"))
+            pts = np.loadtxt(os.path.join(deck_dir, pts_tag + ".dat"),
+                             ndmin=2)
+            vals = np.loadtxt(os.path.join(deck_dir, data_tag + ".dat"),
+                              ndmin=2)
+            gb = get_basis(cell, "HGRAD", 1)
+            rc = ref_fine.nodes[ref_fine.conn].mean(axis=1)  # (Ef, dim)
+            gv = gb.eval(rc)                                 # (nv, Ef)
+            fc = np.einsum("ecd,cf->efd", sub_coords, gv)    # (E,Ef,dim)
+            d2 = ((fc[:, :, None, :] - pts[None, None, :, :dim]) ** 2
+                  ).sum(-1)
+            nearest = np.argmin(d2, axis=2)                  # (E, Ef)
+            if mesh_cfg.get("have mesh data rotations", False):
+                from mrhyde_tpu.physics.crystal_elasticity import \
+                    CrystalElasticity
+                R = vals[nearest].reshape(nearest.shape + (3, 3))
+                R = R[..., :dim, :dim]
+                for m in self.fine_modules:
+                    if isinstance(m, CrystalElasticity):
+                        Ce = np.einsum("efia,efjb,efkc,efld,abcd->efijkl",
+                                       R, R, R, R, m.C_ref)
+                        self._extra_np = {"crystal_C": Ce.reshape(
+                            Ce.shape[0], Ce.shape[1], -1)}
+            else:
+                self._extra_np = {"mesh_data": vals[nearest, 0]}
+            if self._extra_np is not None:
+                # per-boundary-group slices (macro, group-elems, ...)
+                self._extra_bnd_np = [
+                    {k: v[:, bg.elems]
+                     for k, v in self._extra_np.items()}
+                    for bg in self.fine_disc.boundary_groups]
         sol_cfg = cfg.get("Solver", {}) or {}
         self.newton_iters = int(sol_cfg.get("max nonlinear iters", 2))
         # asynchronous subgrid stepping: the fine problem substeps
@@ -356,20 +400,24 @@ class SubgridDtN:
             return self._geo_cache[key]
         # cache numpy-cast trees (never traced values): they embed as
         # jaxpr constants wherever the residual is traced
+        def conv(a):
+            return np.asarray(a, dtype=dtype)
+
         if not self.general:
             out = {"off": np.asarray(self.offsets_np, dtype=dtype)}
         else:
             g = self._geo_np
-
-            def conv(a):
-                return np.asarray(a, dtype=dtype)
-
             out = {"wts": conv(g["wts"]), "ip": conv(g["ip"]),
                    "bg": jax.tree_util.tree_map(conv, g["bg"]),
                    "bnd": [{"wts": conv(b["wts"]), "ip": conv(b["ip"]),
                             "normals": conv(b["normals"]),
                             "bg": jax.tree_util.tree_map(conv, b["bg"])}
                            for b in g["bnd"]]}
+        if self._extra_np is not None:
+            out["extra"] = {k: conv(v) for k, v in self._extra_np.items()}
+            out["extra_bnd"] = [
+                {k: conv(v) for k, v in d.items()}
+                for d in self._extra_bnd_np]
         self._geo_cache[key] = out
         return out
 
@@ -398,25 +446,30 @@ class SubgridDtN:
                      alpha_t=alpha_t, time=time, pvec=pvec,
                      deltat=deltat)
         uniform = "off" in geo
+        ex = geo.get("extra")
+        ex_ax = None if ex is None else 0
         if uniform:
             off = geo["off"][None, None, :]
             res_e = jax.vmap(fn, in_axes=(0, 0, 0, fa._wts_ax, 0,
-                                          fa._bg_ax))(
-                u_e, bu_e, bt_e, fa.g_wts, fa.g_ip + off, fa.g_bg)
+                                          fa._bg_ax, ex_ax))(
+                u_e, bu_e, bt_e, fa.g_wts, fa.g_ip + off, fa.g_bg, ex)
         else:
-            res_e = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0))(
-                u_e, bu_e, bt_e, geo["wts"], geo["ip"], geo["bg"])
+            res_e = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, ex_ax))(
+                u_e, bu_e, bt_e, geo["wts"], geo["ip"], geo["bg"], ex)
         if fa.has_signs:
             res_e = res_e * fa.signs
         flat = jnp.concatenate([res_e.ravel(),
                                 jnp.zeros(1, dtype=res_e.dtype)])
         r = flat[fa.inc].sum(axis=1)
+        exb = geo.get("extra_bnd")
         for gi, (g, phi, aux_g) in enumerate(zip(fa._bnd, self._groups,
                                                  aux)):
             u_b, bu_b, bt_b = uf[g["lids"]], bu_f[g["lids"]], bt_f[g["lids"]]
             if fa.has_signs:
                 u_b, bu_b = u_b * g["signs"], bu_b * g["signs"]
                 bt_b = bt_b * g["signs"]
+            if exb is not None:
+                aux_g = {**aux_g, **exb[gi]}
             bfn = partial(fa._belem_residual, g, alpha_u=alpha_u,
                           alpha_t=alpha_t, time=time, pvec=pvec,
                           deltat=deltat)
@@ -569,11 +622,14 @@ class SubgridDtN:
         """res_macro_i += sum_sides int flux * phi_macro_i."""
         fa = self.fa
         uniform = "off" in geo
+        exb = geo.get("extra_bnd")
         for gi, (g, phi, aux_g) in enumerate(zip(fa._bnd, self._groups,
                                                  aux)):
             u_b, ud_b = u_ev[g["lids"]], u_dt[g["lids"]]
             if fa.has_signs:
                 u_b, ud_b = u_b * g["signs"], ud_b * g["signs"]
+            if exb is not None:
+                aux_g = {**aux_g, **exb[gi]}
             gb = (dict(wts=g["wts"], ip=g["ip"] + geo["off"][None, None],
                        normals=g["normals"], bg=g["bg"])
                   if uniform else geo["bnd"][gi])

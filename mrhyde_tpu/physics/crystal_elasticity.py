@@ -1,10 +1,15 @@
 """Crystal (cubic anisotropic) elasticity with per-grain rotations.
 
 Reference: src/physics/CrystalElasticity.cpp — cubic stiffness tensor
-from (C11, C12, C44) with defaults derived from lambda/mu, rotated per
-grain: C'_ijkl = R_ia R_jb R_kc R_ld C_abcd. Used by linearelasticity
-when 'use crystal elasticity' is set; grain rotations come from the
-microstructure generator or per-element data.
+from (C11, C12, C44) with defaults derived from E=1, nu=0.4, rotated
+per grain: C'_ijkl = R_ia R_jb R_kc R_ld C_abcd. Used by
+linearelasticity when 'use crystal elasticity' is set; grain rotations
+come from the microstructure generator or per-element data files.
+
+Subclasses LinearElasticity so the Neumann/Nitsche-interface boundary
+machinery and multiscale traction flux are shared (the reference's
+linearelasticity::boundaryResidual/computeFlux call computeStress,
+which delegates to CrystalElastic when useCE is on).
 """
 
 from __future__ import annotations
@@ -12,8 +17,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from mrhyde_tpu.physics.base import PhysicsModule
-from mrhyde_tpu.physics.linearelasticity import _DISP
+from mrhyde_tpu.physics.linearelasticity import _DISP, LinearElasticity
 from mrhyde_tpu.physics.registry import register
 
 __all__ = ["CrystalElasticity", "cubic_stiffness", "rotate_stiffness"]
@@ -63,7 +67,7 @@ def rotate_stiffness(C: np.ndarray, R: np.ndarray) -> np.ndarray:
 
 
 @register("crystal elasticity")
-class CrystalElasticity(PhysicsModule):
+class CrystalElasticity(LinearElasticity):
     name = "crystalelasticity"
 
     def __init__(self, settings=None, dim: int = 2):
@@ -81,56 +85,23 @@ class CrystalElasticity(PhysicsModule):
         self.c12 = float(s.get("C12", lam))
         self.c44 = float(s.get("C44", 2.0 * mu))
         self.C_ref = cubic_stiffness(self.c11, self.c12, self.c44, dim)
-        # per-element rotation angles (radians about z in 2D); set by the
-        # microstructure generator or data import
-        self.grain_angles = None
-
-    def variables(self):
-        return [(d, "HGRAD", 1) for d in _DISP[:self.dim]]
-
-    def define_functions(self, fm, fs):
-        for d in _DISP[:self.dim]:
-            fm.add_function(f"source {d}",
-                            self._f(fs, f"source {d}", 0.0), "ip")
 
     def element_stiffness(self, n_elem: int) -> np.ndarray:
-        """Per-element rotated stiffness (E, d, d, d, d)."""
-        if self.grain_angles is None:
-            return np.broadcast_to(self.C_ref,
-                                   (n_elem,) + self.C_ref.shape).copy()
-        out = np.zeros((n_elem,) + self.C_ref.shape)
-        for e in range(n_elem):
-            th = self.grain_angles[e]
-            if self.dim == 2:
-                R = np.array([[np.cos(th), -np.sin(th)],
-                              [np.sin(th), np.cos(th)]])
-            else:
-                R = np.asarray(th).reshape(self.dim, self.dim)
-            out[e] = rotate_stiffness(self.C_ref, R)
-        return out
+        """Per-element rotated stiffness (E, d, d, d, d) from
+        per-element rotation angles (2D) or matrices."""
+        return np.broadcast_to(self.C_ref,
+                               (n_elem,) + self.C_ref.shape).copy()
 
-    def volume_residual(self, wk):
+    def _stress(self, wk, loc="ip"):
         dim = self.dim
         grads = [wk.grad(d)[:, :dim] for d in _DISP[:dim]]
         G = jnp.stack(grads, axis=1)
         eps = 0.5 * (G + jnp.swapaxes(G, 1, 2))        # (Q, d, d)
-        # stiffness at qp: per-element C arrives through extra fields
-        # (flattened) or falls back to the reference cubic tensor
-        Cq = wk.extra_fields.get("crystal_C")
-        if Cq is None:
-            C = jnp.asarray(self.C_ref)
-            sigma = jnp.einsum("ijkl,qkl->qij", C, eps)
-        else:
-            C = Cq.reshape((dim,) * 4)
-            sigma = jnp.einsum("ijkl,qkl->qij", C, eps)
-        for d, name in enumerate(_DISP[:dim]):
-            wk.add_flux(name, sigma[:, d, :])
-            wk.add_source(name, -wk.qp(wk.f(f"source {name}")))
-
-    def boundary_residual(self, wk):
-        # Neumann tractions (reference: linearelasticity.cpp
-        # boundaryResidual, shared by the crystal variant)
-        for name in _DISP[:self.dim]:
-            if wk.bcs.get(name) == "Neumann":
-                g = wk.f(f"Neumann {name} {wk.side_name}", "side ip")
-                wk.add_source(name, -wk.qp(g))
+        # per-element rotated C arrives through extra fields
+        # (flattened); falls back to the unrotated lattice tensor
+        Cq = None
+        if wk.extra_fields:
+            Cq = wk.extra_fields.get("crystal_C")
+        C = (Cq.reshape((dim,) * 4) if Cq is not None
+             else jnp.asarray(self.C_ref))
+        return jnp.einsum("ijkl,qkl->qij", C, eps)

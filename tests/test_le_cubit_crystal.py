@@ -61,3 +61,20 @@ def test_2d_uniaxial_cubit_multiscale_exact():
     for v in ("dx", "dy"):
         assert res.errors[("L2-face", v)] < 1e-13
         assert res.errors[("Subgrid-L2", v)] < 1e-13
+
+
+@pytest.mark.slow
+def test_crystal_elasticity_multiscale_matches_gold():
+    """le/crystal_elasticity_multiscale: DtN2 subgrid whose fine
+    elements carry grain rotations imported from mesh data files
+    (subgridDtN.cpp:71-81 data file settings; importMeshData closest-
+    point assignment, assemblyManager.cpp:8235), macro load applied via
+    the generic 'Flux conditions' (physicsInterface.cpp:1703)."""
+    res = _run("le/crystal_elasticity_multiscale")
+    gold_face = {"dx": 0.952133, "dy": 5.25217, "dz": 1.12699}
+    gold_sub = {"dx": 0.0666075, "dy": 0.376627, "dz": 0.0791494}
+    for v in ("dx", "dy", "dz"):
+        assert np.isclose(res.errors[("L2-face", v)], gold_face[v],
+                          rtol=1e-4)
+        assert np.isclose(res.errors[("Subgrid-L2", v)], gold_sub[v],
+                          rtol=1e-4)

@@ -149,8 +149,11 @@ def test_maxwells_fp_smoke():
 
 
 def test_crystal_elasticity_isotropic_matches_le():
-    # with default C11/C12/C44 from (lambda, mu), crystal elasticity
-    # reproduces isotropic linear elasticity exactly
+    # with C11 = lambda + 2 mu, C12 = lambda, C44 = mu the cubic tensor
+    # contracts to isotropic linear elasticity exactly (the full-tensor
+    # contraction gives sigma_01 = 2 c66 eps_01, so c66 = mu; note the
+    # REFERENCE defaults use C44 = 2 mu from E=1/nu=0.4, which is NOT
+    # isotropic-equivalent -- CrystalElasticity.cpp:42-47)
     base = {
         "Mesh": {"dimension": 2, "element type": "quad", "NX": 6, "NY": 6},
         "Functions": {"source dx": "1.0", "source dy": "0.5",
@@ -168,7 +171,8 @@ def test_crystal_elasticity_isotropic_matches_le():
                            "dy": {"all boundaries": 0.0}}}
     cfg2 = copy.deepcopy(base)
     cfg2["Physics"] = {"modules": "crystal elasticity",
-                       "lambda": 1.0, "mu": 0.5,
+                       "Crystal elastic parameters": {
+                           "C11": 2.0, "C12": 1.0, "C44": 0.5},
                        "Dirichlet conditions": {
                            "scalar data": True,
                            "dx": {"all boundaries": 0.0},
