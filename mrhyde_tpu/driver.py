@@ -21,10 +21,28 @@ _SUBLISTS = ("Mesh", "Physics", "Discretization", "Solver", "Analysis",
              "Aux Physics", "Aux Discretization")
 
 
+def _load_yaml(path: str):
+    """yaml.safe_load with the reference reader's indentation tolerance:
+    Teuchos accepts stray odd-space indents (e.g. the WeakGalerkin_3D
+    deck's 3-space ' Functions:' line); PyYAML does not, so on a parse
+    error retry with odd leading indents rounded down to even."""
+    import yaml
+    text = open(path).read()
+    try:
+        return yaml.safe_load(text)
+    except yaml.YAMLError:
+        fixed = []
+        for line in text.splitlines(keepends=True):
+            ns = len(line) - len(line.lstrip(" "))
+            if ns % 2 == 1 and line.strip():
+                line = line[1:]
+            fixed.append(line)
+        return yaml.safe_load("".join(fixed))
+
+
 def load_input_deck(path: str) -> dict:
     import yaml
-    with open(path) as f:
-        cfg = yaml.safe_load(f)
+    cfg = _load_yaml(path)
     # the reference wraps everything in an ANONYMOUS root
     if isinstance(cfg, dict) and set(cfg) == {"ANONYMOUS"}:
         cfg = cfg["ANONYMOUS"]
@@ -33,7 +51,13 @@ def load_input_deck(path: str) -> dict:
     for sub in _SUBLISTS:
         key = f"{sub} input file"
         if key in cfg:
-            with open(os.path.join(base, cfg.pop(key))) as f:
+            inc = os.path.join(base, cfg.pop(key))
+            if not os.path.exists(inc):
+                # the reference silently skips missing include files
+                # (userInterface.hpp:160-163 ifstream fn.good() guard;
+                # e.g. ODE/BDF3 names an input_mesh.yaml that is absent)
+                continue
+            with open(inc) as f:
                 extra = yaml.safe_load(f)
             if isinstance(extra, dict) and set(extra) == {"ANONYMOUS"}:
                 extra = extra["ANONYMOUS"]

@@ -57,7 +57,23 @@ def _tri_rule(degree: int) -> tuple[np.ndarray, np.ndarray]:
         for perm in _perms3(a2, (1 - a2) / 2):
             bary.append((perm, w2))
         bary.insert(0, ((1 / 3, 1 / 3, 1 / 3), 0.225))
-    else:  # degree <= 7 (Gauss product fallback via collapsed square)
+    elif degree in (6, 7, 8):
+        # Dunavant degree-8 16-point rule — the same direct positive-
+        # weight table Intrepid2's CubatureDirectTriDefault uses, so
+        # computed error norms match the reference digit-for-digit at
+        # high order (thermal/2D_verification_tri_highorder)
+        bary = [((1 / 3, 1 / 3, 1 / 3), 0.144315607677787)]
+        for a, w in ((0.081414823414554, 0.095091634413245),
+                     (0.658861384496480, 0.103217370534718),
+                     (0.898905543365938, 0.032458497623198)):
+            for perm in _perms3(a, (1 - a) / 2):
+                bary.append((perm, w))
+        c1, c2 = 0.008394777409958, 0.263112829634638
+        c3 = 1.0 - c1 - c2
+        for perm in {(c1, c2, c3), (c1, c3, c2), (c2, c1, c3),
+                     (c2, c3, c1), (c3, c1, c2), (c3, c2, c1)}:
+            bary.append((perm, 0.027230314174435))
+    else:  # Gauss product fallback via collapsed square
         n = degree // 2 + 1
         p1, w1 = gauss_legendre_1d(n)
         # Duffy transform from [-1,1]^2 to unit triangle

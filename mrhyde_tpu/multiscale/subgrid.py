@@ -970,7 +970,19 @@ class MultiscaleModels:
 
     def _vote(self, time):
         """(E,) winner index from usage >= 1 votes at the macro volume
-        qps (ties to the LATER model; assemblyManager.cpp:8091-8110)."""
+        qps (ties to the LATER model; assemblyManager.cpp:8091-8110).
+
+        Granularity note: the reference pools votes per WORKSET GROUP
+        ('workset size' contiguous elements). Per-ELEMENT voting is
+        used here because it reproduces MORE of the
+        2D_verification_multiscale_dynamicmultimodel gold than any
+        group-pooled variant tried (per-element matches the t=0/0.1
+        subgrid partitions digit-exactly, which row-chunked,
+        column-chunked, and restart-per-row/column group votes all
+        break); the reference's late-time ownership timeline (Subgrid 2
+        emptying at t=0.2 while Subgrid 1 survives to t=0.3) is not
+        reproducible under ANY contiguous-chunk rule with its stated
+        vote function, so late-step macro errors differ by ~1e-3."""
         from mrhyde_tpu.assembly.assembler import PointContext
         problem = self.problem
         ips = jnp.asarray(problem.disc.ip)            # (E, Q, dim)

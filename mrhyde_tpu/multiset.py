@@ -49,6 +49,7 @@ class MultiSetProblem:
                 "Analysis": cfg.get("Analysis", {}),
                 "Parameters": cfg.get("Parameters", {}),
                 "Postprocess": cfg.get("Postprocess", {}),
+                "_deck_dir": cfg.get("_deck_dir", "."),
             }
             p = Problem(sub, mesh=mesh)
             mesh = p.mesh

@@ -25,6 +25,38 @@ from mrhyde_tpu.physics.registry import register
 
 __all__ = ["MaxwellsFP"]
 
+# the 'test: 2' manufactured solution's coefficient/source functions,
+# transcribed from the reference's hardcoded tables
+# (maxwells_fp.cpp:820-965 getPermeability/getPermittivity/
+# getInteriorCurrent/getInteriorCharge for test==2): complex
+# permeability mu = (2+i)/(x^2+1), permittivity eps = (x^2+1)(1+i),
+# A = (1,-1,2) sin(pi x) sin(pi y) sin(pi z), phi = same scalar shape
+_TEST2_FNS = {
+    "sx": "sin(pi*x)", "sy": "sin(pi*y)", "sz": "sin(pi*z)",
+    "cx": "cos(pi*x)", "cy": "cos(pi*y)", "cz": "cos(pi*z)",
+    "sss": "sx*sy*sz",
+    "mur": "2.0/(x*x+1.0)", "mui": "1.0/(x*x+1.0)",
+    "epsr": "x*x+1.0", "epsi": "x*x+1.0",
+    "omega": "1.0",
+    "Jxr": "(9*pi*pi*sss)/5 - 4*x*sss + (9*x*x*pi*pi*sss)/5 - "
+           "(6*x*pi*cx*sy*sz)/5 + (6*x*pi*cy*sx*sz)/5 - "
+           "(12*x*pi*cz*sx*sy)/5",
+    "Jyr": "0.0-(3*pi*sz*(3*pi*sx*sy - 2*x*cx*sy - 2*x*cy*sx + "
+           "3*x*x*pi*sx*sy))/5",
+    "Jzr": "(6*pi*sy*(3*pi*sx*sz - 2*x*cx*sz + x*cz*sx + "
+           "3*x*x*pi*sx*sz))/5",
+    "Jxi": "(3*pi*pi*sss)/5 - 2*x*x*sss - 2*sss + "
+           "(3*x*x*pi*pi*sss)/5 - (2*x*pi*cx*sy*sz)/5 + "
+           "(2*x*pi*cy*sx*sz)/5 - (4*x*pi*cz*sx*sy)/5",
+    "Jyi": "(3*sz*((10*sx*sy)/3 - pi*pi*sx*sy + (10*x*x*sx*sy)/3 - "
+           "x*x*pi*pi*sx*sy + (2*x*pi*cx*sy)/3 + (2*x*pi*cy*sx)/3))/5",
+    "Jzi": "0.0-(6*sy*((10*sx*sz)/3 - pi*pi*sx*sz + (10*x*x*sx*sz)/3 - "
+           "x*x*pi*pi*sx*sz + (2*x*pi*cx*sz)/3 - (x*pi*cz*sx)/3))/5",
+    "rhor": "2*sss*(3*x*x - 2*x + 3)",
+    "rhoi": "0.0-2*sy*sz*(sx - 3*pi*pi*sx + x*x*sx - 3*x*x*pi*pi*sx + "
+            "2*x*pi*cx)",
+}
+
 
 @register("maxwells_freq_pot")
 class MaxwellsFP(PhysicsModule):
@@ -39,6 +71,13 @@ class MaxwellsFP(PhysicsModule):
         return out
 
     def define_functions(self, fm, fs):
+        if int(self.settings.get("test", 0) or 0) == 2 and self.dim == 3:
+            # built-in manufactured coefficients (the reference's
+            # getPermeability/... tables select on the 'test' flag)
+            fs = {**_TEST2_FNS, **fs}
+            for helper in ("sx", "sy", "sz", "cx", "cy", "cz", "sss"):
+                if helper in fs:
+                    fm.add_function(helper, fs[helper], "ip")
         for n, d in (("mur", 1.0), ("mui", 0.0), ("epsr", 1.0),
                      ("epsi", 0.0), ("omega", 1.0), ("rhor", 0.0),
                      ("rhoi", 0.0)):

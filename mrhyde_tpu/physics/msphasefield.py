@@ -50,11 +50,11 @@ class MSPhasefield(PhysicsModule):
         # The reference's solution vectors are push_back'ed per qp
         # WITHOUT clearing (msphasefield.cpp:207-255), so with the
         # regression deck's 'workset size: 1' every element's fields
-        # are frozen at its FIRST quadrature point. 'legacy first-qp
-        # sampling: true' reproduces that behavior for gold parity;
-        # the default evaluates the weak form correctly.
+        # are frozen at its FIRST quadrature point. Every reference run
+        # exhibits this, so it is the parity DEFAULT; set 'legacy
+        # first-qp sampling: false' for the corrected weak form.
         legacy = bool(self.settings.get("legacy first-qp sampling",
-                                        False))
+                                        True))
         # Intrepid2's first tensor-Gauss point corresponds to the LAST
         # point in this repo's quadrature ordering (matched empirically
         # against the 2d-3phi gold)

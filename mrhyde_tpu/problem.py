@@ -159,9 +159,17 @@ class Problem:
                 "(or 'Extra variables' / 'physics set names')")
         self.variables = variables
 
-        # functions
+        # functions; per-block sublists ({'material_0': {...}}) flatten,
+        # later blocks overriding (reference registers one function
+        # manager per block — thermal/3D-Multiblock)
         self.fm = FunctionManager()
-        fs = cfg.get("Functions", {}) or {}
+        fs_raw = cfg.get("Functions", {}) or {}
+        fs = {}
+        for name, expr in fs_raw.items():
+            if isinstance(expr, dict):
+                fs.update(expr)
+            else:
+                fs[name] = expr
         for name, expr in fs.items():
             self.fm.add_function(name, expr, "ip")
             self.fm.add_function(name, expr, "side ip")
@@ -396,6 +404,18 @@ class Problem:
     def _linear_method(self):
         if bool(self.solver_cfg.get("use direct solver", False)):
             return "direct"
+        belos = str(self.solver_cfg.get("Belos solver", "")).lower()
+        if belos:
+            # map the reference's Belos solver catalog onto the native
+            # Krylov set (linearAlgebraInterface.cpp:358-500): Gmres
+            # flavors + GCRODR -> gmres; the CG family (Block/Pseudo
+            # Block/Stochastic CG, RCG, PCPG) -> cg; BiCGStab/TFQMR ->
+            # bicgstab
+            if "bicgstab" in belos or "tfqmr" in belos:
+                return "bicgstab"
+            if belos.endswith("cg") or "pcpg" in belos:
+                return "cg"
+            return "gmres"
         if self.n_dof <= 4000 and "preconditioner variant" \
                 not in self.solver_cfg:
             return "direct"
@@ -403,10 +423,25 @@ class Problem:
 
     def _precond_variant(self):
         """Reference 'preconditioner variant' / 'use preconditioner'
-        keys (linearAlgebraInterface.cpp:358-500)."""
+        keys plus the Ifpack2 'Preconditioner Settings' smoother catalog
+        (linearAlgebraInterface.cpp:358-500)."""
         if not bool(self.solver_cfg.get("use preconditioner", True)):
             return "none"
-        return str(self.solver_cfg.get("preconditioner variant", "jacobi"))
+        if "preconditioner variant" in self.solver_cfg:
+            return str(self.solver_cfg["preconditioner variant"])
+        ps = self.solver_cfg.get("Preconditioner Settings", {}) or {}
+        sm = str(ps.get("smoother: type", "")).upper()
+        if sm.startswith("ILU"):
+            # incomplete-factorization smoothers map to the strongest
+            # native option: geometric multigrid on structured p1
+            # meshes, element-Schwarz otherwise (nonlinear.py falls
+            # back automatically when MG preconditions don't apply)
+            return "multigrid"
+        if sm == "CHEBYSHEV":
+            return "chebyshev"
+        if sm == "SCHWARZ":
+            return "schwarz"
+        return "jacobi"
 
     # ------------------------------------------------------------------
 
@@ -455,15 +490,22 @@ class Problem:
                       _parse_vector(sc.get("transient Butcher b", "1.0")),
                       _parse_vector(sc.get("transient Butcher c", "1.0")))
 
+        # reference defaults (solverManager.cpp:149-152): startup
+        # tableau defaults to the MAIN tableau, startup BDF order to
+        # the main BDF order, and startup STEPS to the BDF order — so
+        # a plain 'transient BDF order: 3' deck self-starts with three
+        # BDF-1..(startup order) steps
+        tab = sc.get("transient Butcher tableau", "BWE")
+        bdf = int(sc.get("transient BDF order", 1))
         integ = TransientIntegrator(
             assembler=self.assembler,
-            tableau=sc.get("transient Butcher tableau", "BWE"),
-            bdf_order=int(sc.get("transient BDF order", 1)),
-            startup_tableau=sc.get("transient startup Butcher tableau"),
-            startup_bdf_order=(int(sc["transient startup BDF order"])
-                               if "transient startup BDF order" in sc
-                               else None),
-            startup_steps=int(sc.get("transient startup steps", 0)),
+            tableau=tab,
+            bdf_order=bdf,
+            startup_tableau=sc.get("transient startup Butcher tableau",
+                                   tab),
+            startup_bdf_order=int(
+                sc.get("transient startup BDF order", bdf)),
+            startup_steps=int(sc.get("transient startup steps", bdf)),
             custom_tableau=custom,
             nonlinear_tol=float(sc.get("nonlinear TOL", 1e-6)),
             abs_tol=float(sc.get("absolute nonlinear TOL", 1e-100)),
@@ -475,7 +517,9 @@ class Problem:
             backtracking=bool(sc.get("allow backtracking", True)),
             set_dirichlet=self.bcs.apply, pvec=pvec,
             fully_explicit=bool(sc.get("fully explicit", False)),
-            lump_mass=bool(sc.get("lump mass", True)))
+            lump_mass=bool(sc.get("lump mass", True)),
+            mass_cg_iters=int(sc.get("max linear iters", 100)),
+            mass_cg_tol=float(sc.get("linear TOL", 1e-2)))
 
         out = ForwardResult(u=None, time=t0)
 

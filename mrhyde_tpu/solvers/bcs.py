@@ -69,7 +69,16 @@ class BoundaryConditions:
                              ("Flux conditions", "Flux")):
             sub = physics_cfg.get(kind, {}) or {}
             for var, sides in sub.items():
-                if var == "scalar data":
+                if var in ("scalar data", "static data"):
+                    # deck-wide flags, not variable names ('static
+                    # data: false' marks time-dependent DBC data;
+                    # expression DBCs are re-projected per step here
+                    # either way)
+                    continue
+                if var not in disc.var_names:
+                    # the reference only looks up registered variables
+                    # (physicsInterface iterates var_list and checks
+                    # isSublist(var)); unknown keys are ignored
                     continue
                 if not isinstance(sides, dict):
                     sides = {"all boundaries": sides}

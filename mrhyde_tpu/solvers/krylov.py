@@ -156,6 +156,43 @@ def gmres_fixed(matvec, b, *, m=40, precond=None, x0=None):
     return x
 
 
+def pcg_reference(matvec, b, diag, *, tol=1e-2, maxiter=100):
+    """Diagonal-preconditioned CG with the reference's exact stopping
+    rule (solverManager.cpp:2236 PCG: x0 = 0, iterate while
+    ||r|| / ||r0|| > tol and iter < maxiter). Used for the
+    fully-explicit consistent-mass solve, where the reference's LOOSE
+    default tol (1.0e-2, :1810) is part of the observable gold output
+    (thermal/2D_Database_Compression); the iterate sequence is scale-
+    invariant, so matching the stopping rule matches the gold."""
+    d = jnp.where(diag != 0, diag, 1.0)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    r0n = jnp.linalg.norm(r0)
+    target = tol * jnp.where(r0n > 0, r0n, 1.0)
+
+    def cond(state):
+        it, _x, _r, _p, _rho, rnorm = state
+        return jnp.logical_and(it < maxiter, rnorm > target)
+
+    def body(state):
+        it, x, r, p, rho, _ = state
+        z = r / d
+        rho1 = rho
+        rho_n = jnp.vdot(r, z)
+        beta = jnp.where(it == 0, 0.0, rho_n / rho1)
+        p = z + beta * p
+        q = matvec(p)
+        alpha = rho_n / jnp.vdot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        return (it + 1, x, r, p, rho_n, jnp.linalg.norm(r))
+
+    one = jnp.asarray(1.0, dtype=b.dtype)
+    state = (jnp.asarray(0), x0, r0, jnp.zeros_like(b), one, r0n)
+    _, x, *_ = jax.lax.while_loop(cond, body, state)
+    return x
+
+
 def bicgstab_fixed(matvec, b, *, iters=20, precond=None, x0=None):
     """BiCGStab with a fixed iteration count and right preconditioner."""
     M = precond if precond is not None else (lambda v: v)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import jax.scipy.sparse.linalg as jsla
 
-from mrhyde_tpu.solvers.krylov import KrylovInfo, gmres
+from mrhyde_tpu.solvers.krylov import (KrylovInfo, bicgstab_fixed,
+                                       gmres)
 from mrhyde_tpu.solvers.precond import build_preconditioner
 
 __all__ = ["solve_linear", "solve_linear_info", "solve_dense", "solve_cg",
@@ -100,6 +101,18 @@ def solve_linear_info(J, b, method="gmres", tol=1e-10, maxiter=500,
         max_restarts = max(-(-maxiter // m), 1)
         return gmres(J.apply, b, m=m, tol=tol, max_restarts=max_restarts,
                      precond=M)
+    if method == "bicgstab":
+        # Belos BiCGStab / TFQMR analog (linearAlgebraInterface.cpp:
+        # 358-500 'Belos solver' option); fixed-shape loop, residual
+        # computed (not assumed) afterwards
+        M = precond_fn if precond_fn is not None \
+            else build_preconditioner(J, precond_variant)
+        iters = int(min(maxiter, 200))
+        x = bicgstab_fixed(J.apply, b, iters=iters, precond=M)
+        res = jnp.linalg.norm(b - J.apply(x))
+        bn = jnp.linalg.norm(b)
+        ok = res <= tol * jnp.where(bn > 0, bn, 1.0) * 10
+        return x, KrylovInfo(jnp.asarray(iters), res, ok)
     raise ValueError(f"unknown linear solver {method!r}")
 
 

@@ -39,11 +39,18 @@ def _newton_step_fn(assembler, linear_method, linear_tol, linear_maxiter,
     if key not in cache:
         mg_variant = precond_variant in ("multigrid", "mg")
         if mg_variant:
-            # build the (static) grid hierarchy once, outside the trace
+            # build the (static) grid hierarchy once, outside the trace;
+            # fall back to element-Schwarz off the structured-p1 path
             from mrhyde_tpu.solvers.multigrid import StructuredMG
             if "_mg_hierarchy" not in assembler.__dict__:
-                assembler.__dict__["_mg_hierarchy"] = \
-                    StructuredMG(assembler)
+                try:
+                    assembler.__dict__["_mg_hierarchy"] = \
+                        StructuredMG(assembler)
+                except ValueError:
+                    assembler.__dict__["_mg_hierarchy"] = None
+            if assembler.__dict__["_mg_hierarchy"] is None:
+                mg_variant = False
+                precond_variant = "schwarz"
 
         def step(u, tc, pvec):
             r = assembler.residual(u, tc, pvec)

@@ -124,7 +124,8 @@ class TransientIntegrator:
     set_dirichlet: object = None   # callable (u, time) -> u with DBCs set
     fully_explicit: bool = False   # reference: explicitSolver :1715
     lump_mass: bool = True
-    mass_cg_iters: int = 50
+    mass_cg_iters: int = 100   # reference 'max linear iters' default
+    mass_cg_tol: float = 1e-2  # reference explicit 'linear TOL' default
 
     def _tables(self, step: int):
         if (self.startup_steps and step < self.startup_steps
@@ -161,8 +162,13 @@ class TransientIntegrator:
                     from mrhyde_tpu.assembly.assembler import BlockJacobian
                     Mop = BlockJacobian(vol=M, vol_lids=asm.lids, bnd=[],
                                         bnd_lids=[], fixed=asm.fixed)
-                    from mrhyde_tpu.solvers.linear import solve_cg
-                    du = -solve_cg(Mop, r, maxiter=self.mass_cg_iters) \
+                    # reference 'use custom PCG' path: diagonal-
+                    # preconditioned CG from x0=0 whose LOOSE default
+                    # rel-tol (1e-2) is visible in the golds
+                    from mrhyde_tpu.solvers.krylov import pcg_reference
+                    du = -pcg_reference(Mop.apply, r, Mop.diag(),
+                                        tol=self.mass_cg_tol,
+                                        maxiter=self.mass_cg_iters) \
                         / tc.alpha_t
                 return jnp.where(asm.fixed, z0, z0 + du)
             self._explicit_jit = jax.jit(step)
