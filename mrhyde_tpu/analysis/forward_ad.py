@@ -48,9 +48,14 @@ class DifferentiableForward:
             int(round((self.t_end - self.t0) / self.dt))
         self.tableau = sc.get("transient Butcher tableau", "BWE")
         self.bdf_order = int(sc.get("transient BDF order", 1))
-        self.startup_tableau = sc.get("transient startup Butcher tableau")
-        self.startup_bdf = sc.get("transient startup BDF order")
-        self.startup_steps = int(sc.get("transient startup steps", 0))
+        # reference startup defaults (solverManager.cpp:149-152):
+        # tableau = main tableau, BDF order = main order, steps = order
+        self.startup_tableau = sc.get("transient startup Butcher tableau",
+                                      self.tableau)
+        self.startup_bdf = sc.get("transient startup BDF order",
+                                  self.bdf_order)
+        self.startup_steps = int(sc.get("transient startup steps",
+                                        self.bdf_order))
 
     # ------------------------------------------------------------------
 
@@ -82,7 +87,24 @@ class DifferentiableForward:
         u_prev = jnp.tile(u[None, :], (hist, 1))
         total = jnp.asarray(0.0, dtype=dtype)
         t = self.t0
+        dyn = tuple(
+            n for n in p.param_manager.discretized_names()
+            if p.param_manager.specs[n].dynamic)
+
+        def pvec_at(step):
+            # dynamic discretized params: row per step (the gradient
+            # flows back into the right row through the traced slice)
+            out = pvec
+            if pvec and dyn:
+                out = dict(pvec)
+                for nm in dyn:
+                    v = out.get(nm)
+                    if v is not None and getattr(v, "ndim", 1) == 2:
+                        out[nm] = v[min(step, v.shape[0] - 1)]
+            return out
+
         for step in range(self.nsteps):
+            pvec_k = pvec_at(step)
             A, b, c, w = self._tables(step)
             nstage = len(b)
             u_prev = jnp.roll(u_prev, 1, axis=0).at[0].set(u)
@@ -107,15 +129,23 @@ class DifferentiableForward:
                                 jnp.asarray(t_stage, dtype),
                                 jnp.asarray(dt, dtype))
                 g = p.bcs.dirichlet_values(t_stage).astype(dtype)
-                z = self.stage_solve(u_step_start, tc, pvec, g)
+                z = self.stage_solve(u_step_start, tc, pvec_k, g)
                 u_stages.append(z)
                 if nstage > 1:
                     u_new = u_new + z - u_prev[0]
                 else:
                     u_new = z
             u = u_new
+            # PARITY QUIRK: the reference records the step objective at
+            # the workset time left by the LAST STAGE (t_n + c_last*dt),
+            # not the step end t_{n+1} — for BWE (c=1) they coincide,
+            # but DIRK-1,2's midpoint stage shifts the target functions
+            # by dt/2 (verified digit-exact vs ODE/DIRK-1,2-Optimization
+            # iter-0 value 1.705985e-03; the 'correct' time gives
+            # 4.772e-04)
+            t_obj = t + c[-1] * dt
             t = t + dt
-            total = total + self.objective_fn(u, t, pvec)
+            total = total + self.objective_fn(u, t_obj, pvec_k)
         return total
 
     def gradient(self, pvec):

@@ -94,27 +94,57 @@ class AnalysisManager:
                 res.u, res.time, pvec or p.param_manager.pvec()))
         return float(jnp.linalg.norm(res.u))
 
+    def generate_data(self):
+        """Data-generation mode (reference: analysisManager.cpp:495-526
+        'Generate data'): flip the 'datagen' switch parameter to 1, run
+        the forward model with the data-generating source, store the
+        solution history for discrete-misfit objectives, then flip
+        'datagen' back to 0 so the inversion sees the unknown source."""
+        p = self.problem
+        pm = p.param_manager
+        # the generating forward still references every active /
+        # discretized parameter leaf; ride them all through the traced
+        # pvec channel (NOT baked constants) so the flip back to
+        # datagen=0 reuses the same compiled programs
+        gen_pvec = dict(pm.pvec())
+        if "datagen" in pm.specs:
+            pm.update({"datagen": 1.0})
+            gen_pvec["datagen"] = jnp.asarray(1.0)
+        res = p.forward(pvec=gen_pvec)
+        for t, uvec in zip(p.solution_storage.times,
+                           p.solution_storage.data):
+            if p.objective_manager is not None:
+                p.objective_manager.datagen[round(float(t), 12)] = \
+                    jnp.asarray(uvec)
+        if "datagen" in pm.specs:
+            pm.update({"datagen": 0.0})
+        return res
+
+    def _inversion_pvec_extra(self):
+        """Constant pvec entries every inversion evaluation needs: the
+        'datagen' switch pinned to 0 after data generation."""
+        pm = self.problem.param_manager
+        if "datagen" in pm.specs:
+            return {"datagen": jnp.asarray(float(
+                pm.specs["datagen"].value))}
+        return {}
+
     def rol_solve(self, verbose=0):
         """Bound-constrained L-BFGS optimization over active params."""
         p = self.problem
         pm = p.param_manager
         rol_cfg = self.cfg.get("ROL", self.cfg.get("ROL2", {})) or {}
         if rol_cfg.get("Generate data", False):
-            # data-generation mode (reference: analysisManager.cpp
-            # ROLSolve 'Generate data'): run the forward model with the
-            # current (true) parameters and store the solution history
-            # for discrete-misfit objectives
-            res = p.forward()
-            for t, uvec in zip(p.solution_storage.times,
-                               p.solution_storage.data):
-                if p.objective_manager is not None:
-                    p.objective_manager.datagen[round(float(t), 12)] = \
-                        jnp.asarray(uvec)
+            self.generate_data()
         dfwd = self._differentiable()
+
+        extra = self._inversion_pvec_extra()
 
         def vag(xflat):
             pvec = pm.unflatten(jnp.asarray(xflat))
+            pvec.update(extra)
             v, g = dfwd.value_and_gradient(pvec)
+            g = {k: v2 for k, v2 in g.items() if k not in extra}
             return float(v), np.asarray(pm.flatten(g))
 
         x0 = np.asarray(pm.flatten(pm.pvec()))

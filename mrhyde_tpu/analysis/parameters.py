@@ -41,7 +41,10 @@ class ParameterManager:
                 self.specs[name] = ParamSpec(name, "inactive", float(sub))
                 continue
             ptype = sub.get("type", "scalar")
-            val = sub.get("value", 0.0)
+            # discretized params name their BASIS via 'type' and their
+            # start value via 'initial_value' (reference deck schema:
+            # type: HGRAD / order / initial_value / lower_bound ...)
+            val = sub.get("value", sub.get("initial_value", 0.0))
             if "source" in sub:
                 # vector parameter values from a text file (reference:
                 # parameterManager.cpp 'source' key, e.g. KL coeffs)
@@ -55,9 +58,11 @@ class ParameterManager:
                 distribution=sub.get("distribution", "uniform"),
                 mean=float(sub.get("mean", 0.0)),
                 variance=float(sub.get("variance", 1.0)),
-                min=float(sub.get("min", 0.0)),
-                max=float(sub.get("max", 1.0)),
-                basis=sub.get("basis", "HGRAD"),
+                min=float(sub.get("min", sub.get("lower_bound", 0.0))),
+                max=float(sub.get("max", sub.get("upper_bound", 1.0))),
+                basis=sub.get("basis",
+                              ptype if ptype not in ("scalar", "vector")
+                              else "HGRAD"),
                 order=int(sub.get("order", 1)),
                 dynamic=bool(sub.get("dynamic", False)))
 
@@ -96,7 +101,7 @@ class ParameterManager:
     # -- flat vector interface (for optimizers) -------------------------
 
     def flatten(self, pvec: dict) -> jnp.ndarray:
-        parts = [jnp.atleast_1d(jnp.asarray(pvec[n]))
+        parts = [jnp.atleast_1d(jnp.asarray(pvec[n])).ravel()
                  for n in self.active_names()]
         return (jnp.concatenate(parts) if parts
                 else jnp.zeros(0))
@@ -108,7 +113,11 @@ class ParameterManager:
             v = np.atleast_1d(self.specs[n].value)
             k = v.size
             chunk = vec[i:i + k]
-            out[n] = chunk if v.size > 1 else chunk[0]
+            if v.ndim > 1:
+                # dynamic discretized fields: (n_steps, n_dof)
+                out[n] = chunk.reshape(v.shape)
+            else:
+                out[n] = chunk if v.size > 1 else chunk[0]
             i += k
         return out
 

@@ -471,16 +471,48 @@ class Assembler:
         Per-block module masks ride the same vmapped channel."""
         out = {}
         if pvec:
+            axes = "xyz"[:self.disc.mesh.dim]
             for name, fp in self.field_params.items():
                 if name in pvec:
                     pe = pvec[name][fp["eldofs"]]      # (E, ndp)
                     out[name] = jnp.einsum("ei,iq->eq", pe, fp["phi"])
+                    if "gphi" in fp:
+                        g = jnp.einsum("ei,eiqd->eqd", pe, fp["gphi"])
+                        for ax, c in enumerate(axes):
+                            out[f"grad({name})[{c}]"] = g[..., ax]
             for name, val in pvec.items():
                 if str(name).startswith("__field:"):
                     out[name[8:]] = val                # already (E, Q)
         if self.module_masks is not None:
             out["__blockmask"] = self.module_masks     # (E, n_modules)
         out.update(self.extra_elem_fields)
+        return out or None
+
+    def _field_param_boundary_values(self, pvec, group):
+        """Discretized params at a boundary group's side qps:
+        name -> (B, Qf), plus physical-gradient channels. The same
+        traced-extra channel the volume path uses (reference: side-ip
+        evaluation of discretized params, e.g. Neumann 'xtrac*ny' in
+        le/2d_sparse_simul_inversion)."""
+        out = {}
+        if pvec:
+            axes = "xyz"[:self.disc.mesh.dim]
+            for name, fp in self.field_params.items():
+                if name not in pvec:
+                    continue
+                key = fp.get("key")
+                phi = group["bv"].get(key)
+                if phi is None:
+                    raise NotImplementedError(
+                        f"no face basis table for field param {name!r} "
+                        f"({key}) on sideset {group['sideset']!r}")
+                pe = pvec[name][fp["eldofs"][group["elems"]]]  # (B, ndp)
+                out[name] = jnp.einsum("bi,iq->bq", pe, phi)
+                gph = group["bg"]["grad"].get(key)
+                if gph is not None:
+                    g = jnp.einsum("bi,biqd->bqd", pe, gph)
+                    for ax, c in enumerate(axes):
+                        out[f"grad({name})[{c}]"] = g[..., ax]
         return out or None
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
@@ -547,9 +579,11 @@ class Assembler:
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
-            res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, group["wts"],
-                                  group["ip"], group["normals"],
-                                  group["bg"])
+            bex = self._field_param_boundary_values(pvec, group)
+            res_b = jax.vmap(bfn, in_axes=(0, 0, 0, 0, 0, 0, 0,
+                                           None if bex is None else 0))(
+                u_b, bu_b, bt_b, group["wts"], group["ip"],
+                group["normals"], group["bg"], bex)
             if self.has_signs:
                 res_b = res_b * group["signs"]
             r = r + _scatter_vec(res_b, group["lids"], self.n_dof)
@@ -577,9 +611,12 @@ class Assembler:
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
-            jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
+            bex = self._field_param_boundary_values(pvec, group)
+            jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0),
+                             in_axes=(0, 0, 0, 0, 0, 0, 0,
+                                      None if bex is None else 0))(
                 u_b, bu_b, bt_b, group["wts"], group["ip"],
-                group["normals"], group["bg"])
+                group["normals"], group["bg"], bex)
             if self.has_signs:
                 jac_b = jac_b * group["signs"][:, :, None] \
                     * group["signs"][:, None, :]

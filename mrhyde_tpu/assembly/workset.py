@@ -159,7 +159,10 @@ class Workset:
         if leaf.startswith("curl(") and leaf.endswith("]"):
             var = leaf[5:leaf.index(")")]
             return self.curl(var)[:, _AXES[leaf[-2]]]
-        if leaf.startswith("grad(") and leaf.endswith("]"):
+        if leaf.startswith("grad(") and leaf.endswith("]") \
+                and leaf[5:leaf.index(")")] in self.offsets:
+            # non-solution grads (field params) fall through to the
+            # precomputed extra_fields channels
             var = leaf[5:leaf.index(")")]
             ax = _AXES[leaf[-2]]
             return self.grad(var)[:, ax]

@@ -31,13 +31,45 @@ def _load_yaml(path: str):
     try:
         return yaml.safe_load(text)
     except yaml.YAMLError:
-        fixed = []
-        for line in text.splitlines(keepends=True):
-            ns = len(line) - len(line.lstrip(" "))
-            if ns % 2 == 1 and line.strip():
-                line = line[1:]
-            fixed.append(line)
+        pass
+    fixed = []
+    for line in text.splitlines(keepends=True):
+        ns = len(line) - len(line.lstrip(" "))
+        if ns % 2 == 1 and line.strip():
+            line = line[1:]
+        fixed.append(line)
+    try:
         return yaml.safe_load("".join(fixed))
+    except yaml.YAMLError:
+        pass
+    # second fallback: a key over-indented relative to its SIBLING
+    # scalar (e.g. '        ROL:' after '    write output: false' in
+    # 2d_gradient_check_ms/input_rol2.yaml) dedents to the sibling's
+    # level, its subtree shifting with it
+    out, shift_from, shift_by = [], None, 0
+    prev_indent = 0
+    for line in fixed:
+        s = line.strip()
+        if not s or s.startswith("#"):
+            out.append(line)
+            continue
+        ns = len(line) - len(line.lstrip(" "))
+        if shift_from is not None:
+            if ns >= shift_from:
+                out.append(line[shift_by:])
+                continue
+            shift_from = None
+        if (ns > prev_indent + 2 and out
+                and out[-1].strip()
+                and not out[-1].rstrip().endswith(":")):
+            shift_by = ns - prev_indent
+            shift_from = ns
+            out.append(line[shift_by:])
+            prev_indent = ns - shift_by
+            continue
+        out.append(line)
+        prev_indent = ns
+    return yaml.safe_load("".join(out))
 
 
 def load_input_deck(path: str) -> dict:
@@ -57,8 +89,7 @@ def load_input_deck(path: str) -> dict:
                 # (userInterface.hpp:160-163 ifstream fn.good() guard;
                 # e.g. ODE/BDF3 names an input_mesh.yaml that is absent)
                 continue
-            with open(inc) as f:
-                extra = yaml.safe_load(f)
+            extra = _load_yaml(inc)
             if isinstance(extra, dict) and set(extra) == {"ANONYMOUS"}:
                 extra = extra["ANONYMOUS"]
             merged = extra.get(sub, extra) if isinstance(extra, dict) else {}

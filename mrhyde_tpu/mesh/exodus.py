@@ -172,6 +172,23 @@ def read_exodus(path: str) -> tuple[Mesh, dict]:
 
     info = {"n_steps": (f.variables["time_whole"].shape[0]
                         if "time_whole" in f.variables else 0)}
+    # element variables (reference: meshInterface::readExodusData,
+    # meshInterface.cpp:950 — efield_names/efield_vals used by
+    # 'have element data' decks and sensors-from-mesh objectives)
+    n_ev = f.dimensions.get("num_elem_var", 0) or 0
+    if n_ev:
+        ev_names = _names("name_elem_var", n_ev, lambda i: f"evar{i + 1}")
+        elem_vars = {}
+        for v in range(1, n_ev + 1):
+            vals = []
+            for b in range(1, n_blk + 1):
+                key = f"vals_elem_var{v}eb{b}"
+                if key in f.variables:
+                    arr = np.asarray(f.variables[key][:], dtype=float)
+                    vals.append(arr[-1] if arr.ndim == 2 else arr)
+            if vals:
+                elem_vars[ev_names[v - 1]] = np.concatenate(vals)
+        info["elem_vars"] = elem_vars
     mesh = Mesh(dim=dim, cell_type=cell_type, nodes=nodes, conn=conn,
                 sidesets=sidesets, block_ids=block_ids,
                 block_names=[f"eblock-{b}" for b in range(n_blk)],

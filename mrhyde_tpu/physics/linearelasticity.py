@@ -49,8 +49,13 @@ class LinearElasticity(PhysicsModule):
 
     def _stress(self, wk, loc="ip"):
         dim = self.dim
-        lam = wk.qp(wk.f("lambda", loc))
         mu = wk.qp(wk.f("mu", loc))
+        if bool(self.settings.get("incplanestress", False)):
+            # incompressible plane stress: lambda = 2 mu
+            # (linearelasticity.cpp:935,990,1104)
+            lam = 2.0 * mu
+        else:
+            lam = wk.qp(wk.f("lambda", loc))
         grads = [wk.grad(d)[:, :dim] for d in _DISP[:dim]]  # list of (Q,dim)
         G = jnp.stack(grads, axis=1)            # (Q, dim, dim): G[q,i,j]=d_i,j
         eps = 0.5 * (G + jnp.swapaxes(G, 1, 2))

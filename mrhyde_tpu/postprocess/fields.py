@@ -59,6 +59,11 @@ class GlobalFieldContext:
             return self._var(leaf)
         if leaf.startswith("grad(") and leaf.endswith("]"):
             var = leaf[5:leaf.index(")")]
+            if var in self.field_params and var in self.params:
+                fp = self.field_params[var]
+                pe = jnp.asarray(self.params[var])[fp["eldofs"]]
+                g = jnp.einsum("ei,eiqd->eqd", pe, fp["gphi"])
+                return g[..., _AX[leaf[-2]]]
             return self._grad(var, _AX[leaf[-2]])
         if leaf.endswith("_t") and leaf[:-2] in disc.offsets:
             if self.u_dot is None:
@@ -81,7 +86,8 @@ class PointFieldContext:
     """
 
     def __init__(self, disc, elem_ids, ref_pts, pts, u, time=0.0,
-                 params=None):
+                 params=None, field_params=None):
+        self.field_params = field_params or {}
         from mrhyde_tpu.fem.basis import get_basis
         from mrhyde_tpu.fem.geometry import physical_grad, volume_geometry
         self.disc = disc
@@ -92,7 +98,10 @@ class PointFieldContext:
         coords = disc.coords[self.elem_ids]         # (P, nc, dim)
         self._phi = {}
         self._dphi = {}
-        for key in set(disc.basis_keys.values()):
+        keys = set(disc.basis_keys.values())
+        keys |= {fp["key"] for fp in self.field_params.values()
+                 if "key" in fp}
+        for key in keys:
             b = get_basis(disc.mesh.cell_type, key[0], key[1])
             phi = np.zeros((P, b.ndof))
             dphi = np.zeros((P, b.ndof, disc.mesh.dim))
@@ -121,9 +130,20 @@ class PointFieldContext:
             key = disc.basis_keys[leaf]
             return jnp.einsum("pi,pi->p", self._u_e[:, st:st + nd],
                               self._phi[key])
+        if leaf in self.field_params and leaf in self.params:
+            fp = self.field_params[leaf]
+            pe = jnp.asarray(self.params[leaf])[
+                fp["eldofs"][jnp.asarray(self.elem_ids)]]    # (P, ndp)
+            return jnp.einsum("pi,pi->p", pe, self._phi[fp["key"]])
         if leaf.startswith("grad(") and leaf.endswith("]"):
             var = leaf[5:leaf.index(")")]
             ax = _AX[leaf[-2]]
+            if var in self.field_params and var in self.params:
+                fp = self.field_params[var]
+                pe = jnp.asarray(self.params[var])[
+                    fp["eldofs"][jnp.asarray(self.elem_ids)]]
+                return jnp.einsum("pi,pi->p", pe,
+                                  self._dphi[fp["key"]][:, :, ax])
             st, nd = disc.offsets[var]
             key = disc.basis_keys[var]
             return jnp.einsum("pi,pi->p", self._u_e[:, st:st + nd],
@@ -142,7 +162,7 @@ def locate_points(mesh, pts: np.ndarray):
     """
     info = getattr(mesh, "box_info", None)
     if info is None:
-        raise NotImplementedError("point location requires a box mesh")
+        return _locate_points_general(mesh, pts)
     pts = np.atleast_2d(np.asarray(pts, dtype=float))
     dim = mesh.dim
     cells = []
@@ -178,3 +198,47 @@ def locate_points(mesh, pts: np.ndarray):
     else:
         raise NotImplementedError(f"point location in {mesh.cell_type}")
     return eid.astype(np.int64), ref
+
+
+def _locate_points_general(mesh, pts, n_candidates=8):
+    """Unstructured point location (Exodus meshes): candidate elements
+    by nearest centroid, then Newton inversion of the isoparametric map
+    with a containment check (the reference's checkInclusionPhysicalData
+    / mapPointsToReference pairing, discretizationInterface.cpp)."""
+    from mrhyde_tpu.fem.basis import get_basis
+    pts = np.atleast_2d(np.asarray(pts, dtype=float))
+    dim = mesh.dim
+    b = get_basis(mesh.cell_type, "HGRAD", 1)
+    coords = mesh.nodes[mesh.conn]                   # (E, nc, dim)
+    cents = coords.mean(axis=1)
+    simplex = mesh.cell_type in ("tri", "tet")
+    tol = 1e-8
+    eid = np.zeros(pts.shape[0], dtype=np.int64)
+    ref = np.zeros((pts.shape[0], dim))
+    d2 = ((pts[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+    order = np.argsort(d2, axis=1)[:, :min(n_candidates, cents.shape[0])]
+
+    def invert(e, x):
+        xi = (np.full(dim, 1.0 / 3.0) if simplex else np.zeros(dim))
+        for _ in range(20):
+            phi = b.eval(xi[None, :])[:, 0]          # (nc,)
+            dphi = b.grad(xi[None, :])[:, 0, :]      # (nc, dim)
+            r = coords[e].T @ phi - x
+            J = coords[e].T @ dphi
+            xi = xi - np.linalg.solve(J, r)
+        return xi
+
+    for p in range(pts.shape[0]):
+        best, best_viol = None, np.inf
+        for e in order[p]:
+            xi = invert(e, pts[p])
+            if simplex:
+                viol = max(np.max(-xi), np.sum(xi) - 1.0)
+            else:
+                viol = np.max(np.abs(xi)) - 1.0
+            if viol < best_viol:
+                best, best_viol = (e, xi), viol
+            if viol <= tol:
+                break
+        eid[p], ref[p] = best[0], best[1]
+    return eid, ref

@@ -72,10 +72,13 @@ class ObjectiveSpec:
                 location=rsub.get("location", "volume"),
                 weight=float(rsub.get("weight", 1.0)),
                 boundary_name=rsub.get("boundary name", "")))
+        # 'integrated control' carries its integrand under 'function'
+        # (reference: postprocessManager.cpp:483 addFunction(name,
+        # newobj.function)); 'integrated response' uses 'response'
         spec = cls(name=name, otype=otype,
                    weight=float(sub.get("weight", 1.0)),
                    target=float(sub.get("target", 0.0)),
-                   response=sub.get("response"),
+                   response=sub.get("response", sub.get("function")),
                    regularizations=regs)
         if "sensor points" in sub:
             spec.sensor_points = np.atleast_2d(
@@ -148,7 +151,8 @@ class ObjectiveManager:
                 continue
             eids, refs = self._sensor_setup[s.name]
             ctx = PointFieldContext(self.disc, eids, refs,
-                                    s.sensor_points, u, time, params)
+                                    s.sensor_points, u, time, params,
+                                    field_params=self.field_params)
             expr = s.response if s.response is not None else \
                 f"{s.name} response"
             vals = self.fm.evaluate_expr(expr, ctx)
@@ -209,7 +213,9 @@ class ObjectiveManager:
             elif s.otype == "sensors":
                 eids, refs = self._sensor_setup[s.name]
                 ctx = PointFieldContext(self.disc, eids, refs,
-                                        s.sensor_points, u, time, params)
+                                        s.sensor_points, u, time,
+                                        params,
+                                        field_params=self.field_params)
                 expr = s.response if s.response is not None else \
                     f"{s.name} response"
                 vals = self.fm.evaluate_expr(expr, ctx)
@@ -240,18 +246,24 @@ class ObjectiveManager:
                     total = total + s.weight * jnp.sum((u - d) ** 2)
             # regularizations
             for reg in s.regularizations:
+                # reg.name holds the integrand EXPRESSION (reference
+                # addFunction(reg.name, reg.function) — the name/expr
+                # pair collapses under ad-hoc parsing)
                 if reg.location == "volume":
                     ctx = GlobalFieldContext(self.disc, u, time, params,
                                              field_params=self.field_params)
                     vals = jnp.broadcast_to(
-                        self.fm.evaluate(reg.name, ctx, "ip"), wts.shape)
+                        self.fm.evaluate_expr(reg.name, ctx, "ip"),
+                        wts.shape)
                     total = total + reg.weight * jnp.sum(vals * wts)
                 else:
                     for bg, fw in self._boundary_groups(reg.boundary_name):
-                        ctx = _BoundaryRegContext(self.disc, bg, time,
-                                                  params)
+                        ctx = _BoundaryRegContext(
+                            self.disc, bg, time, params,
+                            field_params=self.field_params)
                         vals = jnp.broadcast_to(
-                            self.fm.evaluate(reg.name, ctx, "side ip"),
+                            self.fm.evaluate_expr(reg.name, ctx,
+                                                  "side ip"),
                             fw.shape)
                         total = total + reg.weight * jnp.sum(vals * fw)
         return total
@@ -263,12 +275,23 @@ class ObjectiveManager:
 
 
 class _BoundaryRegContext:
-    """Leaf resolver on a boundary group (params/coords only for now)."""
+    """Leaf resolver on a boundary group: coords, params, and
+    discretized-param values/gradients at the side qps (reference:
+    boundary regularizations over traction fields, e.g.
+    'grad(xtrac)[x]' in le/2d_sparse_simul_inversion)."""
 
-    def __init__(self, disc, bg, time, params):
+    def __init__(self, disc, bg, time, params, field_params=None):
         self.bg = bg
         self.time = time
         self.params = params or {}
+        self.field_params = field_params or {}
+
+    def _fp_grad(self, var, ax):
+        fp = self.field_params[var]
+        bg = self.bg
+        pe = jnp.asarray(self.params[var])[fp["eldofs"][bg.elems]]
+        gph = jnp.asarray(bg.basis_grads[fp["key"]])
+        return jnp.einsum("bi,biqd->bqd", pe, gph)[..., ax]
 
     def resolve(self, leaf):
         ax = {"x": 0, "y": 1, "z": 2}.get(leaf)
@@ -276,6 +299,16 @@ class _BoundaryRegContext:
             return jnp.asarray(self.bg.ip)[:, :, ax]
         if leaf == "t":
             return self.time
+        if leaf in self.field_params and leaf in self.params:
+            fp = self.field_params[leaf]
+            pe = jnp.asarray(self.params[leaf])[
+                fp["eldofs"][self.bg.elems]]
+            phi = jnp.asarray(self.bg.basis_vals[fp["key"]])
+            return jnp.einsum("bi,iq->bq", pe, phi)
+        if leaf.startswith("grad(") and leaf.endswith("]") \
+                and leaf[5:leaf.index(")")] in self.field_params:
+            return self._fp_grad(leaf[5:leaf.index(")")],
+                                 {"x": 0, "y": 1, "z": 2}[leaf[-2]])
         if leaf in self.params:
             return self.params[leaf]
         raise KeyError(f"cannot resolve {leaf!r} in boundary regularizer")

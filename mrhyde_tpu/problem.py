@@ -73,12 +73,16 @@ class Problem:
             cell = "line"
         if mesh is not None:
             self.mesh = mesh
-        elif mesh_cfg.get("source", "Internal") == "Exodus":
+        elif str(mesh_cfg.get("source",
+                              mesh_cfg.get("Source",
+                                           "Internal"))).lower() \
+                == "exodus":
             from mrhyde_tpu.mesh.exodus import read_exodus
             path = mesh_cfg.get("mesh file", "mesh.exo")
             if not os.path.isabs(path):
                 path = os.path.join(cfg.get("_deck_dir", "."), path)
-            self.mesh, _ = read_exodus(path)
+            self.mesh, minfo = read_exodus(path)
+            self.mesh_elem_vars = minfo.get("elem_vars", {})
         else:
             self.mesh = self._internal_mesh(mesh_cfg, cell)
         pbc = mesh_cfg.get("Periodic BCs", {}) or {}
@@ -263,7 +267,23 @@ class Problem:
             time_tol=float(sc0.get("storage time tol", 1e-10)))
 
         self.objective_manager = None
-        obj_cfg = pp_cfg.get("Objective functions", {}) or {}
+        obj_cfg = self._resolve_mesh_sensors(
+            pp_cfg.get("Objective functions", {}) or {})
+        if not obj_cfg and bool(pp_cfg.get("compute objective", False)):
+            # legacy Physics-level Responses/Targets/Weights objective
+            # (old 'response type: global' decks, e.g.
+            # thermal/2d_gradient_check_ms): J = sum_r int 0.5 wt
+            # (resp - targ)^2; entries zip in declaration order
+            resps = phys_cfg.get("Responses", {}) or {}
+            targs = list((phys_cfg.get("Targets", {}) or {}).values())
+            wghts = list((phys_cfg.get("Weights", {}) or {}).values())
+            for i, (rn, rexpr) in enumerate(resps.items()):
+                tg = targs[i] if i < len(targs) else "0.0"
+                w = wghts[i] if i < len(wghts) else "1.0"
+                obj_cfg[rn] = {
+                    "type": "integrated control",
+                    "function": (f"0.5*({w})*(({rexpr})-({tg}))"
+                                 f"*(({rexpr})-({tg}))")}
         if obj_cfg:
             from mrhyde_tpu.postprocess.objectives import (ObjectiveManager,
                                                            ObjectiveSpec)
@@ -289,15 +309,36 @@ class Problem:
             from mrhyde_tpu.fem.dofmap import build_dofmap
             dm = build_dofmap(self.mesh, [(name, s.basis, s.order)])
             b = get_basis(self.mesh.cell_type, s.basis, s.order)
+            key = (str(s.basis).upper(), int(s.order))
+            if key in self.disc.basis_grads:
+                gphi = self.disc.basis_grads[key]
+            else:
+                from mrhyde_tpu.fem.geometry import (physical_grad,
+                                                     volume_geometry)
+                vol = volume_geometry(
+                    self.mesh.nodes[self.mesh.conn],
+                    self.mesh.cell_type, self.disc.ref_pts,
+                    self.disc.ref_wts)
+                gphi = physical_grad(b, self.disc.ref_pts, vol.jac_inv)
             self.assembler.field_params[name] = {
                 "eldofs": jnp.asarray(dm.vars[0].eldofs),
                 "phi": jnp.asarray(b.eval(self.disc.ref_pts)),
+                "gphi": jnp.asarray(gphi),
+                "key": key,
                 "dof_coords": dm.vars[0].dof_coords,
                 "n_dof": dm.vars[0].n_dof,
             }
             val = np.asarray(s.value, dtype=float)
             if val.size != dm.vars[0].n_dof:
                 s.value = np.full(dm.vars[0].n_dof, float(val.flat[0]))
+            if s.dynamic:
+                # one field per time step (reference: dynamic_Psol,
+                # parameterManager.cpp:620-632)
+                nst = int((cfg.get("Solver", {}) or {})
+                          .get("number of steps", 1))
+                v = np.atleast_1d(np.asarray(s.value, dtype=float))
+                if v.ndim == 1:
+                    s.value = np.tile(v[None, :], (nst, 1))
         if self.objective_manager is not None:
             self.objective_manager.field_params = \
                 self.assembler.field_params
@@ -400,6 +441,40 @@ class Problem:
 
     def _proj_method(self):
         return "direct" if self.n_dof <= 6000 else "cg"
+
+    def _resolve_mesh_sensors(self, obj_cfg):
+        """'sensor points file: mesh': sensor locations/data come from
+        Exodus ELEMENT variables (numSensors, sensor_<j>_Loc_*, and the
+        data field named by 'sensor data file'; reference:
+        importSensorsFromExodus, postprocessManager.cpp:5397-5470;
+        steady data, time = 0)."""
+        ev = getattr(self, "mesh_elem_vars", None) or {}
+        out = {}
+        for name, sub in obj_cfg.items():
+            if (isinstance(sub, dict)
+                    and str(sub.get("sensor points file", "")) == "mesh"):
+                sub = dict(sub)
+                ns = np.asarray(ev.get("numSensors",
+                                       np.zeros(0)), dtype=int)
+                dfield = str(sub.pop("sensor data file", ""))
+                sub.pop("sensor points file")
+                pts, data = [], []
+                for e in np.nonzero(ns > 0)[0]:
+                    for j in range(int(ns[e])):
+                        loc = [float(ev[f"sensor_{j + 1}_Loc_x"][e])]
+                        if self.mesh.dim > 1:
+                            loc.append(float(
+                                ev[f"sensor_{j + 1}_Loc_y"][e]))
+                        if self.mesh.dim > 2:
+                            loc.append(float(
+                                ev[f"sensor_{j + 1}_Loc_z"][e]))
+                        pts.append(loc)
+                        data.append(float(ev[dfield][e]))
+                sub["sensor points"] = pts
+                sub["sensor times"] = [0.0]
+                sub["sensor data"] = [[d] for d in data]
+            out[name] = sub
+        return out
 
     def _linear_method(self):
         if bool(self.solver_cfg.get("use direct solver", False)):
@@ -516,6 +591,9 @@ class Problem:
             max_cuts=int(sc.get("maximum time step cuts", 5)),
             backtracking=bool(sc.get("allow backtracking", True)),
             set_dirichlet=self.bcs.apply, pvec=pvec,
+            dynamic_params=tuple(
+                n for n in self.param_manager.discretized_names()
+                if self.param_manager.specs[n].dynamic),
             fully_explicit=bool(sc.get("fully explicit", False)),
             lump_mass=bool(sc.get("lump mass", True)),
             mass_cg_iters=int(sc.get("max linear iters", 100)),

@@ -121,6 +121,7 @@ class TransientIntegrator:
     backtracking: bool = True
     verbose: int = 0
     pvec: dict | None = None
+    dynamic_params: tuple = ()   # names of per-step discretized fields
     set_dirichlet: object = None   # callable (u, time) -> u with DBCs set
     fully_explicit: bool = False   # reference: explicitSolver :1715
     lump_mass: bool = True
@@ -144,7 +145,7 @@ class TransientIntegrator:
               if self.startup_bdf_order else w0)
         return max(len(w0), len(w1)) - 1
 
-    def _explicit_stage(self, z0, tc):
+    def _explicit_stage(self, z0, tc, pvec=None):
         """Exact explicit-stage update (reference explicitSolver,
         solverManager.cpp:1715-1867): the stage system is affine in z
         with Jacobian alpha_t * M, so one weighted-mass solve finishes:
@@ -172,7 +173,22 @@ class TransientIntegrator:
                         / tc.alpha_t
                 return jnp.where(asm.fixed, z0, z0 + du)
             self._explicit_jit = jax.jit(step)
-        return self._explicit_jit(z0, tc, self.pvec)
+        return self._explicit_jit(
+            z0, tc, self.pvec if pvec is None else pvec)
+
+    def _pvec_at_step(self, step_index):
+        """Per-step pvec view: DYNAMIC discretized params carry one
+        field per time step ((n_steps, n_dof); reference:
+        parameterManager dynamic_Psol + updateDynamicParams(stepProg),
+        solverManager.cpp:1276) — step k sees row k."""
+        pvec = self.pvec
+        if pvec and self.dynamic_params:
+            pvec = dict(pvec)
+            for name in self.dynamic_params:
+                v = pvec.get(name)
+                if v is not None and getattr(v, "ndim", 1) == 2:
+                    pvec[name] = v[min(step_index, v.shape[0] - 1)]
+        return pvec
 
     def step_once(self, u, u_prev, t, dt, step_index):
         """One time step. Returns (u_new, u_prev_new, ok).
@@ -180,6 +196,7 @@ class TransientIntegrator:
         u_prev: (hist, n) BDF history; updated in the return value.
         """
         asm = self.assembler
+        step_pvec = self._pvec_at_step(step_index)
         n = u.shape[0]
         A, b, c, w = self._tables(step_index)
         nstage = len(b)
@@ -220,16 +237,16 @@ class TransientIntegrator:
                             jnp.asarray(alpha_t, u.dtype), beta_t,
                             jnp.asarray(t_stage, u.dtype),
                             jnp.asarray(dt, u.dtype))
-            pvec_stage = self.pvec
+            pvec_stage = step_pvec
             if ms is not None:
-                pvec_stage = {**(self.pvec or {}),
+                pvec_stage = {**(step_pvec or {}),
                               "__ms": ms.stage_ms_entry(
                                   ms_stages, s, A, b, w, timewt, u.dtype,
                                   t=t, dt=dt, u_prev=u_prev)}
             if self.set_dirichlet is not None:
                 z0 = self.set_dirichlet(z0, t_stage)
             if self.fully_explicit:
-                z = self._explicit_stage(z0, tc)
+                z = self._explicit_stage(z0, tc, step_pvec)
             else:
                 result = newton_solve(
                     asm, z0, tc, pvec_stage, tol=self.nonlinear_tol,
