@@ -25,7 +25,9 @@ class AnalysisManager:
 
     def run(self):
         mode = self.mode
-        if mode in ("forward", "dry run"):
+        if mode == "dry run":
+            return self.dry_run()
+        if mode == "forward":
             return self.problem.forward()
         if mode == "forward+adjoint":
             return self.adjoint_solve()
@@ -43,6 +45,42 @@ class AnalysisManager:
         raise NotImplementedError(f"analysis type {mode!r}")
 
     # ------------------------------------------------------------------
+
+    def dry_run(self):
+        """Setup-only mode (reference: analysisManager.cpp 'dry run' —
+        build everything, report the mesh/DOF/storage summary, solve
+        nothing; regression/le/3D_DryRun)."""
+        p = self.problem
+        mesh = p.mesh
+        lines = []
+        blocks = " ".join(f'"{b}"' for b in getattr(
+            mesh, "block_names", ["eblock-0_0"]))
+        lines.append("STK Meta data:")
+        lines.append(f"   Element blocks = {blocks}")
+        lines.append("   Sidesets = "
+                     + " ".join(f'"{s}"' for s in sorted(mesh.sidesets)))
+        lines.append("DOFManager Field Information: ")
+        for i, v in enumerate(p.disc.var_names):
+            lines.append(f'      "{v}" is field ID {i}')
+        n_elem = mesh.conn.shape[0]
+        n_bnd = sum(ss.shape[0] for ss in mesh.sidesets.values())
+        lines.append(f" - {n_elem} elements")
+        lines.append(f" - {n_bnd} boundary elements")
+        asm = p.assembler
+        vol_mb = sum(np.asarray(t).nbytes
+                     for t in [asm.g_wts, asm.g_ip]
+                     ) / 1e6 + sum(
+            np.asarray(v).nbytes for v in asm.g_bv.values()) / 1e6
+        bnd_mb = sum(np.asarray(g["wts"]).nbytes
+                     + np.asarray(g["ip"]).nbytes
+                     + np.asarray(g["normals"]).nbytes
+                     for g in asm._bnd) / 1e6
+        lines.append(f" - {vol_mb:.4g} MB of volumetric data")
+        lines.append(f" - {bnd_mb:.4g} MB of boundary data")
+        lines.append(" **** MrHyDE-TPU has completed the dry run")
+        report = "\n".join(lines)
+        print(report)
+        return report
 
     def _differentiable(self):
         p = self.problem

@@ -124,14 +124,15 @@ def main(argv=None):
         with timed("driver::run"):
             result = problem.run()
 
-    if problem.compute_errors:
+    if problem.compute_errors and hasattr(result, "report"):
         print(result.report())
     if "--profile" in opts or cfg.get("profile", False):
         report = timer_report()
         print(report)
         with open("mrhyde_tpu.profile", "w") as f:
             f.write(report)
-    if verbosity > 0 and hasattr(problem, "n_dof"):
+    if verbosity > 0 and hasattr(problem, "n_dof") \
+            and hasattr(result, "time"):
         print(f"n_dof = {problem.n_dof}, final time = {result.time}")
     return 0
 

@@ -636,7 +636,7 @@ class Problem:
     def run(self):
         analysis = self.cfg.get("Analysis", {}).get("analysis type",
                                                     "forward")
-        if analysis in ("forward", "dry run"):
+        if analysis == "forward":
             return self.forward()
         from mrhyde_tpu.analysis.manager import AnalysisManager
         return AnalysisManager(self).run()

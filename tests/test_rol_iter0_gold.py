@@ -97,6 +97,50 @@ def test_rol_iter0_slow(deck):
 
 
 @pytest.mark.slow
+def test_transient_fd_check_gradient():
+    """thermal/2D_transient_fd_check: the gold's FD table converges to
+    grad'*dir = -5.62552346091e-02 for the single active scalar
+    (thermal_diff); whole-solve AD reproduces it to print precision."""
+    cwd = os.getcwd()
+    try:
+        os.chdir(f"{_REG}/thermal/2D_transient_fd_check")
+        p = make_problem(load_input_deck("input.yaml"))
+        am = AnalysisManager(p)
+        dfwd = am._differentiable()
+        pm = p.param_manager
+        pvec = pm.unflatten(jnp.asarray(np.asarray(
+            pm.flatten(pm.pvec()))))
+        _v, g = dfwd.value_and_gradient(pvec)
+        assert np.isclose(float(np.asarray(g["thermal_diff"])),
+                          -5.62552346091e-02, rtol=1e-9)
+    finally:
+        os.chdir(cwd)
+
+
+def test_dry_run_mode():
+    """le/3D_DryRun: 'dry run' analysis sets everything up, reports,
+    and solves nothing."""
+    cfg = load_input_deck(f"{_REG}/le/3D_DryRun/input.yaml")
+    p = make_problem(cfg)
+    rep = AnalysisManager(p).run()
+    assert "1000 elements" in rep
+    assert '"dz" is field ID 2' in rep
+    assert "completed the dry run" in rep
+
+
+@pytest.mark.parametrize("variant", ["ProjectionQuadDeg1Quadr2",
+                                     "LaplaceHexDeg1Quadr2"])
+def test_discretization_physics_test(variant):
+    """discretization/HGRAD: physicsTest projection/Laplace operator
+    decks run clean from the raw YAML (the gold only echoes the test
+    settings)."""
+    cfg = load_input_deck(f"{_REG}/discretization/HGRAD/"
+                          f"input{variant}.yaml")
+    res = make_problem(cfg).run()
+    assert np.isfinite(np.asarray(res.u)).all()
+
+
+@pytest.mark.slow
 def test_gradient_check_ms_value():
     """Multiscale legacy-response objective: value matches gold
     exactly; the reference's gnorm (0.2498455) is its approximate
