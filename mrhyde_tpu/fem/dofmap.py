@@ -102,11 +102,12 @@ def _edge_numbering(mesh: Mesh):
     le = np.array(topo.edges)                        # (n_loc_edges, 2)
     pmaps = getattr(mesh, "periodic_maps", None)
     if not pmaps:
+        from mrhyde_tpu.native import unique_rows
         pairs = _dof_conn(mesh)[:, le]               # (n_elem, n_le, 2)
         flipped = pairs[:, :, 0] > pairs[:, :, 1]
         sorted_pairs = np.sort(pairs, axis=2)
         flat = sorted_pairs.reshape(-1, 2)
-        uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+        uniq, inv = unique_rows(flat)       # C++ sort path (native.py)
         elem_edges = inv.reshape(pairs.shape[0], pairs.shape[1])
         return uniq.shape[0], elem_edges, flipped, uniq
 
@@ -181,7 +182,14 @@ def _face_numbering(mesh: Mesh):
                         constant_values=-1)
         keys.append(fk)
     flat = np.stack(keys, axis=1).reshape(-1, n_fn)   # (n_elem*n_lf, n_fn)
-    uniq, inv = np.unique(flat, axis=0, return_inverse=True)
+    from mrhyde_tpu.native import unique_rows
+    if n_fn == 3:                    # tet tri-faces: pad for the
+        flat4 = np.pad(flat, ((0, 0), (0, 1)),       # 4-wide C++ path
+                       constant_values=-1)
+        uniq, inv = unique_rows(flat4)
+        uniq = uniq[:, :3]
+    else:
+        uniq, inv = unique_rows(flat)
     n_raw = uniq.shape[0]
     if not pmaps:
         elem_faces = inv.reshape(mesh.n_elem, len(lf))

@@ -172,10 +172,11 @@ class SubgridDtN:
             gb = get_basis(cell, "HGRAD", 1)
             rc = ref_fine.nodes[ref_fine.conn].mean(axis=1)  # (Ef, dim)
             gv = gb.eval(rc)                                 # (nv, Ef)
+            from mrhyde_tpu.native import nearest_point
             fc = np.einsum("ecd,cf->efd", sub_coords, gv)    # (E,Ef,dim)
-            d2 = ((fc[:, :, None, :] - pts[None, None, :, :dim]) ** 2
-                  ).sum(-1)
-            nearest = np.argmin(d2, axis=2)                  # (E, Ef)
+            nearest = nearest_point(
+                pts[:, :dim], fc.reshape(-1, dim)).reshape(
+                    fc.shape[:2])                            # (E, Ef)
             if mesh_cfg.get("have mesh data rotations", False):
                 from mrhyde_tpu.physics.crystal_elasticity import \
                     CrystalElasticity

@@ -213,9 +213,9 @@ class Problem:
                              ndmin=2)
             vals = np.loadtxt(os.path.join(base, data_tag + ".dat"),
                               ndmin=2)
+            from mrhyde_tpu.native import nearest_point
             cents = self.mesh.nodes[self.mesh.conn].mean(axis=1)
-            d2 = ((cents[:, None, :] - pts[None, :, :dim]) ** 2).sum(-1)
-            nearest = np.argmin(d2, axis=1)
+            nearest = nearest_point(pts[:, :dim], cents)
             if mesh_cfg.get("have mesh data rotations", False):
                 # 9 columns per data point = a grain rotation matrix;
                 # rotate each crystal-elasticity stiffness tensor per
