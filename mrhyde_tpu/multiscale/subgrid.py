@@ -969,6 +969,76 @@ class MultiscaleModels:
                                               label=len(self.models)))
         self.fine_prev = None   # presence flag for the integrator
 
+        # ML model selection (reference: 'subgrid model selection: ML',
+        # multiscaleManager.cpp:54 + :687-790 — the reference collects
+        # training data for max_training_steps, dumps text files, and
+        # shells out to a PyTorch classifier script; here the
+        # classifier is an in-process jax softmax regression trained
+        # on-device from the same usage-vote labels)
+        sol_cfg = (problem.cfg.get("Solver", {}) or {})
+        self.selection = str(sol_cfg.get("subgrid model selection",
+                                         "user defined"))
+        self.ml_train_steps = int(sol_cfg.get(
+            "max subgrid ML training steps", 10))
+        self._ml_X: list = []
+        self._ml_y: list = []
+        self._ml_W = None
+        self._ml_steps = 0
+
+    def _ml_features(self, time):
+        """(E, nf) classifier features: element centroid + time."""
+        mesh = self.problem.mesh
+        cents = mesh.nodes[mesh.conn].mean(axis=1)
+        t = np.full((cents.shape[0], 1), float(time))
+        return np.concatenate([cents, t], axis=1)
+
+    def _ml_fit(self):
+        """Softmax regression on the collected (features, winner)
+        pairs — standardized features, full-batch Adam under lax.scan,
+        runs on-device."""
+        import jax
+
+        Xn = np.concatenate(self._ml_X)                  # (N, nf)
+        self._ml_mu = Xn.mean(axis=0)
+        self._ml_sig = Xn.std(axis=0) + 1e-12
+        X = jnp.asarray((Xn - self._ml_mu) / self._ml_sig)
+        y = jnp.asarray(np.concatenate(self._ml_y))      # (N,)
+        n_cls = len(self.models)
+        Xb = jnp.concatenate([X, jnp.ones((X.shape[0], 1))], axis=1)
+        W0 = jnp.zeros((Xb.shape[1], n_cls))
+
+        def loss(W):
+            logits = Xb @ W
+            return -jnp.mean(jax.nn.log_softmax(logits)[
+                jnp.arange(y.shape[0]), y])
+
+        gfn = jax.grad(loss)
+        lr, b1, b2, eps = 0.05, 0.9, 0.999, 1e-8
+
+        @jax.jit
+        def train(W):
+            def step(carry, i):
+                W, m, v = carry
+                g = gfn(W)
+                m = b1 * m + (1 - b1) * g
+                v = b2 * v + (1 - b2) * g * g
+                mh = m / (1 - b1 ** (i + 1.0))
+                vh = v / (1 - b2 ** (i + 1.0))
+                W = W - lr * mh / (jnp.sqrt(vh) + eps)
+                return (W, m, v), None
+            (W, _, _), _ = jax.lax.scan(
+                step, (W, jnp.zeros_like(W), jnp.zeros_like(W)),
+                jnp.arange(3000.0))
+            return W
+
+        self._ml_W = train(W0)
+
+    def _ml_predict(self, time):
+        X = (self._ml_features(time) - self._ml_mu) / self._ml_sig
+        Xb = np.concatenate([X, np.ones((X.shape[0], 1))], axis=1)
+        logits = Xb @ np.asarray(self._ml_W)
+        return np.argmax(logits, axis=1)
+
     def _vote(self, time):
         """(E,) winner index from usage >= 1 votes at the macro volume
         qps (ties to the LATER model; assemblyManager.cpp:8091-8110).
@@ -1056,7 +1126,22 @@ class MultiscaleModels:
         carries a consistent global fine state)."""
         if not self.dynamic:
             return
-        winner = self._vote(time)
+        if self.selection == "ML" and self._ml_W is not None:
+            winner = self._ml_predict(time)
+        else:
+            winner = self._vote(time)
+            if self.selection == "ML":
+                # one training batch per DISTINCT vote time (the
+                # init-history and first-step votes share t0)
+                tkey = round(float(time), 12)
+                if tkey not in getattr(self, "_ml_times", set()):
+                    self._ml_times = getattr(self, "_ml_times", set())
+                    self._ml_times.add(tkey)
+                    self._ml_X.append(self._ml_features(time))
+                    self._ml_y.append(np.asarray(winner))
+                    self._ml_steps += 1
+                if self._ml_steps >= max(self.ml_train_steps, 2):
+                    self._ml_fit()
         for j, m in enumerate(self.models):
             m.mask = (winner == j).astype(float)
 
