@@ -105,6 +105,9 @@ class AnalysisManager:
         p = self.problem
         uq_cfg = self.cfg.get("UQ", {}) or {}
         uq = UQManager(p.param_manager, uq_cfg)
+        regen = bool(self.cfg.get(
+            "regenerate grains", uq_cfg.get("regenerate grains", False)))
+        counter = {"i": 0}
 
         def forward_sample(sample):
             # samples flow through the traced pvec argument, so the
@@ -112,6 +115,16 @@ class AnalysisManager:
             # (unlike the reference's per-sample re-assembly)
             p.param_manager.update(sample)
             pvec = {k: jnp.asarray(v) for k, v in sample.items()}
+            if regen:
+                # per-sample random microstructure (reference:
+                # analysisManager.cpp:336-339 generateNewMicrostructure
+                # + importNewMicrostructure); the rotated stiffness
+                # rides the traced '__field:' channel so the compiled
+                # step is reused across samples
+                ce = self._sample_microstructure(counter["i"])
+                if ce is not None:
+                    pvec["__field:crystal_C"] = ce
+                counter["i"] += 1
             res = p.forward(pvec=pvec)
             return self._collect_response(res, pvec)
 
@@ -124,6 +137,43 @@ class AnalysisManager:
             np.savetxt("sample_output.dat",
                        np.column_stack(cols + [responses]))
         return {"samples": samples, "responses": responses, "stats": stats}
+
+    def _sample_microstructure(self, sample_idx):
+        """(E, d^4) rotated crystal stiffness for a fresh Voronoi
+        microstructure seeded by the sample index, or None when no
+        CrystalElasticity module is active."""
+        from mrhyde_tpu.mesh.microstructure import generate_microstructure
+        from mrhyde_tpu.physics.crystal_elasticity import (
+            CrystalElasticity, rotate_stiffness)
+        p = self.problem
+        mod = next((m for m in p.modules
+                    if isinstance(m, CrystalElasticity)), None)
+        if mod is None:
+            return None
+        mesh_cfg = p.cfg.get("Mesh", {}) or {}
+        ms = generate_microstructure(
+            p.mesh, n_seeds=int(mesh_cfg.get("number of seeds", 10)),
+            seed=1234 + sample_idx)
+        dim = p.mesh.dim
+        n_seeds = ms["seed_points"].shape[0]
+        Cg = np.zeros((n_seeds,) + mod.C_ref.shape)
+        for g in range(n_seeds):
+            if dim == 2:
+                th = float(ms["angles"][g])
+                R = np.array([[np.cos(th), -np.sin(th)],
+                              [np.sin(th), np.cos(th)]])
+            else:
+                a, b, c = ms["angles"][g]
+                Rz = np.array([[np.cos(a), -np.sin(a), 0],
+                               [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+                Ry = np.array([[np.cos(b), 0, np.sin(b)], [0, 1, 0],
+                               [-np.sin(b), 0, np.cos(b)]])
+                Rx = np.array([[1, 0, 0], [0, np.cos(c), -np.sin(c)],
+                               [0, np.sin(c), np.cos(c)]])
+                R = Rz @ Ry @ Rx
+            Cg[g] = rotate_stiffness(mod.C_ref, R)
+        Ce = Cg[ms["grain_ids"]]
+        return jnp.asarray(Ce.reshape(Ce.shape[0], -1))
 
     def _collect_response(self, res, pvec=None):
         p = self.problem

@@ -40,3 +40,38 @@ def test_ml_selection_learns_usage_pattern():
     # and the macro solve stayed healthy
     final = res.error_history[-1][1][("L2", "e")]
     assert np.isfinite(final) and final < 0.05
+
+
+@pytest.mark.slow
+def test_uq_regenerate_grains():
+    """UQ with per-sample microstructure regeneration (reference:
+    analysisManager.cpp:336-339): each sample solves on a fresh random
+    Voronoi grain field; responses must vary across samples."""
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 8, "NY": 8, "number of seeds": 6},
+        "Physics": {"modules": "linearelasticity",
+                    "use crystal elasticity": True,
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "dx": {"bottom": 0.0}, "dy": {"bottom": 0.0}},
+                    "Neumann conditions": {"dy": {"top": "1.0"}}},
+        "Discretization": {"order": {"dx": 1, "dy": 1},
+                           "quadrature": 2},
+        "Solver": {"solver": "steady-state",
+                   "use direct solver": True},
+        "Parameters": {"dummy": {"type": "scalar", "value": 1.0,
+                                 "usage": "stochastic",
+                                 "distribution": "uniform",
+                                 "min": 0.9, "max": 1.1}},
+        "Analysis": {"analysis type": "UQ",
+                     "regenerate grains": True,
+                     "UQ": {"samples": 3, "seed": 1}},
+        "Postprocess": {"compute errors": False},
+    }
+    out = make_problem(cfg).run()
+    resp = np.asarray(out["responses"])
+    assert resp.shape[0] == 3
+    assert np.all(np.isfinite(resp))
+    # different grains -> different stiffness -> different responses
+    assert np.std(resp) > 1e-8
