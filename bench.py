@@ -84,6 +84,7 @@ def ns_solve_bench():
         "value": round(dt, 4),
         "unit": "seconds",
         "vs_baseline": round(dt, 4),
+        "final_residual": float(f"{r_final:.3e}"),
     }))
 
 

@@ -146,14 +146,45 @@ def gmres(matvec, b, *, m=40, tol=1e-8, atol=0.0, max_restarts=5,
 
 
 def gmres_fixed(matvec, b, *, m=40, precond=None, x0=None):
-    """GMRES(m), one cycle, early exit at machine-precision residual.
+    """GMRES(m), one fixed-length cycle: scan-built Arnoldi basis, then
+    ONE QR-based least squares on the (m+1, m) Hessenberg.
 
-    Kept for benchmark inner loops / API compatibility; now shares the
-    Givens-rotation core (the previous normal-equations least squares
-    squared the Hessenberg conditioning)."""
-    x, _ = gmres(matvec, b, m=m, tol=0.0, atol=1e-300, max_restarts=1,
-                 precond=precond, x0=x0)
-    return x
+    TPU-shaped: the per-iteration work is a matvec + two vdots under
+    `lax.scan` (no data-dependent exit, no sequential Givens scalar
+    recurrences — those are latency-bound on this hardware), and the
+    tiny LS solve happens once via jnp.linalg.lstsq (QR — NOT the
+    normal equations, which squared the Hessenberg conditioning).
+    Use `gmres` when a convergence check is needed."""
+    M = precond if precond is not None else (lambda v: v)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    n = b.shape[0]
+    dtype = b.dtype
+    r0 = b - matvec(x0)
+    beta = jnp.linalg.norm(r0)
+    scale = jnp.where(beta > 0, beta, 1.0)
+    V0 = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r0 / scale)
+    H0 = jnp.zeros((m + 1, m), dtype=dtype)
+
+    def body(carry, j):
+        V, H = carry
+        w = matvec(M(V[j]))
+        # modified Gram-Schmidt against the full (static) basis with a
+        # column mask — rows > j hold zeros so they contribute nothing
+        hcol = V @ w                        # (m+1,)
+        mask = (jnp.arange(m + 1) <= j)
+        hcol = jnp.where(mask, hcol, 0.0)
+        w = w - hcol @ V
+        hnorm = jnp.linalg.norm(w)
+        safe = jnp.where(hnorm > 0, hnorm, 1.0)
+        V = V.at[j + 1].set(w / safe)
+        hcol = hcol.at[j + 1].set(hnorm)
+        H = H.at[:, j].set(hcol)
+        return (V, H), None
+
+    (V, H), _ = jax.lax.scan(body, (V0, H0), jnp.arange(m))
+    g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+    y, *_ = jnp.linalg.lstsq(H, g)
+    return x0 + M(y @ V[:m])
 
 
 def pcg_reference(matvec, b, diag, *, tol=1e-2, maxiter=100):
