@@ -69,18 +69,29 @@ class NavierStokes(PhysicsModule):
         src = {v: q.f(f"source {v}") for v in vels}
         conv = {v: sum(u[w] * g[v][d] for d, w in enumerate(vels))
                 for v in vels}
+        # Boussinesq buoyancy when 'e' shares the set (mirrors
+        # volume_residual's have_energy term so the fused and general
+        # paths agree)
+        buoy = None
+        if "e" in getattr(q, "_u", {}):
+            t_amb = float(self.settings.get("T_ambient", 0.0))
+            beta = float(self.settings.get("beta", 1.0))
+            buoy = rho * beta * (q.sol("e") - t_amb)
         out = {}
         for d, v in enumerate(vels):
             F = [visc * g[v][k] for k in range(dim)]
             F[d] = F[d] - pr
-            out[v] = (rho * (ud[v] + conv[v] - src[v]), F)
+            extra = buoy * src[v] if buoy is not None else 0.0
+            out[v] = (rho * (ud[v] + conv[v] - src[v]) + extra, F)
         divu = sum(g[v][d] for d, v in enumerate(vels))
         Fpr = None
         if self.use_supg or self.use_pspg:
             u2 = sum(u[v] * u[v] for v in vels)
             tau = self._tau(visc, u2, q)
             gp = q.grad("pr")
-            stab = {v: rho * ud[v] + rho * conv[v] + gp[d] - rho * src[v]
+            stab = {v: (rho * ud[v] + rho * conv[v] + gp[d]
+                        - rho * src[v]
+                        + (buoy * src[v] if buoy is not None else 0.0))
                     for d, v in enumerate(vels)}
         if self.use_supg:
             for v in vels:
@@ -106,11 +117,23 @@ class NavierStokes(PhysicsModule):
         conv = {v: sum(uvals[w] * grads[v][:, d]
                        for d, w in enumerate(vels)) for v in vels}
 
+        # Boussinesq buoyancy when a temperature variable 'e' shares
+        # the set (reference: have_energy, navierstokes.cpp:134-147 —
+        # F = rho * beta * (T - T_ambient) * source_d added to each
+        # momentum equation, with the matching SUPG strong-residual
+        # term at :231)
+        buoy = None
+        if "e" in wk.offsets:
+            t_amb = float(self.settings.get("T_ambient", 0.0))
+            beta = float(self.settings.get("beta", 1.0))
+            buoy = rho * beta * (wk.sol("e") - t_amb)
+
         for d, v in enumerate(vels):
             flux = visc[:, None] * grads[v]
             flux = flux.at[:, d].add(-pr)
             wk.add_flux(v, flux)
-            wk.add_source(v, rho * (udots[v] + conv[v] - src[v]))
+            extra = buoy * src[v] if buoy is not None else 0.0
+            wk.add_source(v, rho * (udots[v] + conv[v] - src[v]) + extra)
 
         divu = sum(grads[v][:, d] for d, v in enumerate(vels))
         wk.add_source("pr", divu)
@@ -120,7 +143,9 @@ class NavierStokes(PhysicsModule):
             tau = self._tau(visc, u2, wk)
             gradp = wk.grad("pr")
             stabres = {v: (rho * udots[v] + rho * conv[v] + gradp[:, d]
-                           - rho * src[v])
+                           - rho * src[v]
+                           + (buoy * src[v] if buoy is not None
+                              else 0.0))
                        for d, v in enumerate(vels)}
         if self.use_supg:
             uvec = jnp.stack([uvals[v] for v in vels], axis=1)

@@ -56,3 +56,40 @@ def test_navierstokes_channel():
     assert np.isclose(res.errors[("L2", "ux")], 0.00198075, rtol=2e-5)
     assert np.isclose(res.errors[("L2", "pr")], 0.0148536, rtol=2e-5)
     assert np.isclose(res.errors[("L2", "uy")], 0.000169464, rtol=2e-5)
+
+
+def test_ns_boussinesq_buoyancy_coupling():
+    """NS 'have_energy' coupling (navierstokes.cpp:134-147): with a
+    temperature variable in the set, rho*beta*(T - T_ambient)*source_d
+    enters the momentum equations. A vertical temperature gradient with
+    gravity-like source drives flow that vanishes when beta = 0."""
+    import copy
+    base = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 8, "NY": 8},
+        "Physics": {"modules": "navier stokes,thermal",
+                    "usePSPG": True, "beta": 1.0, "T_ambient": 0.0,
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "ux": {"all boundaries": 0.0},
+                        "uy": {"all boundaries": 0.0},
+                        "e": {"left": 1.0, "right": 0.0}}},
+        "Functions": {"source uy": "-1.0", "source ux": "0.0",
+                      "thermal source": "0.0"},
+        "Discretization": {"order": {"ux": 1, "uy": 1, "pr": 1,
+                                     "e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state", "use direct solver": True,
+                   "max nonlinear iters": 8, "nonlinear TOL": 1e-10},
+        "Postprocess": {"compute errors": False},
+    }
+    p1 = Problem(copy.deepcopy(base))
+    u1 = np.asarray(p1.run().u)
+    gd = np.asarray(p1.disc.dofmap.all_dofs("ux"))
+    vel1 = np.abs(u1[gd]).max()
+    cfg0 = copy.deepcopy(base)
+    cfg0["Physics"]["beta"] = 0.0
+    p0 = Problem(cfg0)
+    u0 = np.asarray(p0.run().u)
+    vel0 = np.abs(u0[gd]).max()
+    assert vel1 > 1e-6          # buoyancy drives flow
+    assert vel0 < vel1 * 1e-3   # beta=0: no thermal forcing of ux
