@@ -222,7 +222,12 @@ class AnalysisManager:
         p = self.problem
         pm = p.param_manager
         rol_cfg = self.cfg.get("ROL", self.cfg.get("ROL2", {})) or {}
-        if rol_cfg.get("Generate data", False):
+        # reference decks nest the knobs under ROL->General and
+        # ROL->Status Test (input_rol2.yaml layout); accept both the
+        # nested and flat forms
+        gen_cfg = {**rol_cfg, **(rol_cfg.get("General", {}) or {})}
+        st_cfg = {**rol_cfg, **(rol_cfg.get("Status Test", {}) or {})}
+        if gen_cfg.get("Generate data", False):
             self.generate_data()
         dfwd = self._differentiable()
 
@@ -236,21 +241,23 @@ class AnalysisManager:
             return float(v), np.asarray(pm.flatten(g))
 
         x0 = np.asarray(pm.flatten(pm.pvec()))
-        if rol_cfg.get("Do grad+hessvec check", False) or \
-                rol_cfg.get("check gradient", False):
+        if gen_cfg.get("Do grad+hessvec check", False) or \
+                gen_cfg.get("check gradient", False):
             errs = check_gradient(vag, x0, verbose=verbose)
             if max(errs) > 1e-5:
                 raise AssertionError(f"gradient check failed: {errs}")
         bounds = None
-        if rol_cfg.get("Bound Optimization Variables", False) or \
-                rol_cfg.get("bound constraints", False):
+        if gen_cfg.get("Bound Optimization Variables", False) or \
+                gen_cfg.get("bound constraints", False):
             bounds = pm.bounds()
         result = lbfgs_solve(
             vag, x0, bounds=bounds,
-            maxiter=int(rol_cfg.get("Maximum Number of Iterations",
-                                    rol_cfg.get("max iterations", 100))),
-            gtol=float(rol_cfg.get("Gradient Tolerance", 1e-8)),
-            ftol=float(rol_cfg.get("Step Tolerance", 1e-14)),
+            maxiter=int(st_cfg.get(
+                "Iteration Limit",
+                st_cfg.get("Maximum Number of Iterations",
+                           st_cfg.get("max iterations", 100)))),
+            gtol=float(st_cfg.get("Gradient Tolerance", 1e-8)),
+            ftol=float(st_cfg.get("Step Tolerance", 1e-14)),
             verbose=verbose)
         pm.update(pm.unflatten(result.x))
         return result

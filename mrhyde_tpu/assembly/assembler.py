@@ -480,12 +480,16 @@ class Assembler:
                         g = jnp.einsum("ei,eiqd->eqd", pe, fp["gphi"])
                         for ax, c in enumerate(axes):
                             out[f"grad({name})[{c}]"] = g[..., ax]
-            for name, val in pvec.items():
-                if str(name).startswith("__field:"):
-                    out[name[8:]] = val                # already (E, Q)
         if self.module_masks is not None:
             out["__blockmask"] = self.module_masks     # (E, n_modules)
         out.update(self.extra_elem_fields)
+        if pvec:
+            # traced '__field:' entries LAST: per-sample regenerated
+            # fields (e.g. UQ 'regenerate grains' stiffness) must
+            # override the static setup-time import
+            for name, val in pvec.items():
+                if str(name).startswith("__field:"):
+                    out[name[8:]] = val                # already (E, Q)
         return out or None
 
     def _field_param_boundary_values(self, pvec, group):

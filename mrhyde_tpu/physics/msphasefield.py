@@ -55,6 +55,13 @@ class MSPhasefield(PhysicsModule):
         # first-qp sampling: false' for the corrected weak form.
         legacy = bool(self.settings.get("legacy first-qp sampling",
                                         True))
+        if legacy and "legacy first-qp sampling" not in self.settings \
+                and not getattr(self, "_warned_legacy", False):
+            self._warned_legacy = True
+            print("msphasefield: reproducing the reference's frozen "
+                  "first-qp sampling (parity default); set 'legacy "
+                  "first-qp sampling: false' for the consistent "
+                  "weak form")
         # Intrepid2's first tensor-Gauss point corresponds to the LAST
         # point in this repo's quadrature ordering (matched empirically
         # against the 2d-3phi gold)

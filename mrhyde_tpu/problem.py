@@ -171,6 +171,19 @@ class Problem:
         fs = {}
         for name, expr in fs_raw.items():
             if isinstance(expr, dict):
+                for k, v in expr.items():
+                    if k in fs and str(fs[k]) != str(v):
+                        # the reference keeps one function manager PER
+                        # BLOCK; a single traced manager cannot hold
+                        # two definitions — fail loudly instead of
+                        # silently applying the last block's expression
+                        # everywhere
+                        raise NotImplementedError(
+                            f"per-block Functions define {k!r} "
+                            f"differently across blocks "
+                            f"({fs[k]!r} vs {v!r}); per-block "
+                            f"function expressions are not supported "
+                            f"in one physics set")
                 fs.update(expr)
             else:
                 fs[name] = expr
@@ -333,9 +346,17 @@ class Problem:
                 s.value = np.full(dm.vars[0].n_dof, float(val.flat[0]))
             if s.dynamic:
                 # one field per time step (reference: dynamic_Psol,
-                # parameterManager.cpp:620-632)
-                nst = int((cfg.get("Solver", {}) or {})
-                          .get("number of steps", 1))
+                # parameterManager.cpp:620-632); the step count follows
+                # the same delta-t/number-of-steps logic as the
+                # transient driver
+                sc_ = cfg.get("Solver", {}) or {}
+                t0 = float(sc_.get("initial time", 0.0))
+                t_end = float(sc_.get("final time", 1.0))
+                dts = sc_.get("delta t")
+                if dts is not None:
+                    nst = max(int(round((t_end - t0) / float(dts))), 1)
+                else:
+                    nst = int(sc_.get("number of steps", 1))
                 v = np.atleast_1d(np.asarray(s.value, dtype=float))
                 if v.ndim == 1:
                     s.value = np.tile(v[None, :], (nst, 1))
@@ -454,9 +475,17 @@ class Problem:
             if (isinstance(sub, dict)
                     and str(sub.get("sensor points file", "")) == "mesh"):
                 sub = dict(sub)
-                ns = np.asarray(ev.get("numSensors",
-                                       np.zeros(0)), dtype=int)
+                if "numSensors" not in ev:
+                    raise ValueError(
+                        "'sensor points file: mesh' requires a "
+                        "'numSensors' element variable in the Exodus "
+                        f"mesh (found: {sorted(ev) or 'none'})")
+                ns = np.asarray(ev["numSensors"], dtype=int)
                 dfield = str(sub.pop("sensor data file", ""))
+                if dfield not in ev:
+                    raise ValueError(
+                        f"sensor data field {dfield!r} not among the "
+                        f"mesh element variables {sorted(ev)}")
                 sub.pop("sensor points file")
                 pts, data = [], []
                 for e in np.nonzero(ns > 0)[0]:

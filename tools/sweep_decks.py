@@ -32,6 +32,12 @@ from gold_utils import parse_gold  # noqa: E402
 
 _REG = "/root/reference/regression"
 
+# decks where a sub-1e-7 gold line is the REFERENCE's own solver noise
+# and a strictly-smaller result is accepted (droptest's t=0 IC
+# projection residue); the acceptance is deck-scoped so a bug that
+# collapses a solution toward zero elsewhere still flags as MISMATCH
+BETTER_OK = {"shallowwater/droptest"}
+
 # documented deltas vs the reference (see tests/test_deck_parity.py and
 # STATUS.md): decks where this implementation intentionally differs
 KNOWN_DELTAS = {
@@ -61,15 +67,15 @@ def run_deck(deck):
         for y in sorted(glob.glob(f"{_REG}/{deck}/input*.yaml")):
             cfg = load_input_deck(y)
             res = make_problem(cfg).run()
-            outs.append(_compare(res, sorted(set(gold))))
+            outs.append(_compare(res, sorted(set(gold)), deck))
         bad = [o for o in outs if o["status"] != "MATCH"]
         return bad[0] if bad else outs[0]
     cfg = load_input_deck(master)
     res = make_problem(cfg).run()
-    return _compare(res, gold)
+    return _compare(res, gold, deck)
 
 
-def _compare(res, gold):
+def _compare(res, gold, deck=""):
     hist = res.error_history
     if not hist:
         return {"status": "ERROR", "detail": "no error history"}
@@ -84,7 +90,7 @@ def _compare(res, gold):
         if got is None:
             bad.append(f"missing ({kind},{var})@t={t}")
             continue
-        better = got <= val and val < 1e-7  # beats solver-noise gold
+        better = (deck in BETTER_OK and got <= val and val < 1e-7)
         if not (better or np.isclose(got, val, rtol=2e-4, atol=1e-10)):
             bad.append(f"({kind},{var})@t={t}: got {got:.6g} "
                        f"gold {val:.6g}")
