@@ -10,6 +10,26 @@ def test_dryrun_multichip_8():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_after_backend_init():
+    """The driver condition that failed rounds 1-2: jax is ALREADY
+    imported and a backend initialized before dryrun_multichip is
+    called. The subprocess isolation must make this irrelevant."""
+    import jax
+
+    jax.devices()  # force backend initialization in this process
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(4)
+
+
+def test_dryrun_multichip_ignores_hostile_env(monkeypatch):
+    """Env pointing at a broken TPU must be scrubbed by the subprocess
+    launcher (the r02 failure was a version-skewed libtpu client)."""
+    monkeypatch.setenv("JAX_PLATFORMS", "tpu")
+    monkeypatch.setenv("TPU_LIBRARY_PATH", "/nonexistent/libtpu.so")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(2)
+
+
 def test_sharded_step_matches_single_device():
     import __graft_entry__ as ge
     from mrhyde_tpu.assembly.assembler import TimeCoeffs

@@ -3,7 +3,9 @@ compare its printed error norms to mrhyde.gold.
 
 Usage: python tools/sweep_decks.py [filter-substring ...]
 
-Produces /tmp/sweep_results.json: {deck: {"status": ..., "detail": ...}}
+Produces tools/sweep_results.json: {deck: {"status": ..., "detail": ...}}
+keyed by the git tree state ("_code_key"); a cache produced by different
+code is discarded, and cached ERROR/TIMEOUT entries are always re-run.
 status: MATCH (all gold lines within rtol), MISMATCH, NO_GOLD_LINES
 (gold has no error-norm lines -- optimization/gradient decks), ERROR
 (exception), TIMEOUT handled by the caller.
@@ -25,7 +27,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+_ROOT = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(_ROOT, "tests"))
+sys.path.insert(0, _ROOT)
 import numpy as np  # noqa: E402
 
 from gold_utils import parse_gold  # noqa: E402
@@ -112,6 +116,22 @@ def _alarm(_sig, _frm):
     raise TimeoutError("deck timeout")
 
 
+def _code_key():
+    """Cache key for the current code state: HEAD sha + a hash of the
+    working-tree diff, so any edit (committed or not) busts the cache."""
+    import hashlib
+    import subprocess
+    try:
+        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=_ROOT,
+                              capture_output=True, text=True).stdout.strip()
+        diff = subprocess.run(["git", "diff", "HEAD", "--", "mrhyde_tpu",
+                               "native", "tools", "tests/gold_utils.py"],
+                              cwd=_ROOT, capture_output=True).stdout
+        return head + "+" + hashlib.sha256(diff).hexdigest()[:12]
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def main():
     signal.signal(signal.SIGALRM, _alarm)
     filters = sys.argv[1:]
@@ -122,12 +142,21 @@ def main():
     decks.sort()
     if filters:
         decks = [d for d in decks if any(f in d for f in filters)]
-    out_path = "/tmp/sweep_results.json"
+    out_path = os.path.join(_ROOT, "tools", "sweep_results.json")
+    key = _code_key()
     results = {}
     if os.path.exists(out_path):
-        results = json.load(open(out_path))
+        cached = json.load(open(out_path))
+        if cached.get("_code_key") == key:
+            results = cached
+        else:
+            print(f"cache stale (code changed); re-running all decks",
+                  flush=True)
+    results["_code_key"] = key
     for deck in decks:
-        if deck in results and not filters:
+        prev = results.get(deck)
+        if (prev and not filters
+                and prev["status"] not in ("ERROR", "TIMEOUT")):
             continue
         print(f"=== {deck}", flush=True)
         limit = int(os.environ.get("SWEEP_DECK_TIMEOUT", "900"))
@@ -146,7 +175,9 @@ def main():
         print(f"    {results[deck]['status']}", flush=True)
         json.dump(results, open(out_path, "w"), indent=1)
     counts = {}
-    for v in results.values():
+    for k, v in results.items():
+        if k == "_code_key":
+            continue
         counts[v["status"]] = counts.get(v["status"], 0) + 1
     print(json.dumps(counts))
 
