@@ -57,8 +57,10 @@ def ns_solve_bench():
     @jax.jit
     def newton_solve(u):
         def step(u, _):
-            r = asm.residual(u, tc, None)
-            J = asm.jacobian(u, tc, None)
+            # production path: fused Pallas res+jac when the problem
+            # qualifies on this backend (same call the deck driver's
+            # Newton loop makes)
+            r, J = asm.res_and_jac(u, tc, None)
             apply_fn = asm.matfree_apply_fn(J)
             dinv = 1.0 / J.diag()
             du = gmres_fixed(apply_fn, -r, m=40,
@@ -116,20 +118,12 @@ def assembly_bench():
 
     inner = int(os.environ.get("BENCH_INNER", "100"))
 
-    # production fast path: the fused Pallas assembly kernel (one
-    # device op for gather -> qp loop -> scatter parts + jac blocks).
-    # The GENERIC kernel (ops/fused_p1.py: any qp-density physics,
-    # multi-variable, 2D/3D) is preferred; the handwritten thermal
-    # kernel remains as fallback.
-    fused = None
-    if os.environ.get("BENCH_FUSED", "1") == "1":
-        from mrhyde_tpu.ops.fused_p1 import FusedP1Assembly
-        fk = FusedP1Assembly.build(asm)
-        if fk is None or not fk.available():
-            from mrhyde_tpu.ops.fused_assembly import FusedThermalAssembly
-            fk = FusedThermalAssembly.build(asm)
-        if fk is not None and fk.available():
-            fused = fk
+    # measure the PRODUCTION entry point — Assembler.res_and_jac — the
+    # same call the deck driver's Newton loop makes. On TPU it selects
+    # the generic fused Pallas kernel (ops/fused_p1.py) automatically;
+    # BENCH_FUSED=0 forces the general vmapped path for comparison.
+    if os.environ.get("BENCH_FUSED", "1") == "0":
+        asm.__dict__["_fused_cache"] = (None, False)
 
     from functools import partial
 
@@ -139,12 +133,8 @@ def assembly_bench():
         # reflects device throughput, not host dispatch
         def body(carry, _):
             u = carry
-            if fused is not None:
-                r, vol = fused.res_jac(u, tc, None)
-            else:
-                r = asm.residual(u, tc, None)
-                vol = asm.jacobian(u, tc, None).vol
-            u = u + 1e-12 * (r + vol.sum() * 0)
+            r, J = asm.res_and_jac(u, tc, None)
+            u = u + 1e-12 * (r + J.vol.sum() * 0)
             return u, None
         u, _ = jax.lax.scan(body, u, None, length=length)
         return jnp.sum(u)
@@ -169,11 +159,22 @@ def assembly_bench():
     n_elem = asm.lids.shape[0]
     nd = asm.lids.shape[1]
     gdofs = n_elem * nd / dt / 1e9
+
+    # HBM roofline: unavoidable traffic per assembly = 3 node-grid
+    # input slabs (u, beta_u, beta_t) + residual parts (nd*E) + element
+    # Jacobian blocks (nd^2*E), at itemsize bytes, against the v5e HBM
+    # bandwidth (~819 GB/s). roofline_frac = floor_time / measured_time
+    # (1.0 = memory-bound speed of light).
+    itemsize = jnp.zeros(0).dtype.itemsize
+    bytes_per = (3 * p.n_dof + nd * n_elem + nd * nd * n_elem) * itemsize
+    hbm_bw = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
+    floor = bytes_per / hbm_bw
     print(json.dumps({
         "metric": "element_jacobian_assembly",
         "value": round(gdofs, 4),
         "unit": "GDOF/s",
         "vs_baseline": round(gdofs / 1.0, 4),
+        "roofline_frac": round(floor / dt, 3),
     }))
 
 

@@ -11,7 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from mrhyde_tpu.analysis.forward_ad import DifferentiableForward
-from mrhyde_tpu.analysis.optimization import check_gradient, lbfgs_solve
+from mrhyde_tpu.analysis.optimization import check_gradient, lbfgs_solve  # noqa: F401 (lbfgs kept for library use)
+from mrhyde_tpu.analysis.trust_region import rol_fd_check
 from mrhyde_tpu.analysis.uq import UQManager, kde, rejection_sampling
 
 __all__ = ["AnalysisManager"]
@@ -218,7 +219,12 @@ class AnalysisManager:
         return {}
 
     def rol_solve(self, verbose=0):
-        """Bound-constrained L-BFGS optimization over active params."""
+        """ROL-semantics trust-region optimization over active params
+        (reference: analysisManager.cpp:417-630 ROLSolve -> ROL
+        TrustRegionStep; trajectory tables reproduce the regression
+        golds to print precision — see analysis/trust_region.py)."""
+        from mrhyde_tpu.analysis.trust_region import (TRSettings,
+                                                      trust_region_solve)
         p = self.problem
         pm = p.param_manager
         rol_cfg = self.cfg.get("ROL", self.cfg.get("ROL2", {})) or {}
@@ -240,25 +246,54 @@ class AnalysisManager:
             g = {k: v2 for k, v2 in g.items() if k not in extra}
             return float(v), np.asarray(pm.flatten(g))
 
+        def value_only(xflat):
+            pvec = pm.unflatten(jnp.asarray(xflat))
+            pvec.update(extra)
+            return float(dfwd.objective(pvec))
+
         x0 = np.asarray(pm.flatten(pm.pvec()))
         if gen_cfg.get("Do grad+hessvec check", False) or \
                 gen_cfg.get("check gradient", False):
-            errs = check_gradient(vag, x0, verbose=verbose)
-            if max(errs) > 1e-5:
+            if gen_cfg.get("FD Check Use Ones Vector", False):
+                d = np.ones_like(x0)
+            else:
+                rng = np.random.RandomState(
+                    int(gen_cfg.get("FD Check Seed", 1)))
+                d = rng.uniform(-1.0, 1.0, size=x0.shape) \
+                    * float(gen_cfg.get("FD Scale", 1.0))
+            errs = rol_fd_check(vag, value_only, x0, d)
+            if min(errs) > 1e-3 * max(1.0, abs(vag(x0)[0])):
                 raise AssertionError(f"gradient check failed: {errs}")
         bounds = None
         if gen_cfg.get("Bound Optimization Variables", False) or \
                 gen_cfg.get("bound constraints", False):
             bounds = pm.bounds()
-        result = lbfgs_solve(
-            vag, x0, bounds=bounds,
-            maxiter=int(st_cfg.get(
+
+        settings = TRSettings.from_rol(rol_cfg)
+        if "Iteration Limit" not in (rol_cfg.get("Status Test", {})
+                                     or {}):
+            settings.maxiter = int(st_cfg.get(
                 "Iteration Limit",
                 st_cfg.get("Maximum Number of Iterations",
-                           st_cfg.get("max iterations", 100)))),
-            gtol=float(st_cfg.get("Gradient Tolerance", 1e-8)),
-            ftol=float(st_cfg.get("Step Tolerance", 1e-14)),
-            verbose=verbose)
+                           st_cfg.get("max iterations", 100))))
+            settings.gtol = float(st_cfg.get("Gradient Tolerance", 1e-8))
+            settings.stol = float(st_cfg.get("Step Tolerance", 1e-14))
+
+        lines = []
+
+        def out(msg):
+            lines.append(msg)
+            print(msg)
+
+        result = trust_region_solve(vag, x0, settings, bounds=bounds,
+                                    out=out, value_only=value_only)
+        if gen_cfg.get("Write Final Parameters", False):
+            # reference: analysisManager.cpp:577-584 reprints ROL's
+            # captured output and the final OptVector
+            for ln in lines:
+                print(ln)
+            for i, v in enumerate(np.asarray(result.x).ravel()):
+                print(f"param {i} = {v:g}")
         pm.update(pm.unflatten(result.x))
         return result
 

@@ -595,6 +595,46 @@ class Assembler:
             r = r + self.multiscale.residual_contribution(u_st, tc, pvec)
         return jnp.where(self.fixed, 0.0, r)
 
+    def _fused_provider(self):
+        """Lazily-built fused Pallas assembly (ops/fused_p1.py), the
+        production fast path on TPU — the analog of the reference's
+        basis-database fast path being its production assembly
+        (assemblyManager.cpp:2356-2510). Returns (fused, interpret) or
+        (None, _). Built on first solve so late-attached state
+        (var_bcs, multiscale, field params) is respected.
+
+        Engagement policy: real (compiled) mode whenever the default
+        backend is TPU; on CPU only when MRHYDE_FUSED=1 (interpret mode
+        unrolls the tile grid at trace time — parity tests cover it,
+        but it is far too slow for production CPU runs).
+        """
+        if "_fused_cache" not in self.__dict__:
+            import os
+            backend = jax.default_backend()
+            interpret = backend != "tpu"
+            if interpret and os.environ.get("MRHYDE_FUSED") != "1":
+                self.__dict__["_fused_cache"] = (None, interpret)
+            else:
+                from mrhyde_tpu.ops.fused_p1 import FusedP1Assembly
+                f = FusedP1Assembly.build(self)
+                if f is not None and not f.available(interpret):
+                    f = None
+                self.__dict__["_fused_cache"] = (f, interpret)
+        return self.__dict__["_fused_cache"]
+
+    def res_and_jac(self, u_st, tc: TimeCoeffs, pvec=None):
+        """(residual, BlockJacobian) in one pass — the Newton-loop
+        entry point. Uses the fused Pallas kernel when the problem
+        qualifies (uniform structured p1 HGRAD quad/hex, qp-density
+        physics, scalar-only params), else the general vmapped path."""
+        fused, interpret = self._fused_provider()
+        if fused is not None and all(
+                jnp.ndim(v) == 0 for v in (pvec or {}).values()):
+            self.fused_active = True
+            return fused.jacobian(u_st, tc, pvec, interpret=interpret)
+        return (self.residual(u_st, tc, pvec),
+                self.jacobian(u_st, tc, pvec))
+
     def jacobian(self, u_st, tc: TimeCoeffs, pvec=None) -> BlockJacobian:
         """Element-block Jacobian d(residual)/d(u_stage)."""
         u_e, bu_e, bt_e = self._gathered(u_st, tc, self.lids)

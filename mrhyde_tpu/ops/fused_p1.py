@@ -159,9 +159,20 @@ class FusedP1Assembly:
     # ------------------------------------------------------------------
 
     def _tile_sizes(self, interpret):
+        """(tiles, kdims): tile shape and the element grid padded up to
+        tile multiples. Dims need NOT divide the tile — pad elements
+        (zero node values, out-of-domain coords) are computed and their
+        outputs sliced away at scatter time, so any mesh size
+        qualifies; the pad overhead is bounded by one tile per axis."""
         dims = self.dims
+
+        def pad_up(d, t):
+            return -(-d // t) * t
+
         if interpret:
-            return tuple(min(d, 4) for d in dims)
+            tiles = tuple(min(d, 4) for d in dims)
+            return tiles, tuple(pad_up(d, t) for d, t in
+                                zip(dims, tiles))
         # VMEM budget: the kernel holds ~nd^2 Jacobian accumulator
         # tiles (plus T/D derivative tiles of similar total size), so
         # the tile element count must scale down as nd grows —
@@ -170,24 +181,22 @@ class FusedP1Assembly:
         budget = (2 << 20) // 4
         if self.dim == 2:
             ti = 64
-            while ti > 1 and (dims[0] % ti
-                              or self.nd * self.nd * ti * 128 > budget):
+            while ti > 1 and self.nd * self.nd * ti * 128 > budget:
                 ti //= 2
-            if ti == 0 or dims[0] % ti or dims[1] % 128:
+            if self.nd * self.nd * ti * 128 > budget:
                 return None
-            return (ti, 128)
-        t0 = 4
-        while t0 > 1 and (dims[0] % t0
-                          or self.nd * self.nd * t0 * 8 * 128 > budget):
-            t0 //= 2
-        ti = 8
-        while ti > 1 and (dims[1] % ti
-                          or self.nd * self.nd * t0 * ti * 128 > budget):
-            ti //= 2
-        if t0 == 0 or ti == 0 or dims[0] % t0 or dims[1] % ti \
-                or dims[2] % 128:
-            return None
-        return (t0, ti, 128)
+            tiles = (ti, 128)
+        else:
+            t0 = 4
+            while t0 > 1 and self.nd * self.nd * t0 * 8 * 128 > budget:
+                t0 //= 2
+            ti = 8
+            while ti > 1 and self.nd * self.nd * t0 * ti * 128 > budget:
+                ti //= 2
+            if self.nd * self.nd * t0 * ti * 128 > budget:
+                return None
+            tiles = (t0, ti, 128)
+        return tiles, tuple(pad_up(d, t) for d, t in zip(dims, tiles))
 
     def available(self, interpret=False):
         return self._tile_sizes(interpret) is not None
@@ -386,7 +395,7 @@ class FusedP1Assembly:
         """(residual (n_dof,), jac blocks SoA (nd*nd,) + grid)."""
         asm = self.asm
         dims = self.dims
-        tiles = self._tile_sizes(interpret)
+        tiles, kdims = self._tile_sizes(interpret)
         dtype = u.dtype
         pvec = {k: v for k, v in (pvec or {}).items()
                 if jnp.ndim(v) == 0}
@@ -397,13 +406,15 @@ class FusedP1Assembly:
 
         grid_nodes = tuple(d + 1 for d in dims)
         ng = int(np.prod(grid_nodes))
-        # stacked node grids, padded to the DMA slab granularity
-        pads = [d + 1 for d in dims]
-        pads[-1] = dims[-1] + 128
+        # stacked node grids, padded to the DMA slab granularity over
+        # the tile-rounded element grid (kdims >= dims; pad elements
+        # see zero node values and are discarded at scatter)
+        pads = [k + 1 for k in kdims]
+        pads[-1] = kdims[-1] + 128
         if len(pads) >= 2:
-            pads[-2] = dims[-2] + 8
+            pads[-2] = kdims[-2] + 8
         for k in range(len(pads) - 2):
-            pads[k] = dims[k] + 1
+            pads[k] = kdims[k] + 1
 
         def grids(vec):
             gs = []
@@ -417,16 +428,15 @@ class FusedP1Assembly:
 
         gu, gbu, gbt = grids(u), grids(tc.beta_u), grids(tc.beta_t)
         nd = self.nd
-        grid = tuple(d // t for d, t in zip(dims, tiles))
-        zeros_idx = (0,) * self.dim
+        grid = tuple(k // t for k, t in zip(kdims, tiles))
 
         def omap(*pids):
             return (0,) + pids
 
         res_spec = pl.BlockSpec((nd,) + tiles, omap)
         jac_spec = pl.BlockSpec((nd * nd,) + tiles, omap)
-        out_shape = [jax.ShapeDtypeStruct((nd,) + dims, dtype),
-                     jax.ShapeDtypeStruct((nd * nd,) + dims, dtype)]
+        out_shape = [jax.ShapeDtypeStruct((nd,) + kdims, dtype),
+                     jax.ShapeDtypeStruct((nd * nd,) + kdims, dtype)]
         hbm = pl.BlockSpec(memory_space=pltpu.ANY)
         res_out, jac_out = pl.pallas_call(
             self._kernel(tiles, dtype, names),
@@ -437,6 +447,11 @@ class FusedP1Assembly:
             out_shape=out_shape,
             interpret=interpret,
         )(scal, gu, gbu, gbt)
+
+        # discard the tile-rounding pad elements
+        real = tuple(slice(0, d) for d in dims)
+        res_out = res_out[(slice(None),) + real]
+        jac_out = jac_out[(slice(None),) + real]
 
         # node scatter: one pad-add per (var, corner)
         r = jnp.zeros(asm.n_dof, dtype=dtype)

@@ -138,6 +138,39 @@ class ObjectiveManager:
             if s.otype == "sensors" and s.sensor_points is not None:
                 eids, refs = locate_points(disc.mesh, s.sensor_points)
                 self._sensor_setup[s.name] = (eids, refs)
+        # Virtual MPI ranks for 'integrated response' targets. The
+        # reference squares the (local_response - target) misfit PER
+        # RANK and sums across ranks (postprocessManager.cpp:1961-2033:
+        # totaldiff[r] holds the rank-local integral, :2031-2032 applies
+        # weight*(diff)^2 before the global REDUCE_SUM at :2417), so
+        # under `mpiexec -n 4` — how every regression gold was made —
+        # J = sum_r w*(R_r - T)^2 with the inline mesh split into 4
+        # x-strips (meshInterface.cpp:54-55: Xprocs=comm size,
+        # Yprocs=1). We reproduce that decomposition with virtual
+        # ranks; set "integrated response ranks": 1 for the serial
+        # semantics.
+        self.n_virtual_ranks = 4
+        self._strip_masks = None
+
+    def _strips(self, wts):
+        """One-hot (R, E) masks assigning elements to virtual-rank
+        x-strips (equal-width in x, matching the reference's inline
+        Xprocs decomposition)."""
+        if self._strip_masks is None:
+            nr = int(self.n_virtual_ranks)
+            ip = np.asarray(self.disc.ip)            # (E, Q, dim)
+            cx = ip[:, :, 0].mean(axis=1)
+            xmin, xmax = float(cx.min()), float(cx.max())
+            if nr <= 1 or xmax - xmin < 1e-14:
+                self._strip_masks = jnp.ones((1, cx.shape[0]))
+            else:
+                idx = np.minimum(
+                    (nr * (cx - xmin) / (xmax - xmin + 1e-300))
+                    .astype(int), nr - 1)
+                masks = np.zeros((nr, cx.shape[0]))
+                masks[idx, np.arange(cx.shape[0])] = 1.0
+                self._strip_masks = jnp.asarray(masks)
+        return self._strip_masks
 
     def sensor_responses(self, u, time, pvec=None) -> dict:
         """name -> (S,) response values at each sensor point (for
@@ -205,11 +238,14 @@ class ObjectiveManager:
                     if s.response is not None else \
                     self.fm.evaluate(expr, ctx, "ip")
                 vals = jnp.broadcast_to(vals, wts.shape)
-                integ = jnp.sum(vals * wts)
                 if s.otype == "integrated response":
-                    total = total + s.weight * (integ - s.target) ** 2
+                    # per-virtual-rank misfit (see _strips docstring)
+                    per_elem = jnp.sum(vals * wts, axis=1)
+                    integ_r = self._strips(wts) @ per_elem      # (R,)
+                    total = total + s.weight * jnp.sum(
+                        (integ_r - s.target) ** 2)
                 else:
-                    total = total + s.weight * integ
+                    total = total + s.weight * jnp.sum(vals * wts)
             elif s.otype == "sensors":
                 eids, refs = self._sensor_setup[s.name]
                 ctx = PointFieldContext(self.disc, eids, refs,

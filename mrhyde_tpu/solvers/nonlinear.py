@@ -53,8 +53,7 @@ def _newton_step_fn(assembler, linear_method, linear_tol, linear_maxiter,
                 precond_variant = "schwarz"
 
         def step(u, tc, pvec):
-            r = assembler.residual(u, tc, pvec)
-            J = assembler.jacobian(u, tc, pvec)
+            r, J = assembler.res_and_jac(u, tc, pvec)
             pfn = (assembler.__dict__["_mg_hierarchy"].preconditioner(J)
                    if mg_variant else None)
             du, info = solve_linear_info(

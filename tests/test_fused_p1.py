@@ -26,6 +26,23 @@ def _compare(p, tc, tol=1e-11):
     assert float(jnp.max(jnp.abs(J_f - J_ref))) < tol
 
 
+def test_thermal_2d_nondivisible_dims_matches_general():
+    """Mesh dims that do NOT divide the tile: the kernel pads the
+    element grid to tile multiples and discards pad-element output."""
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 6, "NY": 5},
+        "Functions": {"thermal source": "sin(2*pi*x)*sin(2*pi*y)",
+                      "thermal diffusion": "1.0 + 0.5*x*y"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+    })
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    _compare(p, tc)
+
+
 def test_thermal_2d_matches_general():
     p = Problem({
         "Mesh": {"dimension": 2, "element type": "quad",
