@@ -44,15 +44,58 @@ def _dense_rowfix(J):
     return A
 
 
-def make_stage_solver(assembler, *, tol=1e-10, maxiter=10):
+def _gmres_restarted(matvec, b, *, m, restarts, precond):
+    """Restarted GMRES(m) as a fixed-shape scan (jit-stable trip
+    count; each cycle refines x against the true residual)."""
+    from mrhyde_tpu.solvers.krylov import gmres_fixed
+
+    def cycle(x, _):
+        r = b - matvec(x)
+        dx = gmres_fixed(matvec, r, m=m, precond=precond)
+        return x + dx, None
+
+    x0 = jnp.zeros_like(b)
+    x, _ = jax.lax.scan(cycle, x0, None, length=restarts)
+    return x
+
+
+def make_stage_solver(assembler, *, tol=1e-10, maxiter=10,
+                      linear="auto", dense_cutoff=4096, gmres_m=60,
+                      gmres_restarts=5):
     """Returns stage_solve(z0, tc, pvec, g) -> z with exact custom VJP.
 
     g: Dirichlet values vector (only entries at fixed dofs used).
     pvec: dict of active scalar parameters (differentiable).
-    The forward Newton runs a fixed-shape lax.while_loop with a dense
-    direct solve (regression-scale; swap for Krylov at scale).
+
+    Linear solves inside the implicit function: dense direct at
+    regression scale (exact, matches golds to print precision), and
+    MATRIX-FREE restarted GMRES with Jacobi preconditioning on
+    BlockJacobian.apply / apply_rowfix_T above `dense_cutoff` dofs —
+    the reference runs its adjoint through the full Belos stack
+    (solverManager.cpp:1181, 1387-1460); here the same Krylov solver
+    serves forward and transposed solves without ever materializing
+    the Jacobian (O(n) memory, inversion at scale).
+    linear: "auto" | "dense" | "iterative".
     """
     fixed = assembler.fixed
+    use_dense = (linear == "dense") or (
+        linear == "auto" and assembler.n_dof <= dense_cutoff)
+
+    def solve_fwd(J, r):
+        if use_dense:
+            return jnp.linalg.solve(J.dense(), -r)
+        dinv = 1.0 / J.diag()
+        return _gmres_restarted(J.apply, -r, m=gmres_m,
+                                restarts=gmres_restarts,
+                                precond=lambda v: dinv * v)
+
+    def solve_adj(J, zbar):
+        if use_dense:
+            return jnp.linalg.solve(_dense_rowfix(J).T, zbar)
+        dinv = 1.0 / J.diag()
+        return _gmres_restarted(J.apply_rowfix_T, zbar, m=gmres_m,
+                                restarts=gmres_restarts,
+                                precond=lambda v: dinv * v)
 
     def newton(z0, tc, pvec, g):
         # fixed-trip scan with a convergence freeze (not a while_loop,
@@ -64,7 +107,7 @@ def make_stage_solver(assembler, *, tol=1e-10, maxiter=10):
             r = assembler.residual(z, tc, pvec)
             live = jnp.linalg.norm(r) > tol
             J = assembler.jacobian(z, tc, pvec)
-            du = jnp.linalg.solve(J.dense(), -r)
+            du = solve_fwd(J, r)
             return jnp.where(live, z + du, z), None
 
         z, _ = jax.lax.scan(body, z0, None, length=maxiter)
@@ -81,8 +124,7 @@ def make_stage_solver(assembler, *, tol=1e-10, maxiter=10):
     def bwd(resids, zbar):
         z, tc, pvec = resids
         J = assembler.jacobian(z, tc, pvec)
-        A = _dense_rowfix(J)
-        lam = jnp.linalg.solve(A.T, zbar)
+        lam = solve_adj(J, zbar)
         lam_free = jnp.where(fixed, 0.0, lam)
         _, vjp_fn = jax.vjp(
             lambda tc_, p_: assembler.residual(z, tc_, p_), tc, pvec)

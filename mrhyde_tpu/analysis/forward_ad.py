@@ -34,8 +34,17 @@ class DifferentiableForward:
                  newton_maxiter=10):
         self.problem = problem
         self.objective_fn = objective_fn
+        sc = problem.solver_cfg
+        linear = "auto"
+        if sc.get("use direct solver", False):
+            linear = "dense"
+        elif sc.get("matrix free", False):
+            linear = "iterative"
         self.stage_solve = make_stage_solver(
-            problem.assembler, tol=newton_tol, maxiter=newton_maxiter)
+            problem.assembler, tol=newton_tol, maxiter=newton_maxiter,
+            linear=linear,
+            gmres_m=int(sc.get("max linear iters", 60)),
+            gmres_restarts=int(sc.get("linear solver restarts", 5)))
         sc = problem.solver_cfg
         self.mode = sc.get("solver", "steady-state")
         self.t0 = float(sc.get("initial time", 0.0))

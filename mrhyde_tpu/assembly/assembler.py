@@ -99,6 +99,36 @@ class BlockJacobian:
                 lids, self.n_dof)
         return jnp.where(self.fixed, v, out)
 
+    def _apply_raw(self, v):
+        out = self._gather_sum(
+            jnp.einsum("eij,ej->ei", self.vol, v[self.vol_lids]))
+        for blocks, lids in zip(self.bnd, self.bnd_lids):
+            out = out + _scatter_vec(
+                jnp.einsum("eij,ej->ei", blocks, v[lids]),
+                lids, self.n_dof)
+        return out
+
+    def _apply_raw_T(self, v):
+        out = self._gather_sum(
+            jnp.einsum("eij,ei->ej", self.vol, v[self.vol_lids]))
+        for blocks, lids in zip(self.bnd, self.bnd_lids):
+            out = out + _scatter_vec(
+                jnp.einsum("eij,ei->ej", blocks, v[lids]),
+                lids, self.n_dof)
+        return out
+
+    def apply_rowfix(self, v):
+        """A v with A = identity Dirichlet ROWS but LIVE columns —
+        the adjoint-consistent operator (free rows keep their
+        dependence on fixed dofs; see analysis/adjoint.py)."""
+        return jnp.where(self.fixed, v, self._apply_raw(v))
+
+    def apply_rowfix_T(self, v):
+        """A^T v for the row-fixed operator above."""
+        vm = jnp.where(self.fixed, 0.0, v)
+        out = self._apply_raw_T(vm)
+        return out + jnp.where(self.fixed, v, 0.0)
+
     def diag(self):
         d = self._gather_sum(_block_diag(self.vol))
         for blocks, lids in zip(self.bnd, self.bnd_lids):
