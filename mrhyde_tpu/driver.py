@@ -100,10 +100,52 @@ def load_input_deck(path: str) -> dict:
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv or argv[0] in ("-h", "--help"):
-        print("usage: mrhyde-tpu <input.yaml> [--profile] [--fp64] [--cpu]")
+        print("usage: mrhyde-tpu <input.yaml> [--profile] [--fp64] "
+              "[--cpu] [--shards N]")
         return 0
     path = argv[0]
     opts = set(argv[1:])
+
+    if os.environ.get("_MRHYDE_SHARDS_CHILD") == "1":
+        # the re-exec'd child must stay on the virtual-device CPU
+        # backend even if a site hook re-pins the platform list
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    shards = 0
+    rest = argv[1:]
+    for i, a in enumerate(rest):
+        if a == "--shards" and i + 1 < len(rest):
+            shards = int(rest[i + 1])
+        elif a.startswith("--shards="):
+            shards = int(a.split("=", 1)[1])
+    if shards > 1 and os.environ.get("_MRHYDE_SHARDS_CHILD") != "1":
+        # a real multi-chip platform with >= N devices is used as-is;
+        # otherwise re-exec with N virtual host devices provisioned
+        # BEFORE jax initializes (importing mrhyde_tpu already pulled
+        # in jax, so an env flag in this process is too late)
+        import jax
+        if "--cpu" in opts:
+            jax.config.update("jax_platforms", "cpu")
+        have = 0
+        for plat in (None, "cpu"):
+            try:
+                have = max(have, len(jax.devices(plat)))
+            except RuntimeError:
+                pass
+        if have < shards:
+            import subprocess
+            env = {k: v for k, v in os.environ.items()
+                   if not any(t in k.upper() for t in
+                              ("TPU", "PJRT", "JAX", "AXON"))}
+            env["_MRHYDE_SHARDS_CHILD"] = "1"
+            env["JAX_PLATFORMS"] = "cpu"
+            env["XLA_FLAGS"] = (
+                os.environ.get("XLA_FLAGS", "")
+                + f" --xla_force_host_platform_device_count={shards}")
+            return subprocess.call(
+                [sys.executable, "-m", "mrhyde_tpu.driver"] + list(argv),
+                env=env)
 
     if "--cpu" in opts:
         import jax
@@ -116,6 +158,8 @@ def main(argv=None):
     from mrhyde_tpu.utils.profiling import timer_report, timed
 
     cfg = load_input_deck(path)
+    if shards:
+        cfg.setdefault("Solver", {})["shards"] = shards
     verbosity = int(cfg.get("verbosity", 0))
 
     with timed("driver::total"):

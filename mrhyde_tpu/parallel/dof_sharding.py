@@ -196,12 +196,12 @@ class DofShardedStep:
 
     def __init__(self, assembler, mesh: Mesh, axis: str = "dp",
                  cg_iters: int = 25):
-        if assembler.field_params:
+        if assembler.field_params and assembler._active_bnd_groups():
             raise NotImplementedError(
-                "discretized field params under DOF sharding")
-        if getattr(assembler, "module_masks", None) is not None:
-            raise NotImplementedError(
-                "per-block physics under DOF sharding")
+                "discretized field params on active boundary groups "
+                "under DOF sharding")
+        if assembler.multiscale is not None:
+            raise NotImplementedError("multiscale under DOF sharding")
         self.asm = assembler
         self.mesh = mesh
         self.axis = axis
@@ -309,6 +309,55 @@ class DofShardedStep:
         self._perm_bwd = [(i + 1, i) for i in range(S - 1)]
         self._jit_cache = {}
 
+        # per-shard element gather for the traced per-element extra
+        # channel (field-param qp values, per-block module masks):
+        # global (E, ...) arrays -> (S, emax, ...), pad rows -> index E
+        E = np.asarray(assembler.lids).shape[0]
+        eg = np.full((S, p.emax), E, dtype=np.int64)
+        for s in range(S):
+            ne = cuts[s + 1] - cuts[s]
+            eg[s, :ne] = np.arange(cuts[s], cuts[s + 1])
+        self.egather = put(eg)
+
+        # owned-dof gather/scatter for traced global <-> sharded
+        # conversion (pad -> trash index n_dof)
+        own_idx = np.full((S, p.nmax), p.n_dof, dtype=np.int64)
+        for s, o in enumerate(p.owned):
+            own_idx[s, :len(o)] = o
+        self.own_idx = put(own_idx)
+
+    # ---- traced global <-> sharded conversion ------------------------
+
+    def gather_global(self, vec):
+        """(n_dof,) traced global vector -> (S, nmax) owned slices
+        (sharded by constraint when run under jit on the mesh)."""
+        vp = jnp.concatenate([vec, jnp.zeros(1, dtype=vec.dtype)])
+        out = vp[self.own_idx]
+        return jax.lax.with_sharding_constraint(
+            out, NamedSharding(self.mesh, P(self.axis)))
+
+    def scatter_global(self, arr):
+        """(S, nmax) owned slices -> (n_dof,) traced global vector."""
+        return jax.ops.segment_sum(
+            jnp.where(self.valid, arr, 0.0).ravel(),
+            self.own_idx.ravel(), num_segments=self.part.n_dof + 1
+        )[:-1]
+
+    def _extra_chunk(self, pvec):
+        """Per-element extra channel chunked to (S, emax, ...)."""
+        extra = self.asm._field_param_values(pvec)
+        if not extra:
+            return None
+        eg = self.egather
+
+        def gath(a):
+            a = jnp.asarray(a)
+            ap = jnp.concatenate(
+                [a, jnp.zeros((1,) + a.shape[1:], dtype=a.dtype)])
+            return ap[eg]
+
+        return {k: gath(v) for k, v in extra.items()}
+
     # ---- SPMD building blocks (run inside shard_map, block shapes) ---
 
     def _halo_gather(self, u_own, send_next, send_prev):
@@ -336,7 +385,7 @@ class DofShardedStep:
     def _elem_arrays(self, blk):
         """Unpack one shard's blocks (leading dim 1 from shard_map)."""
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, garrs) = blk
+         ip, wts, bg, wsc, extra, garrs) = blk
         sq = lambda x: x[0]
         lids, signs, ip = sq(lids), sq(signs), sq(ip)
         u, bu, bt = sq(u), sq(bu), sq(bt)
@@ -347,13 +396,14 @@ class DofShardedStep:
             bg = jax.tree_util.tree_map(sq, bg)
         else:
             wsc = sq(wsc)
+        extra = jax.tree_util.tree_map(sq, extra)
         garrs = jax.tree_util.tree_map(sq, garrs)
         return (u, bu, bt, lids, signs, send_next, send_prev, fixed,
-                valid, ip, wts, bg, wsc, garrs)
+                valid, ip, wts, bg, wsc, extra, garrs)
 
     def _local_res_jac(self, tc, pvec, blk, want_jac=True):
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, garrs) = self._elem_arrays(blk)
+         ip, wts, bg, wsc, extra, garrs) = self._elem_arrays(blk)
         ext_u = self._halo_gather(u, send_next, send_prev)
         ext_bu = self._halo_gather(bu, send_next, send_prev)
         ext_bt = self._halo_gather(bt, send_next, send_prev)
@@ -369,11 +419,13 @@ class DofShardedStep:
                 * wsc[:, None]
         else:
             wts_e, gax = wts, 0
-        res_e = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, gax))(
-            ue, bue, bte, wts_e, ip, bg)
+        extra_v = extra if extra else None
+        eax = 0 if extra_v is not None else None
+        res_e = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, gax, eax))(
+            ue, bue, bte, wts_e, ip, bg, extra_v)
         jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
-                         in_axes=(0, 0, 0, 0, 0, gax))(
-            ue, bue, bte, wts_e, ip, bg) if want_jac else None
+                         in_axes=(0, 0, 0, 0, 0, gax, eax))(
+            ue, bue, bte, wts_e, ip, bg, extra_v) if want_jac else None
         res_e = res_e * signs
         if want_jac:
             jac_e = jac_e * signs[:, :, None] * signs[:, None, :]
@@ -408,23 +460,26 @@ class DofShardedStep:
         return r, (jac_e, bnd_jacs), (lids, signs, send_next, send_prev,
                                       fixed, valid)
 
-    def _make_blk(self, u, bu, bt):
+    def _make_blk(self, u, bu, bt, extra=None):
         garrs = tuple(ga for _, ga in self._groups)
         return (u, bu, bt, self.lids, self.signs, self.send_next,
                 self.send_prev, self.fixed, self.valid, self.g_ip,
                 self.g_wts, self.g_bg,
                 self.e_wscale if self.uniform
-                else jnp.zeros((self.part.n_shards, 1)), garrs)
+                else jnp.zeros((self.part.n_shards, 1)),
+                extra if extra is not None else {}, garrs)
 
-    def _in_specs(self):
+    def _in_specs(self, extra=None):
         sh, rp = P(self.axis), P()
         wts_spec = rp if self.uniform else sh
         bg_spec = jax.tree_util.tree_map(
             lambda _: (rp if self.uniform else sh), self.g_bg)
+        ex_spec = jax.tree_util.tree_map(
+            lambda _: sh, extra if extra is not None else {})
         g_spec = tuple(jax.tree_util.tree_map(lambda _: sh, ga)
                        for _, ga in self._groups)
         return (sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, wts_spec,
-                bg_spec, sh, g_spec)
+                bg_spec, sh, ex_spec, g_spec)
 
     # ---- public API ---------------------------------------------------
 
@@ -436,23 +491,134 @@ class DofShardedStep:
         z = jnp.zeros(0, dtype=jnp.asarray(tc.alpha_u).dtype)
         return dataclasses.replace(tc, beta_u=z, beta_t=z)
 
+    def _extra_struct(self, pvec):
+        """Static key set of the extra channel for given pvec keys
+        (mirrors Assembler._field_param_values without evaluating)."""
+        keys = []
+        axes = "xyz"[: self.asm.disc.mesh.dim]
+        for name, fp in self.asm.field_params.items():
+            if pvec and name in pvec:
+                keys.append(name)
+                if "gphi" in fp:
+                    keys += [f"grad({name})[{c}]" for c in axes]
+        if getattr(self.asm, "module_masks", None) is not None:
+            keys.append("__blockmask")
+        return tuple(sorted(keys)) or None
+
     def residual_fn(self, pvec=None):
         """Jitted sharded residual: (u_sh, bu_sh, bt_sh, tc) -> r_sh.
         tc's beta vectors are ignored (pass them sharded as bu/bt)."""
         key = ("res", id(pvec) if pvec else None)
         if key not in self._jit_cache:
+            extra0 = self._extra_chunk(pvec or {})
+
             def f(tc_, *blk):
                 r, _, _ = self._local_res_jac(tc_, pvec, blk,
                                               want_jac=False)
                 return r[None]
 
             smapped = _shard_map(
-                f, self.mesh, in_specs=(P(),) + self._in_specs(),
+                f, self.mesh, in_specs=(P(),) + self._in_specs(extra0),
                 out_specs=P(self.axis))
             self._jit_cache[key] = jax.jit(
                 lambda u, bu, bt, tc_: smapped(
-                    self._strip_tc(tc_), *self._make_blk(u, bu, bt)))
+                    self._strip_tc(tc_),
+                    *self._make_blk(u, bu, bt,
+                                    self._extra_chunk(pvec or {}))))
         return self._jit_cache[key]
+
+    def _build_apply_diag(self, jac_e, bnd_jacs, idx):
+        """Matrix-free J-apply + Jacobi diagonal from local blocks."""
+        (lids, signs, send_next, send_prev, fixed, valid) = idx
+
+        def apply(v):
+            vm = jnp.where(fixed, 0.0, v)
+            ext_v = self._halo_gather(vm, send_next, send_prev)
+            seg = jax.ops.segment_sum(
+                jnp.einsum("eij,ej->ei", jac_e, ext_v[lids]).ravel(),
+                lids.ravel(), num_segments=self.part.ext_len)
+            for jac_b, glids in bnd_jacs:
+                seg = seg + jax.ops.segment_sum(
+                    jnp.einsum("eij,ej->ei", jac_b,
+                               ext_v[glids]).ravel(),
+                    glids.ravel(), num_segments=self.part.ext_len)
+            av = self._halo_reduce(seg, send_next, send_prev)
+            return jnp.where(fixed, v, jnp.where(valid, av, 0.0))
+
+        dseg = jax.ops.segment_sum(
+            jnp.diagonal(jac_e, axis1=1, axis2=2).ravel(),
+            lids.ravel(), num_segments=self.part.ext_len)
+        for jac_b, glids in bnd_jacs:
+            dseg = dseg + jax.ops.segment_sum(
+                jnp.diagonal(jac_b, axis1=1, axis2=2).ravel(),
+                glids.ravel(), num_segments=self.part.ext_len)
+        diag = self._halo_reduce(dseg, send_next, send_prev)
+        dinv = jnp.where(fixed | ~valid, 1.0,
+                         1.0 / jnp.where(diag == 0, 1.0, diag))
+        return apply, dinv
+
+    @staticmethod
+    def _cg(apply, b, dinv, dot, iters):
+        x = jnp.zeros_like(b)
+        rr = b
+        z = dinv * rr
+        pv = z
+
+        def body(_, st):
+            x, rr, z, pv = st
+            Ap = apply(pv)
+            den = dot(pv, Ap)
+            alpha = dot(rr, z) / jnp.where(den == 0, 1.0, den)
+            x1 = x + alpha * pv
+            r1 = rr - alpha * Ap
+            z1 = dinv * r1
+            num = dot(rr, z)
+            beta = dot(r1, z1) / jnp.where(num == 0, 1.0, num)
+            return (x1, r1, z1, z1 + beta * pv)
+
+        x, *_ = jax.lax.fori_loop(0, iters, body, (x, rr, z, pv))
+        return x
+
+    @staticmethod
+    def _gmres(apply, b, dinv, dot, m, restarts):
+        """SPMD GMRES(m) with `restarts` cycles: scan Arnoldi with
+        psum-backed inner products (same algorithm as
+        solvers/krylov.gmres_fixed; dot products cross the mesh)."""
+        M = lambda v: dinv * v
+
+        def norm(v):
+            return jnp.sqrt(dot(v, v))
+
+        def cycle(x, _):
+            r0 = b - apply(x)
+            beta = norm(r0)
+            scale = jnp.where(beta > 0, beta, 1.0)
+            n = b.shape[0]
+            V0 = jnp.zeros((m + 1, n), b.dtype).at[0].set(r0 / scale)
+            H0 = jnp.zeros((m + 1, m), b.dtype)
+
+            def body(carry, j):
+                V, H = carry
+                w = apply(M(V[j]))
+                hcol = jax.vmap(lambda v: dot(v, w))(V)
+                mask = (jnp.arange(m + 1) <= j)
+                hcol = jnp.where(mask, hcol, 0.0)
+                w = w - hcol @ V
+                hnorm = norm(w)
+                safe = jnp.where(hnorm > 0, hnorm, 1.0)
+                V = V.at[j + 1].set(w / safe)
+                hcol = hcol.at[j + 1].set(hnorm)
+                H = H.at[:, j].set(hcol)
+                return (V, H), None
+
+            (V, H), _ = jax.lax.scan(body, (V0, H0), jnp.arange(m))
+            g = jnp.zeros(m + 1, b.dtype).at[0].set(beta)
+            y, *_ = jnp.linalg.lstsq(H, g)
+            return x + M(y @ V[:m]), None
+
+        x0 = jnp.zeros_like(b)
+        x, _ = jax.lax.scan(cycle, x0, None, length=restarts)
+        return x
 
     def newton_cg_step_fn(self, pvec=None):
         """Full implicit step: assemble J,r; Jacobi-CG solve; update.
@@ -461,69 +627,107 @@ class DofShardedStep:
         if key in self._jit_cache:
             return self._jit_cache[key]
         axis = self.axis
+        extra0 = self._extra_chunk(pvec or {})
 
         def f(tc_, *blk):
-            r, (jac_e, bnd_jacs), (lids, signs, send_next, send_prev,
-                                   fixed, valid) = \
+            r, (jac_e, bnd_jacs), idx = \
                 self._local_res_jac(tc_, pvec, blk)
-
-            def apply(v):
-                vm = jnp.where(fixed, 0.0, v)
-                ext_v = self._halo_gather(vm, send_next, send_prev)
-                seg = jax.ops.segment_sum(
-                    jnp.einsum("eij,ej->ei", jac_e, ext_v[lids]).ravel(),
-                    lids.ravel(), num_segments=self.part.ext_len)
-                for jac_b, glids in bnd_jacs:
-                    seg = seg + jax.ops.segment_sum(
-                        jnp.einsum("eij,ej->ei", jac_b,
-                                   ext_v[glids]).ravel(),
-                        glids.ravel(), num_segments=self.part.ext_len)
-                av = self._halo_reduce(seg, send_next, send_prev)
-                return jnp.where(fixed, v, jnp.where(valid, av, 0.0))
-
-            dseg = jax.ops.segment_sum(
-                jnp.diagonal(jac_e, axis1=1, axis2=2).ravel(),
-                lids.ravel(), num_segments=self.part.ext_len)
-            for jac_b, glids in bnd_jacs:
-                dseg = dseg + jax.ops.segment_sum(
-                    jnp.diagonal(jac_b, axis1=1, axis2=2).ravel(),
-                    glids.ravel(), num_segments=self.part.ext_len)
-            diag = self._halo_reduce(dseg, send_next, send_prev)
-            dinv = jnp.where(fixed | ~valid, 1.0,
-                             1.0 / jnp.where(diag == 0, 1.0, diag))
+            apply, dinv = self._build_apply_diag(jac_e, bnd_jacs, idx)
+            valid = idx[5]
 
             def dot(a, b):
-                return jax.lax.psum(jnp.sum(jnp.where(valid, a * b, 0.0)),
-                                    axis)
+                return jax.lax.psum(
+                    jnp.sum(jnp.where(valid, a * b, 0.0)), axis)
 
-            b = -r
-            x = jnp.zeros_like(b)
-            rr = b
-            z = dinv * rr
-            pv = z
-
-            def body(_, st):
-                x, rr, z, pv = st
-                Ap = apply(pv)
-                den = dot(pv, Ap)
-                alpha = dot(rr, z) / jnp.where(den == 0, 1.0, den)
-                x1 = x + alpha * pv
-                r1 = rr - alpha * Ap
-                z1 = dinv * r1
-                num = dot(rr, z)
-                beta = dot(r1, z1) / jnp.where(num == 0, 1.0, num)
-                return (x1, r1, z1, z1 + beta * pv)
-
-            x, *_ = jax.lax.fori_loop(0, self.cg_iters, body,
-                                      (x, rr, z, pv))
+            x = self._cg(apply, -r, dinv, dot, self.cg_iters)
             u = blk[0][0]
             rnorm = jnp.sqrt(dot(r, r))
             return (u + x)[None], rnorm
 
         smapped = _shard_map(
-            f, self.mesh, in_specs=(P(),) + self._in_specs(),
+            f, self.mesh, in_specs=(P(),) + self._in_specs(extra0),
             out_specs=(P(axis), P()))
         fn = jax.jit(lambda u, bu, bt, tc_: smapped(
-            self._strip_tc(tc_), *self._make_blk(u, bu, bt)))
+            self._strip_tc(tc_),
+            *self._make_blk(u, bu, bt, self._extra_chunk(pvec or {}))))
+        self._jit_cache[key] = fn
+        return fn
+
+    def residual_arg_fn(self, pvec_struct=()):
+        """Like residual_fn but with pvec as a RUNTIME argument:
+        jitted (u_sh, bu_sh, bt_sh, tc, pvec) -> r_sh."""
+        key = ("res-arg", tuple(pvec_struct))
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        extra_struct = self._extra_struct(dict.fromkeys(pvec_struct))
+
+        def f(tc_, pvec, *blk):
+            r, _, _ = self._local_res_jac(tc_, pvec, blk,
+                                          want_jac=False)
+            return r[None]
+
+        def wrapper(u, bu, bt, tc_, pvec):
+            pvec = pvec or {}
+            extra = self._extra_chunk(pvec)
+            if extra_struct is None:
+                extra = None
+            pv_spec = jax.tree_util.tree_map(lambda _: P(), pvec)
+            smapped = _shard_map(
+                f, self.mesh,
+                in_specs=(P(), pv_spec) + self._in_specs(extra),
+                out_specs=P(self.axis))
+            return smapped(self._strip_tc(tc_), pvec,
+                           *self._make_blk(u, bu, bt, extra))
+
+        fn = jax.jit(wrapper)
+        self._jit_cache[key] = fn
+        return fn
+
+    def newton_du_fn(self, pvec_struct=(), method="cg", iters=25,
+                     gmres_m=40, gmres_restarts=2):
+        """Jitted sharded Newton LINEAR step for the deck driver:
+        (u_sh, bu_sh, bt_sh, tc, pvec) -> (du_sh, |r|). pvec is a
+        RUNTIME argument (dynamic/field params change per stage);
+        pvec_struct = sorted tuple of its keys, the static cache key."""
+        key = ("du", tuple(pvec_struct), method, iters, gmres_m,
+               gmres_restarts)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        axis = self.axis
+        extra_struct = self._extra_struct(dict.fromkeys(pvec_struct))
+
+        def f(tc_, pvec, *blk):
+            r, (jac_e, bnd_jacs), idx = \
+                self._local_res_jac(tc_, pvec, blk)
+            apply, dinv = self._build_apply_diag(jac_e, bnd_jacs, idx)
+            valid = idx[5]
+
+            def dot(a, b):
+                return jax.lax.psum(
+                    jnp.sum(jnp.where(valid, a * b, 0.0)), axis)
+
+            if method == "cg":
+                du = self._cg(apply, -r, dinv, dot, iters)
+            else:
+                du = self._gmres(apply, -r, dinv, dot, gmres_m,
+                                 gmres_restarts)
+            rnorm = jnp.sqrt(dot(r, r))
+            return du[None], rnorm
+
+        def wrapper(u, bu, bt, tc_, pvec):
+            pvec = pvec or {}
+            extra = self._extra_chunk(pvec)
+            if extra_struct is None:
+                extra = None
+            pv_spec = jax.tree_util.tree_map(lambda _: P(), pvec)
+            ex_probe = extra if extra is not None else None
+            smapped = _shard_map(
+                f, self.mesh,
+                in_specs=(P(), pv_spec) + self._in_specs(ex_probe),
+                out_specs=(P(axis), P()))
+            return smapped(self._strip_tc(tc_), pvec,
+                           *self._make_blk(u, bu, bt, extra))
+
+        fn = jax.jit(wrapper)
         self._jit_cache[key] = fn
         return fn

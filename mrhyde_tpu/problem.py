@@ -306,6 +306,13 @@ class Problem:
                 self.disc, self.fm, specs, self.params)
 
         self.solver_cfg = cfg.get("Solver", {}) or {}
+        # deck-level DOF sharding (Solver: shards / CLI --shards /
+        # MRHYDE_SHARDS): route Newton solves through the SPMD path
+        # (parallel/deck_sharded.py) — the mpiexec -n N analog
+        import os as _os
+        self.shards = int(self.solver_cfg.get(
+            "shards", _os.environ.get("MRHYDE_SHARDS", 0)) or 0)
+        self._sharded_newton = None
 
         self.integrated_quantities = None
         if pp_cfg.get("compute integrated quantities", False):
@@ -549,10 +556,26 @@ class Problem:
 
     # ------------------------------------------------------------------
 
+    def _newton_fn(self):
+        """newton_solve or its DOF-sharded drop-in when shards > 1."""
+        if self.shards <= 1:
+            return newton_solve
+        if self._sharded_newton is None:
+            from mrhyde_tpu.parallel.deck_sharded import ShardedNewton
+            self._sharded_newton = ShardedNewton(
+                self.assembler, self.shards,
+                cg_iters=int(self.solver_cfg.get("max linear iters",
+                                                 200)),
+                gmres_m=int(self.solver_cfg.get("gmres restart length",
+                                                60)),
+                gmres_restarts=int(self.solver_cfg.get(
+                    "linear solver restarts", 4)))
+        return self._sharded_newton
+
     def solve_steady(self, record=True, pvec=None, u0=None) -> ForwardResult:
         u0 = self.initial_state() if u0 is None else jnp.asarray(u0)
         tc = TimeCoeffs.steady(self.n_dof, dtype=u0.dtype)
-        result = newton_solve(
+        result = self._newton_fn()(
             self.assembler, u0, tc, pvec,
             tol=float(self.solver_cfg.get("nonlinear TOL", 1e-6)),
             abstol=float(self.solver_cfg.get("absolute nonlinear TOL",
@@ -603,6 +626,7 @@ class Problem:
         bdf = int(sc.get("transient BDF order", 1))
         integ = TransientIntegrator(
             assembler=self.assembler,
+            newton_fn=(None if self.shards <= 1 else self._newton_fn()),
             tableau=tab,
             bdf_order=bdf,
             startup_tableau=sc.get("transient startup Butcher tableau",

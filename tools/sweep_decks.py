@@ -61,7 +61,7 @@ def run_deck(deck):
 
     gold = parse_gold(f"{_REG}/{deck}/mrhyde.gold")
     if not gold:
-        return {"status": "NO_GOLD_LINES"}
+        return run_rol_deck(deck)
     master = f"{_REG}/{deck}/input.yaml"
     if not os.path.exists(master):
         # multi-input decks (thermal/2D_LinearSolvers): every
@@ -77,6 +77,55 @@ def run_deck(deck):
     cfg = load_input_deck(master)
     res = make_problem(cfg).run()
     return _compare(res, gold, deck)
+
+
+# trajectory-deck deltas documented in tests/test_rol_trajectory_gold.py
+KNOWN_ROL_DELTAS = {
+    "cdr/2D_source_inversion":
+        "gold predates the reference's cdr SUPG-term removal "
+        "(cdr.cpp:48,82); pinned at current-semantics values",
+    "thermal/2d_gradient_check_ms":
+        "deck's input_rol2.yaml edited after gold generation (gold + "
+        "its tst.out show IR=1e2 unbounded; deck now IR=0.1 bounded); "
+        "also ~5% multiscale-gradient model delta",
+    "le/2d_sparse_simul_inversion":
+        "Kelley-Sachs counters/flags/radii exact; smoothed values "
+        "differ ~5% (model delta at non-initial points)",
+}
+
+
+def run_rol_deck(deck):
+    """Optimization/inversion decks: compare the printed ROL
+    trust-region trajectory tables numerically against the gold."""
+    import contextlib
+    import io
+
+    from gold_utils import assert_rol_matches, parse_rol_output
+
+    from mrhyde_tpu.analysis.manager import AnalysisManager
+    from mrhyde_tpu.driver import load_input_deck
+    from mrhyde_tpu.problem import make_problem
+
+    gold_path = f"{_REG}/{deck}/mrhyde.gold"
+    if not parse_rol_output(open(gold_path).read())["tables"]:
+        return {"status": "NO_GOLD_LINES"}
+    cwd = os.getcwd()
+    buf = io.StringIO()
+    try:
+        os.chdir(f"{_REG}/{deck}")
+        cfg = load_input_deck("input.yaml")
+        with contextlib.redirect_stdout(buf):
+            p = make_problem(cfg)
+            result = AnalysisManager(p).run()
+    finally:
+        os.chdir(cwd)
+    try:
+        n = assert_rol_matches(buf.getvalue(), gold_path,
+                               final_params=getattr(result, "x", None))
+        return {"status": "TRAJ_MATCH", "n_rows": int(n)}
+    except AssertionError as e:
+        return {"status": "TRAJ_MISMATCH",
+                "detail": str(e).splitlines()[0][:300]}
 
 
 def _compare(res, gold, deck=""):
@@ -108,6 +157,10 @@ def _compare(res, gold, deck=""):
 def _finalize(deck, out):
     if out["status"] == "MISMATCH" and deck in KNOWN_DELTAS:
         return {"status": "KNOWN_DELTA", "reason": KNOWN_DELTAS[deck],
+                "detail": out.get("detail")}
+    if out["status"] == "TRAJ_MISMATCH" and deck in KNOWN_ROL_DELTAS:
+        return {"status": "KNOWN_DELTA",
+                "reason": KNOWN_ROL_DELTAS[deck],
                 "detail": out.get("detail")}
     return out
 
