@@ -716,11 +716,15 @@ class Assembler:
                     out.append(g)
                     break
                 if bct == "Dirichlet":
-                    # natural Dirichlet: vars without trace dofs (HVOL
-                    # in mixed methods) get a boundary integral instead
+                    # natural Dirichlet: vars without trace CONTINUITY
+                    # (HVOL / broken -DG pressures in mixed methods)
+                    # get a boundary integral instead of a row fix
                     vdm = self.disc.dofmap.var(v)
-                    if not any(vdm.basis.side_dofs(s)
-                               for s in range(self.disc.topo.n_side)):
+                    vsp = getattr(vdm.basis, "space", "")
+                    broken = vsp.endswith("-DG") or vsp == "HVOL"
+                    if broken or not any(
+                            vdm.basis.side_dofs(s)
+                            for s in range(self.disc.topo.n_side)):
                         out.append(g)
                         break
         return out

@@ -259,19 +259,37 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
         n_faces, elem_faces, face_flip = _face_numbering(mesh)
 
     n_cell_dofs = sum(1 for k, _ in ents if k == "cell")
+    only_cell = n_cell_dofs == basis.ndof
     eldofs = np.zeros((n_elem, basis.ndof), dtype=np.int64)
     signs = np.ones((n_elem, basis.ndof))
     coords = mesh.nodes[mesh.conn]                 # (E, nc, dim)
     dof_coords = None
     scalar_trace = getattr(basis, "space", "") == "HFACE"
-    cell_k = 0
+    # dofs per edge (arbitrary-order bases carry several, listed
+    # CONSECUTIVELY in traversal order; a flipped element uses the
+    # reversed within-edge index — symmetric node sets make this exact)
+    npe = max((sum(1 for k, i in ents if k == "edge" and i == e)
+               for e in range(len(topo.edges))), default=1) or 1
+    edge_sub = {}
+    # continuous entity dofs first, element-interior dofs after
+    cell_base = (n_faces if need_faces else n_edges * npe)
+    cell_seen = 0
     for j, (kind, idx) in enumerate(ents):
         if kind == "cell":
-            # broken/DG dofs: element-local, never shared
-            eldofs[:, j] = np.arange(n_elem) * n_cell_dofs + idx
+            if only_cell:
+                # broken/DG dofs: element-local, never shared
+                eldofs[:, j] = np.arange(n_elem) * n_cell_dofs + idx
+            else:
+                eldofs[:, j] = (cell_base
+                                + np.arange(n_elem) * n_cell_dofs
+                                + cell_seen)
+                cell_seen += 1
             continue
         if kind == "edge":
-            eldofs[:, j] = elem_edges[:, idx]
+            s = edge_sub.get(idx, 0)
+            edge_sub[idx] = s + 1
+            sub = np.where(edge_flip[:, idx], npe - 1 - s, s)
+            eldofs[:, j] = elem_edges[:, idx] * npe + sub
             # global convention: lower global node id -> higher;
             # local direction disagrees where edge_flip is set
             if not scalar_trace:
@@ -290,10 +308,11 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
                 # reversed vs the (periodic-root) global face's normal
                 signs[:, j] = (np.sign(np.einsum("ed,ed->e", n_loc, n_glob))
                                * np.where(face_flip[:, idx], -1.0, 1.0))
-    if n_cell_dofs:
+    if only_cell and n_cell_dofs:
         n_dof = n_elem * n_cell_dofs
     else:
-        n_dof = n_faces if need_faces else n_edges
+        n_dof = ((n_faces if need_faces else n_edges * npe)
+                 + n_elem * n_cell_dofs)
     # dof coords = facet/element centroids (for Dirichlet data etc.)
     dof_coords = np.zeros((n_dof, topo.dim))
     for j, (kind, idx) in enumerate(ents):

@@ -368,6 +368,9 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
         # factory, discretizationInterface.cpp:400-415)
         order = 1
     topo = cell_topology(cell)
+    if order >= 2 and space.replace("-DG", "") in ("HDIV", "HCURL") \
+            and cell in ("quad", "tri"):
+        _ensure_order(cell, space.replace("-DG", ""), order)
     if space.endswith("-DG") and space != "HFACE":
         # broken (element-local) spaces: all dofs are cell dofs
         key = (cell, space[:-3], order)
@@ -377,10 +380,16 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
         ents = tuple(("cell", k) for k in range(n))
         return VectorBasis(cell=cell, space=space, order=order,
                            ndof=n, dof_entity=ents)
+    if space in ("HDIV", "HCURL") and order >= 2 \
+            and cell in ("quad", "tri"):
+        ents = _GEN_ENTS[(cell, space, order)]
+        return VectorBasis(cell=cell, space=space, order=order,
+                           ndof=len(ents), dof_entity=ents)
     if space != "HFACE" and order != 1:
         raise NotImplementedError(
             f"continuous {space} order {order} (orientation-folded "
-            "numbering implemented for lowest order only)")
+            "numbering implemented for quad/tri at any order and "
+            "lowest order elsewhere)")
     if space == "HDIV":
         if topo.dim == 2:
             ents = tuple(("edge", i) for i in range(len(topo.edges)))
@@ -411,3 +420,303 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
         raise NotImplementedError(f"{space} on {cell}")
     return VectorBasis(cell=cell, space=space, order=1, ndof=len(ents),
                        dof_entity=ents)
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-order bases (reference: Intrepid2 HDIV/HCURL_QUAD/TRI_In,
+# discretizationInterface.cpp:354-430 serves any order; orientations
+# :1263). Construction is NODAL so orientation folding stays a
+# permutation + sign per shared edge (fem/dofmap.py):
+#
+# - quad: tensor-product Lagrange lattices. RT[n]: v_x in Q_{n,n-1}
+#   (x-nodes: endpoints + interior Gauss; y-nodes: n Gauss), v_y
+#   mirrored. Edge dofs = v.n_out at the n Gauss points ordered along
+#   the topo edge traversal; interior dofs = component values at
+#   interior lattice points. Nedelec[n] is the 90-degree rotation
+#   (edge dofs = v.t along the traversal).
+# - tri: monomial span (P_{k-1})^2 (+) x~ P~_{k-1} with nodal
+#   functionals, inverted numerically (generalized Vandermonde).
+#
+# Symmetric edge-node sets make the flip rule exact: the reversed
+# element indexes dof (n-1-i) and flips the sign (normal/tangent
+# reversal), matching the lowest-order sign convention.
+# ---------------------------------------------------------------------------
+
+
+def _gauss_nodes(n):
+    return np.polynomial.legendre.leggauss(n)[0] if n > 0 else \
+        np.zeros(0)
+
+
+@lru_cache(maxsize=None)
+def _lagrange_coef(nodes_key):
+    """Monomial coefficients (n_nodes, n_nodes) of the Lagrange basis
+    on the given 1D nodes: L_a(x) = sum_p C[a, p] x^p."""
+    nodes = np.asarray(nodes_key)
+    V = np.vander(nodes, increasing=True)        # V[i, p] = x_i^p
+    return np.linalg.inv(V).T                    # rows = basis funcs
+
+
+def _poly_eval(C, x, deriv=0):
+    """Evaluate Lagrange rows of C (from _lagrange_coef) at x."""
+    n = C.shape[1]
+    p = np.arange(n)
+    if deriv == 0:
+        X = x[None, :] ** p[:, None]             # (n, npts)
+        return C @ X
+    fac = p.copy().astype(float)
+    X = np.zeros((n, x.shape[0]))
+    X[1:] = x[None, :] ** (p[:-1][:, None])
+    return (C * fac[None, :]) @ X
+
+
+def _quad_node_sets(n):
+    """(N, E): the (n+1)-point 'normal' set incl. endpoints and the
+    n-point Gauss 'tangential' set, both symmetric."""
+    interior = _gauss_nodes(n - 1)
+    N = np.concatenate([[-1.0], interior, [1.0]])
+    E = _gauss_nodes(n)
+    return tuple(N), tuple(E)
+
+
+def _hdiv_quad_order_n(n):
+    """Closed-form RT[n] on the reference quad; returns
+    (eval, div, dof_entity). Edge dof order follows topo.edges
+    traversal; interior dofs after."""
+    Nk, Ek = _quad_node_sets(n)
+    N = np.asarray(Nk)
+    E = np.asarray(Ek)
+    CN = _lagrange_coef(Nk)
+    CE = _lagrange_coef(Ek)
+    nN, nE = len(N), len(E)
+
+    # dof table: list of ("x"|"y" component, a_idx, b_idx, scale)
+    # where v_x = LN_a(x) LE_b(y), v_y = LE_a(x) LN_b(y)
+    dofs = []
+    ents = []
+    # edges: ((0,1) bottom y=-1, (1,2) right x=+1, (2,3) top y=+1,
+    # (3,0) left x=-1); traversal directions: bottom +x, right +y,
+    # top -x, left -y; outward normals (0,-1),(1,0),(0,1),(-1,0)
+    for i in range(nE):                       # bottom: v.n = -v_y
+        dofs.append(("y", i, 0, -1.0))
+        ents.append(("edge", 0))
+    for i in range(nE):                       # right: v.n = +v_x
+        dofs.append(("x", nN - 1, i, 1.0))
+        ents.append(("edge", 1))
+    for i in range(nE):                       # top (-x traversal)
+        dofs.append(("y", nE - 1 - i, nN - 1, 1.0))
+        ents.append(("edge", 2))
+    for i in range(nE):                       # left (-y traversal)
+        dofs.append(("x", 0, nE - 1 - i, -1.0))
+        ents.append(("edge", 3))
+    for a in range(1, nN - 1):                # interior v_x
+        for b in range(nE):
+            dofs.append(("x", a, b, 1.0))
+            ents.append(("cell", len(ents)))
+    for a in range(nE):                       # interior v_y
+        for b in range(1, nN - 1):
+            dofs.append(("y", a, b, 1.0))
+            ents.append(("cell", len(ents)))
+
+    def ev(p, deriv=False):
+        x, y = p[:, 0], p[:, 1]
+        LNx = _poly_eval(CN, x)
+        LNy = _poly_eval(CN, y)
+        LEx = _poly_eval(CE, x)
+        LEy = _poly_eval(CE, y)
+        dLNx = _poly_eval(CN, x, 1)
+        dLNy = _poly_eval(CN, y, 1)
+        out_v = np.zeros((len(dofs), p.shape[0], 2))
+        out_d = np.zeros((len(dofs), p.shape[0]))
+        for k, (comp, a, b, s) in enumerate(dofs):
+            if comp == "x":
+                out_v[k, :, 0] = s * LNx[a] * LEy[b]
+                out_d[k] = s * dLNx[a] * LEy[b]
+            else:
+                out_v[k, :, 1] = s * LEx[a] * LNy[b]
+                out_d[k] = s * LEx[a] * dLNy[b]
+        return out_d if deriv else out_v
+
+    return (lambda p: ev(p)), (lambda p: ev(p, True)), tuple(ents)
+
+
+def _hcurl_quad_order_n(n):
+    """Nedelec[n] on the reference quad: v_x in Q_{n-1,n},
+    v_y in Q_{n,n-1}; edge dofs = v.t along the traversal."""
+    Nk, Ek = _quad_node_sets(n)
+    CN = _lagrange_coef(Nk)
+    CE = _lagrange_coef(Ek)
+    nN, nE = len(Nk), len(Ek)
+    dofs = []
+    ents = []
+    # v_x = LE_a(x) LN_b(y); v_y = LN_a(x) LE_b(y)
+    for i in range(nE):                       # bottom, t = +x
+        dofs.append(("x", i, 0, 1.0))
+        ents.append(("edge", 0))
+    for i in range(nE):                       # right, t = +y
+        dofs.append(("y", nN - 1, i, 1.0))
+        ents.append(("edge", 1))
+    for i in range(nE):                       # top, t = -x
+        dofs.append(("x", nE - 1 - i, nN - 1, -1.0))
+        ents.append(("edge", 2))
+    for i in range(nE):                       # left, t = -y
+        dofs.append(("y", 0, nE - 1 - i, -1.0))
+        ents.append(("edge", 3))
+    for a in range(nE):                       # interior v_x
+        for b in range(1, nN - 1):
+            dofs.append(("x", a, b, 1.0))
+            ents.append(("cell", len(ents)))
+    for a in range(1, nN - 1):                # interior v_y
+        for b in range(nE):
+            dofs.append(("y", a, b, 1.0))
+            ents.append(("cell", len(ents)))
+
+    def ev(p, curl=False):
+        x, y = p[:, 0], p[:, 1]
+        LNx = _poly_eval(CN, x)
+        LNy = _poly_eval(CN, y)
+        LEx = _poly_eval(CE, x)
+        LEy = _poly_eval(CE, y)
+        dLNx = _poly_eval(CN, x, 1)
+        dLNy = _poly_eval(CN, y, 1)
+        out_v = np.zeros((len(dofs), p.shape[0], 2))
+        out_c = np.zeros((len(dofs), p.shape[0]))
+        for k, (comp, a, b, s) in enumerate(dofs):
+            if comp == "x":
+                out_v[k, :, 0] = s * LEx[a] * LNy[b]
+                out_c[k] = -s * LEx[a] * dLNy[b]    # -d v_x/dy
+            else:
+                out_v[k, :, 1] = s * LNx[a] * LEy[b]
+                out_c[k] = s * dLNx[a] * LEy[b]     # +d v_y/dx
+        return out_c if curl else out_v
+
+    return (lambda p: ev(p)), (lambda p: ev(p, True)), tuple(ents)
+
+
+def _tri_span(space, k):
+    """Monomial span builder for tri RT[k]/Ned[k]: returns
+    (eval_span(p) -> (nsp, npts, 2), dspan(p) -> (nsp, npts))
+    where dspan is div (RT) or scalar curl (Ned)."""
+    polys = [(i, j) for d in range(k) for i in range(d + 1)
+             for j in range(d + 1) if i + j == d]
+
+    def ev(p):
+        x, y = p[:, 0], p[:, 1]
+        cols_v, cols_d = [], []
+        for (i, j) in polys:                   # (m, 0)
+            m = x ** i * y ** j
+            cols_v.append(np.stack([m, 0 * m], -1))
+            cols_d.append(i * x ** max(i - 1, 0) * y ** j
+                          if i else 0 * m)
+        for (i, j) in polys:                   # (0, m)
+            m = x ** i * y ** j
+            cols_v.append(np.stack([0 * m, m], -1))
+            cols_d.append(j * x ** i * y ** max(j - 1, 0)
+                          if j else 0 * m)
+        for i in range(k):                     # x~ * homogeneous(k-1)
+            j = k - 1 - i
+            h = x ** i * y ** j
+            cols_v.append(np.stack([x * h, y * h], -1))
+            # div(x h, y h) = 2h + x hx + y hy = (k+1) h
+            cols_d.append((k + 1) * h)
+        return np.array(cols_v), np.array(cols_d)
+
+    if space == "HDIV":
+        return ev
+
+    def ev_rot(p):                             # Ned = rot(RT)
+        v, d = ev(p)
+        vr = np.stack([-v[:, :, 1], v[:, :, 0]], -1)
+        return vr, d                           # curl(rot w) = div w
+    return ev_rot
+
+
+@lru_cache(maxsize=None)
+def _tri_order_n(space, k):
+    """Vandermonde-built RT[k]/Nedelec[k] on the reference triangle
+    ((0,0),(1,0),(0,1)): k nodal facet dofs per edge (Gauss points
+    along the traversal) + interior component values."""
+    topo = cell_topology("tri")
+    span = _tri_span(space, k)
+    verts = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    g01 = (_gauss_nodes(k) + 1.0) / 2.0        # edge params in (0,1)
+
+    pts = []
+    vecs = []
+    ents = []
+    for e, (a, b) in enumerate(topo.edges):
+        pa, pb = verts[a], verts[b]
+        t = pb - pa
+        # UNNORMALIZED normal/tangent (length = reference edge
+        # measure): pointwise flux/circulation-density functionals are
+        # then Piola-invariant, so two elements mapping the same
+        # physical edge from reference edges of different lengths
+        # (axis vs diagonal on split-quad tris) share one dof value
+        nrm = np.array([t[1], -t[0]])          # outward for ccw tris
+        w = t if space == "HCURL" else nrm
+        for s in g01:
+            pts.append(pa + s * t)
+            vecs.append(w)
+            ents.append(("edge", e))
+    # interior: component values at a strictly-interior lattice of
+    # dim P_{k-2} points
+    n_int = k * (k - 1) // 2
+    if n_int:
+        ip = []
+        d = k - 2
+        for i in range(d + 1):
+            for j in range(d + 1 - i):
+                ip.append([(i + 1) / (d + 3), (j + 1) / (d + 3)])
+        ip = np.array(ip[:n_int])
+        for q in ip:
+            for w in (np.array([1.0, 0.0]), np.array([0.0, 1.0])):
+                pts.append(q)
+                vecs.append(w)
+                ents.append(("cell", len(ents)))
+    pts = np.array(pts)
+    vecs = np.array(vecs)
+
+    sp_v, _ = span(pts)                        # (nsp, ndof_pts, 2)
+    V = np.einsum("snd,nd->ns", sp_v, vecs)    # V[dof, span]
+    assert V.shape[0] == V.shape[1], (space, k, V.shape)
+    cond = np.linalg.cond(V)
+    assert cond < 1e10, f"{space}[{k}] tri Vandermonde cond {cond:.1e}"
+    A = np.linalg.inv(V.T)                     # phi_j = sum_s A[j,s] s
+
+    def ev(p):
+        sv, _ = span(p)
+        return np.einsum("js,snx->jnx", A, sv)
+
+    def dv(p):
+        _, sd = span(p)
+        return A @ sd
+
+    return ev, dv, tuple(ents)
+
+
+# registry of generically-built arbitrary-order bases
+_GEN_ENTS: dict = {}
+
+
+def _ensure_order(cell, space, order):
+    """Build + register the arbitrary-order nodal basis for
+    (cell, space, order) into the _EVAL/_DIV/_CURL tables (overwriting
+    the span-equivalent monomial RT[1] broken basis at
+    (quad, HDIV, 2) — broken spaces only see the span)."""
+    key = (cell, space, order)
+    if key in _GEN_ENTS:
+        return
+    if cell == "quad" and space == "HDIV":
+        ev, dv, ents = _hdiv_quad_order_n(order)
+        _DIV[key] = dv
+    elif cell == "quad" and space == "HCURL":
+        ev, dv, ents = _hcurl_quad_order_n(order)
+        _CURL[key] = dv
+    elif cell == "tri":
+        ev, dv, ents = _tri_order_n(space, order)
+        (_DIV if space == "HDIV" else _CURL)[key] = dv
+    else:
+        raise NotImplementedError(f"{space} order {order} on {cell}")
+    _EVAL[key] = ev
+    _NDOF[key] = len(ents)
+    _GEN_ENTS[key] = ents

@@ -145,7 +145,12 @@ class Problem:
                     continue
                 space = active.get(name, space)
                 order = int(orders.get(name, default_order))
-                if space == "HVOL":
+                if space == "HVOL" and order >= 1:
+                    # higher-order HVOL = broken polynomials (the
+                    # reference's Intrepid2 HVOL_Cn); our HGRAD-DG is
+                    # that space (pairs with RT[n] in p2+ mixed decks)
+                    space = "HGRAD-DG"
+                elif space == "HVOL":
                     order = 0
                 if space in ("HVOL", "HFACE"):
                     variables.append((name, space, max(order, 0)))

@@ -91,8 +91,12 @@ class BoundaryConditions:
                             eff = "weak Dirichlet"
                         self.var_bcs.setdefault(var, {})[ss] = eff
                         if eff == "Dirichlet":
-                            dofs = dofmap.sideset_dofs(var,
-                                                       mesh.sidesets[ss])
+                            vsp = getattr(dofmap.var(var).basis,
+                                          "space", "")
+                            broken = vsp.endswith("-DG") or vsp == "HVOL"
+                            dofs = (np.zeros(0, dtype=np.int64) if broken
+                                    else dofmap.sideset_dofs(
+                                        var, mesh.sidesets[ss]))
                             if dofs.size == 0:
                                 # no trace dofs (HVOL pressure in mixed
                                 # methods): Dirichlet data enters as a
