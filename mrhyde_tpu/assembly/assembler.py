@@ -288,12 +288,17 @@ class Assembler:
             # into the dof numbering); broadcast in the non-uniform case
             hkeys = [k for k in set(disc.basis_keys.values())
                      if k[0] == "HFACE" and k[1] >= 1]
-            if hkeys and disc.mesh.dim == 2:
-                from mrhyde_tpu.fem.vector_basis import hface_side_vals
+            if hkeys:
+                from mrhyde_tpu.fem.vector_basis import (hface_face_vals,
+                                                         hface_side_vals)
                 E = disc.mesh.n_elem
                 hv = {}
                 for k in hkeys:
-                    t = hface_side_vals(k[1], disc.side_pts[:, 0])
+                    if disc.mesh.dim == 2:
+                        t = hface_side_vals(k[1], disc.side_pts[:, 0])
+                    else:
+                        t = hface_face_vals(disc.mesh.cell_type, k[1],
+                                            disc.side_pts)
                     if not self.uniform:
                         t = np.broadcast_to(t, (E,) + t.shape)
                     hv[k] = jnp.asarray(t, dtype=dt)

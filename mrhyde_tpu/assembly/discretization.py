@@ -176,6 +176,17 @@ class Discretization:
                                          fg.ref_pts.shape[0]))
                         full[s] = 1.0
                         bv[key] = full
+                    else:
+                        # 3D order >= 1: lattice trace rows on this side
+                        from mrhyde_tpu.fem.vector_basis import (
+                            hface_face_vals, hface_npf)
+                        npf = hface_npf(mesh.cell_type, key[1])
+                        t = hface_face_vals(mesh.cell_type, key[1],
+                                            s_pts)
+                        full = np.zeros((self.topo.n_side * npf,
+                                         t.shape[1]))
+                        full[s * npf:(s + 1) * npf] = t
+                        bv[key] = full
                     continue
                 if (key[0] in ("HDIV", "HDIV-DG")
                         and mesh.cell_type == "line"):
@@ -255,15 +266,26 @@ class Discretization:
                 vb = get_vector_basis(self.mesh.cell_type, "HFACE",
                                       key[1])
                 n = vb.ndof
-                npe = key[1] + 1 if self.mesh.dim == 2 else 1
+                if self.mesh.dim == 2:
+                    npe = key[1] + 1
+                else:
+                    from mrhyde_tpu.fem.vector_basis import hface_npf
+                    npe = hface_npf(self.mesh.cell_type, key[1])
                 M = np.zeros((self.mesh.n_elem, n, n))
                 if npe == 1:
                     for s in range(n):
                         M[:, s, s] = self.face_wts_all[:, s, :].sum(
                             axis=1)
                     return M
-                from mrhyde_tpu.fem.vector_basis import hface_side_vals
-                tbl = hface_side_vals(key[1], self.side_pts[:, 0])
+                if self.mesh.dim == 2:
+                    from mrhyde_tpu.fem.vector_basis import \
+                        hface_side_vals
+                    tbl = hface_side_vals(key[1], self.side_pts[:, 0])
+                else:
+                    from mrhyde_tpu.fem.vector_basis import \
+                        hface_face_vals
+                    tbl = hface_face_vals(self.mesh.cell_type, key[1],
+                                          self.side_pts)
                 for s in range(n // npe):
                     blk = np.einsum("kq,lq,eq->ekl", tbl, tbl,
                                     self.face_wts_all[:, s, :])

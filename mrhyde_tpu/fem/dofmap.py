@@ -355,6 +355,81 @@ def _build_hface_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     return VarDofMap(name, basis, n_dof, eldofs, dof_coords)
 
 
+def _hface3d_permutation(cell_type: str, order: int, cyc: np.ndarray):
+    """Local facet-lattice index -> canonical (global) lattice index
+    for a face whose corner GLOBAL ids are `cyc` (in the local
+    topo.sides order). The canonical frame starts at the smallest
+    global id; the nodal lattice is invariant under the face symmetry
+    group, so this is a pure permutation (the 3D generalization of the
+    2D edge reversal; reference analog: Intrepid2 OrientationTools)."""
+    n = order
+    if cell_type == "hex":
+        npf = (n + 1) ** 2
+        L = np.array([(0, 0), (n, 0), (n, n), (0, n)])
+        k0 = int(np.argmin(cyc))
+        d = 1 if cyc[(k0 + 1) % 4] < cyc[(k0 - 1) % 4] else -1
+        o = L[k0]
+        e1 = (L[(k0 + d) % 4] - o) // max(n, 1)
+        e2 = (L[(k0 - d) % 4] - o) // max(n, 1)
+        perm = np.zeros(npf, dtype=np.int64)
+        for a in range(n + 1):
+            for b in range(n + 1):
+                p = np.array([a, b]) - o
+                a2 = int(p @ e1)
+                b2 = int(p @ e2)
+                perm[a * (n + 1) + b] = a2 * (n + 1) + b2
+        return perm
+    # tet face (tri): barycentric weight reordering by sorted ids
+    npf = (n + 1) * (n + 2) // 2
+    flat = {}
+    k = 0
+    for i in range(n + 1):
+        for j in range(n + 1 - i):
+            flat[(i, j)] = k
+            k += 1
+    sigma = np.argsort(cyc, kind="stable")       # canonical corner order
+    perm = np.zeros(npf, dtype=np.int64)
+    for (i, j), k in flat.items():
+        m = (n - i - j, i, j)                    # weights on local v0..v2
+        mc = [m[sigma[0]], m[sigma[1]], m[sigma[2]]]
+        perm[k] = flat[(mc[1], mc[2])]
+    return perm
+
+
+def _build_hface3d_var(mesh: Mesh, name: str, basis) -> VarDofMap:
+    """HFACE order >= 1 on hex/tet: npf lattice dofs per mesh face,
+    numbered in each face's canonical frame (smallest-global-id
+    corner origin); every element maps its local lattice index through
+    _hface3d_permutation."""
+    from mrhyde_tpu.fem.vector_basis import _facet_lattice, hface_npf
+    topo = cell_topology(mesh.cell_type)
+    n_elem = mesh.n_elem
+    order = basis.order
+    npf = hface_npf(mesh.cell_type, order)
+    n_faces, elem_faces, _flip = _face_numbering(mesh)
+    n_loc = len(topo.sides)
+    eldofs = np.zeros((n_elem, n_loc * npf), dtype=np.int64)
+    side_cell = "quad" if mesh.cell_type == "hex" else "tri"
+    lat = _facet_lattice(side_cell, order)       # (npf, 2) facet params
+    sgeo = get_basis(side_cell, "HGRAD", 1)
+    lat_sv = sgeo.eval(lat)                      # (n_sc, npf)
+    coords = mesh.nodes[mesh.conn]
+    n_dof = n_faces * npf
+    dof_coords = np.zeros((n_dof, topo.dim))
+    conn = mesh.conn
+    for s in range(n_loc):
+        f = list(topo.sides[s])
+        cycs = conn[:, f]                        # (E, n_sc) global ids
+        # physical lattice points of this face
+        pts = np.einsum("ecd,cq->eqd", coords[:, f, :], lat_sv)
+        for e in range(n_elem):
+            perm = _hface3d_permutation(mesh.cell_type, order, cycs[e])
+            gds = elem_faces[e, s] * npf + perm
+            eldofs[e, s * npf:(s + 1) * npf] = gds
+            dof_coords[gds] = pts[e]
+    return VarDofMap(name, basis, n_dof, eldofs, dof_coords)
+
+
 def _build_dg_scalar_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     """Broken scalar space (HGRAD-DG): every dof is element-local."""
     n_elem = mesh.n_elem
@@ -436,7 +511,10 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
             # order 0 = facet constants; order n = per-facet degree n
             vbasis = get_vector_basis(mesh.cell_type, space,
                                       max(order, 0))
-            if vbasis.order >= 1:
+            topo3d = cell_topology(mesh.cell_type).dim == 3
+            if vbasis.order >= 1 and topo3d:
+                vars_.append(_build_hface3d_var(mesh, name, vbasis))
+            elif vbasis.order >= 1:
                 vars_.append(_build_hface_var(mesh, name, vbasis))
             else:
                 vars_.append(_build_vector_var(mesh, name, vbasis))

@@ -408,10 +408,13 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
                          for i in range(len(topo.edges))
                          for _ in range(npe))
         else:
-            if order > 0:
-                raise NotImplementedError(
-                    "HFACE order >= 1 on 3D cells")
-            ents = tuple(("face", i) for i in range(len(topo.sides)))
+            # order n on hex/tet: npf nodal lattice dofs per face
+            # (reference: src/tools/Intrepid2_HFACE_HEX/TET*.hpp);
+            # cross-element index permutation in fem/dofmap.py
+            npf = hface_npf(cell, order)
+            ents = tuple(("face", i)
+                         for i in range(len(topo.sides))
+                         for _ in range(npf))
         return VectorBasis(cell=cell, space="HFACE", order=order,
                            ndof=len(ents), dof_entity=ents)
     else:
@@ -720,3 +723,64 @@ def _ensure_order(cell, space, order):
     _EVAL[key] = ev
     _NDOF[key] = len(ents)
     _GEN_ENTS[key] = ents
+
+
+# ---------------------------------------------------------------------------
+# HFACE order >= 1 on 3D cells (reference: in-tree
+# src/tools/Intrepid2_HFACE_HEX/TET*.hpp): per-face NODAL 2D polynomial
+# traces. Nodal lattices are invariant under the face symmetry group,
+# so cross-element consistency is a pure index permutation computed
+# from the face corners' GLOBAL ids (fem/dofmap.py
+# _hface3d_permutation) — the 3D generalization of the 2D edge
+# reversal rule.
+# ---------------------------------------------------------------------------
+
+
+def _facet_lattice(side_cell: str, order: int):
+    """Lattice enumeration for the facet nodal basis: list of
+    reference-facet coordinates in OUR canonical flat order."""
+    n = order
+    if side_cell == "quad":
+        xi = np.linspace(-1.0, 1.0, n + 1)
+        return np.array([[xi[a], xi[b]]
+                         for a in range(n + 1) for b in range(n + 1)])
+    # tri: barycentric lattice (i, j), i + j <= n, coords (i/n, j/n)
+    return np.array([[i / n, j / n]
+                     for i in range(n + 1) for j in range(n + 1 - i)])
+
+
+@lru_cache(maxsize=None)
+def _facet_perm_to_lattice(side_cell: str, order: int):
+    """Row permutation taking get_basis(side_cell, HGRAD, order)'s dof
+    order to our lattice order."""
+    from mrhyde_tpu.fem.basis import get_basis
+    b = get_basis(side_cell, "HGRAD", order)
+    lat = _facet_lattice(side_cell, order)
+    perm = []
+    for p in lat:
+        d = np.linalg.norm(b.dof_coords - p[None, :], axis=1)
+        k = int(np.argmin(d))
+        assert d[k] < 1e-10, (side_cell, order, p)
+        perm.append(k)
+    assert len(set(perm)) == len(perm)
+    return np.array(perm)
+
+
+def hface_face_vals(cell_type: str, order: int,
+                    s_pts: np.ndarray) -> np.ndarray:
+    """(npf, Qf) HFACE facet basis values at 3D side params, rows in
+    lattice order (matching the dofmap's canonical global numbering
+    modulo the per-element permutation folded into eldofs)."""
+    from mrhyde_tpu.fem.basis import get_basis
+    side_cell = "quad" if cell_type == "hex" else "tri"
+    if order == 0:
+        return np.ones((1, np.asarray(s_pts).shape[0]))
+    b = get_basis(side_cell, "HGRAD", order)
+    vals = b.eval(np.asarray(s_pts))
+    return vals[_facet_perm_to_lattice(side_cell, order)]
+
+
+def hface_npf(cell_type: str, order: int) -> int:
+    if cell_type == "hex":
+        return (order + 1) ** 2
+    return (order + 1) * (order + 2) // 2
