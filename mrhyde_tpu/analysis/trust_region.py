@@ -217,8 +217,6 @@ def rol_fd_check(value_and_grad, value_only, x0, d, *, n_steps=3,
     """ROL-format finite-difference gradient check (the reference's
     obj->checkGradient, analysisManager.cpp:530-556): forward
     differences at steps 10^0..10^-(n_steps-1) along direction d.
-    ROL prints the table twice — once row-by-row during computation and
-    once as the collected table — and the golds contain both copies.
     Returns the per-step absolute errors."""
     x0 = np.asarray(x0, dtype=float)
     d = np.asarray(d, dtype=float)
@@ -230,16 +228,12 @@ def rol_fd_check(value_and_grad, value_only, x0, d, *, n_steps=3,
         fd = (float(value_only(x0 + t * d)) - float(f0)) / t
         rows.append((t, gd, fd, abs(fd - gd)))
 
-    def table():
-        out("           Step size           grad'*dir"
-            "           FD approx           abs error")
-        out("           ---------           ---------"
-            "           ---------           ---------")
-        for (t, gdir, fd, err) in rows:
-            out(f"{t:20.11e}{gdir:20.11e}{fd:20.11e}{err:20.11e}")
-
-    table()
-    table()
+    out("           Step size           grad'*dir"
+        "           FD approx           abs error")
+    out("           ---------           ---------"
+        "           ---------           ---------")
+    for (t, gdir, fd, err) in rows:
+        out(f"{t:20.11e}{gdir:20.11e}{fd:20.11e}{err:20.11e}")
     return [r[3] for r in rows]
 
 

@@ -1041,19 +1041,25 @@ class MultiscaleModels:
 
     def _vote(self, time):
         """(E,) winner index from usage >= 1 votes at the macro volume
-        qps (ties to the LATER model; assemblyManager.cpp:8091-8110).
+        qps, pooled per virtual MPI-rank x-strip.
 
-        Granularity note: the reference pools votes per WORKSET GROUP
-        ('workset size' contiguous elements). Per-ELEMENT voting is
-        used here because it reproduces MORE of the
-        2D_verification_multiscale_dynamicmultimodel gold than any
-        group-pooled variant tried (per-element matches the t=0/0.1
-        subgrid partitions digit-exactly, which row-chunked,
-        column-chunked, and restart-per-row/column group votes all
-        break); the reference's late-time ownership timeline (Subgrid 2
-        emptying at t=0.2 while Subgrid 1 survives to t=0.3) is not
-        reproducible under ANY contiguous-chunk rule with its stated
-        vote function, so late-step macro errors differ by ~1e-3."""
+        The reference pools votes per (MPI rank x workset GROUP) and
+        picks ONE winner per group — assemblyManager.cpp:8069-8110:
+        sgvotes accumulate over the group's (elem, qp) pairs and the
+        winner is the LAST model with the maximum count. Since the
+        default model's usage '1.0' votes on every qp, a later model
+        wins a group only by UNANIMITY over it. Under `mpiexec -n 4`
+        (how every regression gold was produced) the inline mesh is
+        split into 4 x-strips with the extra columns on the first
+        ranks (meshInterface.cpp:54: Xprocs = comm size), and every
+        workset-size chunk of a strip spans the strip's full x-range,
+        so group granularity reduces to strip granularity. This
+        reproduces the dynamicmultimodel gold's whole ownership
+        timeline (Subgrid 2 emptying at the t=0.1 vote because
+        columns 19-20 of its strip break unanimity; Subgrid 1
+        surviving until the t=0.3 vote) — the round-2 KNOWN_DELTA's
+        late-step divergence was exactly the per-element-vs-strip
+        granularity difference."""
         from mrhyde_tpu.assembly.assembler import PointContext
         problem = self.problem
         ips = jnp.asarray(problem.disc.ip)            # (E, Q, dim)
@@ -1066,13 +1072,43 @@ class MultiscaleModels:
                 problem.fm.evaluate_expr(usage, ctx), ips.shape[:2])
             votes.append(np.asarray(vals >= 1.0).sum(axis=1))
         votes = np.stack(votes)                       # (M, E)
+        strip = self._vote_strips()                   # (E,) strip id
         winner = np.zeros(E, dtype=int)
-        best = np.full(E, -1)
-        for j in range(votes.shape[0]):
-            take = votes[j] >= best
-            winner[take] = j
-            best = np.maximum(best, votes[j])
+        n_strips = int(strip.max()) + 1
+        for s in range(n_strips):
+            sel = strip == s
+            counts = votes[:, sel].sum(axis=1)        # (M,)
+            w = 0
+            best = -1
+            for j in range(counts.shape[0]):
+                if counts[j] >= best:
+                    best = counts[j]
+                    w = j
+            winner[sel] = w
         return winner
+
+    def _vote_strips(self):
+        """(E,) virtual-rank strip id per element: columns (unique
+        centroid x) split into `multiscale vote ranks` chunks, extras
+        on the first chunks (the panzer inline-mesh x decomposition)."""
+        if getattr(self, "_strip_cache", None) is not None:
+            return self._strip_cache
+        mesh = self.problem.mesh
+        nr = int((self.problem.cfg.get("Solver", {}) or {}).get(
+            "multiscale vote ranks", 4))
+        cx = mesh.nodes[mesh.conn].mean(axis=1)[:, 0]
+        cols = np.unique(np.round(cx, 16))
+        E = cx.shape[0]
+        if nr <= 1 or cols.size < nr:
+            self._strip_cache = np.zeros(E, dtype=int)
+            return self._strip_cache
+        col_of = np.searchsorted(cols, np.round(cx, 16))
+        chunks = np.array_split(np.arange(cols.size), nr)
+        strip_of_col = np.zeros(cols.size, dtype=int)
+        for s, ch in enumerate(chunks):
+            strip_of_col[ch] = s
+        self._strip_cache = strip_of_col[col_of]
+        return self._strip_cache
 
     def _projection_maps(self):
         """xfer[k][j]: (nfd_k, nfd_j) L2 projection of model j's fine

@@ -21,6 +21,13 @@ class IncompressibleSaturation(PhysicsModule):
     def __init__(self, settings=None, dim: int = 2):
         super().__init__(settings, dim)
         self.phi = float(self.settings.get("porosity", 0.5))
+        # Peaceman well sources (reference:
+        # incompressibleSaturation.cpp:40-41,88-92 'use well source'
+        # -> wells<EvalT>::addWellSources; same helper as porousMixed)
+        self.wells = None
+        if bool(self.settings.get("use well source", False)):
+            from mrhyde_tpu.physics.wells import Wells
+            self.wells = Wells(self.settings)
 
     def variables(self):
         return [("S", "HGRAD", 1)]
@@ -41,6 +48,8 @@ class IncompressibleSaturation(PhysicsModule):
             vel.append(wk.qp(wk.f("uy")))
         if self.dim > 2:
             vel.append(wk.qp(wk.f("uz")))
-        wk.add_source("S", self.phi * wk.sol_dot("S")
-                      - wk.qp(wk.f("source_S")))
+        src = wk.qp(wk.f("source_S"))
+        if self.wells is not None:
+            src = self.wells.add_sources(src, wk)
+        wk.add_source("S", self.phi * wk.sol_dot("S") - src)
         wk.add_flux("S", -fw[:, None] * jnp.stack(vel, axis=1))

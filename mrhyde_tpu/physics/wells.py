@@ -43,7 +43,12 @@ class Wells:
         """
         if not self.wells:
             return svals
-        p = wk.sol(pvar)
+        # pressure only needed for BHP-driven wells (flow-rate wells —
+        # reference wells.hpp:105-107 — add their rate directly, e.g.
+        # under inc sat where no pressure variable exists)
+        p = wk.sol(pvar) if any(
+            w["type"] in ("production", "injection")
+            for w in self.wells) else None
         h = wk.h
         for w in self.wells:
             loc = jnp.asarray(w["location"][:wk.dim])
@@ -57,6 +62,6 @@ class Wells:
             if w["type"] in ("production", "injection"):
                 q = WI * (w["bottom hole pressure"] - p)
             else:  # rate-controlled
-                q = jnp.full_like(p, w["rate"])
+                q = jnp.full_like(wk.wts, w["rate"])
             svals = svals + q * norm * jnp.sum(wk.wts)
         return svals

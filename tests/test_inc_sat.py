@@ -1,0 +1,75 @@
+"""inc sat (incompressible two-phase saturation transport; reference:
+src/physics/incompressibleSaturation.cpp): manufactured nonlinear
+fractional-flow transport converges, and Peaceman well sources engage
+through 'use well source' (cpp:40-41,88-92)."""
+
+import numpy as np
+import pytest
+
+from mrhyde_tpu.problem import Problem
+
+
+def _cfg(nx, wells=False):
+    # S* = 0.5 + 0.25 sin(2 pi (x - t)), f_w = S, u = (1, 0), phi=0.5:
+    # source = phi S*_t + d/dx (S* * 1)
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": nx, "NY": 4,
+                 "Periodic BCs": {
+                     "periodic condition 1": "y-all 1e-8: left;right"}},
+        "Physics": {"modules": "inc sat", "porosity": 0.5,
+                    "Initial conditions": {
+                        "S": "0.5 + 0.25*sin(2*pi*x)"}},
+        "Functions": {
+            "f_w": "S",
+            "ux": "1.0", "uy": "0.0",
+            "source_S": "(-0.5)*0.25*2*pi*cos(2*pi*(x-t))"
+                        " + (0.5+0.25*sin(2*pi*(x-t)))"
+                        "*0.25*2*pi*cos(2*pi*(x-t))*2.0",
+        },
+        "Discretization": {"order": {"S": 1}, "quadrature": 3},
+        "Solver": {"solver": "transient",
+                   "transient Butcher tableau": "DIRK-2,2",
+                   "final time": 0.1, "number of steps": 20,
+                   "nonlinear TOL": 1e-10},
+        "Postprocess": {"compute errors": True,
+                        "True solutions": {
+                            "S": "0.5 + 0.25*sin(2*pi*(x-t))"}},
+    }
+    if wells:
+        cfg["Physics"]["use well source"] = True
+        cfg["Physics"]["Wells"] = {
+            "w1": {"type": "rate", "rate": 0.3,
+                   "location": [0.5, 0.5], "radius": 0.05}}
+    return cfg
+
+
+def test_manufactured_transport_converges():
+    # source = d/dx[ (0.5 + 0.25 sin) * ... ]; recompute cleanly:
+    # flux F = f_w(S) * u = S, so source = phi S_t + S_x S? NO —
+    # conservation form: phi S_t + div(f_w u) = src with f_w = S:
+    # src = phi*S*_t + dS*/dx
+    errs = []
+    for nx in (16, 32):
+        cfg = _cfg(nx)
+        cfg["Functions"]["source_S"] = \
+            "(-0.5)*0.25*2*pi*cos(2*pi*(x-t))" \
+            " + 0.25*2*pi*cos(2*pi*(x-t))"
+        res = Problem(cfg).run()
+        errs.append(float(res.error_history[-1][1][("L2", "S")]))
+    assert errs[0] < 0.05
+    assert np.log2(errs[0] / errs[1]) > 0.9, errs
+
+
+def test_well_source_engages():
+    import jax.numpy as jnp
+
+    from mrhyde_tpu.assembly.assembler import TimeCoeffs
+
+    p0 = Problem(_cfg(8))
+    pw = Problem(_cfg(8, wells=True))
+    tc = TimeCoeffs.steady(p0.n_dof, dtype=jnp.zeros(0).dtype)
+    u = jnp.full(p0.n_dof, 0.4)
+    r0 = np.asarray(p0.assembler.residual(u, tc, None))
+    rw = np.asarray(pw.assembler.residual(u, tc, None))
+    assert np.abs(rw - r0).max() > 1e-10

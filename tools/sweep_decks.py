@@ -49,9 +49,15 @@ KNOWN_DELTAS = {
         "errors ~100x SMALLER than gold at every step (reference's "
         "explicit/database noise floor); dominance pinned by test",
     "thermal/2D_verification_multiscale_dynamicmultimodel":
-        "per-element usage votes match t=0/0.1 partitions exactly; "
-        "reference's late-step group ownership is not reproducible "
-        "from its documented vote rule (subgrid.py _vote note)",
+        "ownership timeline now reproduced exactly (per-rank-strip "
+        "group voting, assemblyManager.cpp:8069-8110 + "
+        "meshInterface.cpp:54; all Subgrid error rows match incl. the "
+        "model-2/1 emptying steps); macro errors at t>=0.2 differ "
+        "~1e-5 absolute (<=1%) from the model-switch state transfer "
+        "(reference projects the old model's last solution through "
+        "subgrid_projection_solvers at switch time, "
+        "multiscaleManager.cpp:396-407; here every model carries a "
+        "continuously-committed global fine state)",
 }
 
 
@@ -124,8 +130,8 @@ def run_rol_deck(deck):
                                final_params=getattr(result, "x", None))
         return {"status": "TRAJ_MATCH", "n_rows": int(n)}
     except AssertionError as e:
-        return {"status": "TRAJ_MISMATCH",
-                "detail": str(e).splitlines()[0][:300]}
+        detail = (str(e).splitlines() or ["assertion failed"])[0][:300]
+        return {"status": "TRAJ_MISMATCH", "detail": detail}
 
 
 def _compare(res, gold, deck=""):
