@@ -145,12 +145,12 @@ class Problem:
                     continue
                 space = active.get(name, space)
                 order = int(orders.get(name, default_order))
-                if space == "HVOL" and order >= 1:
-                    # higher-order HVOL = broken polynomials (the
-                    # reference's Intrepid2 HVOL_Cn); our HGRAD-DG is
-                    # that space (pairs with RT[n] in p2+ mixed decks)
-                    space = "HGRAD-DG"
-                elif space == "HVOL":
+                if space == "HVOL":
+                    # the reference's HVOL is ALWAYS piecewise constant
+                    # (discretizationInterface.cpp:375: HVOL_C0
+                    # regardless of the deck's order); higher-order
+                    # broken pressures are requested explicitly via
+                    # 'Active variables: {p: HGRAD-DG}'
                     order = 0
                 if space in ("HVOL", "HFACE"):
                     variables.append((name, space, max(order, 0)))

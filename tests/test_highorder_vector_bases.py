@@ -183,6 +183,7 @@ def test_p2_mixed_porous_convergence():
                      "NX": nx, "NY": nx},
             "Physics": {"eblock-0_0": {
                 "modules": "porous mixed",
+                "Active variables": {"u": "HDIV", "p": "HGRAD-DG"},
                 "Dirichlet conditions": {
                     "p": {"left": "1.0", "right": "1.0",
                           "top": "1.0", "bottom": "1.0"}},
