@@ -270,10 +270,57 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     # reversed within-edge index — symmetric node sets make this exact)
     npe = max((sum(1 for k, i in ents if k == "edge" and i == e)
                for e in range(len(topo.edges))), default=1) or 1
+    npf = max((sum(1 for k, i in ents if k == "face" and i == f)
+               for f in range(len(topo.sides))), default=1) or 1
     edge_sub = {}
-    # continuous entity dofs first, element-interior dofs after
-    cell_base = (n_faces if need_faces else n_edges * npe)
+    face_sub = {}
+    # continuous entity dofs: edges first, faces next, interior after
+    edge_count = n_edges * npe if need_edges else 0
+    face_base = edge_count
+    cell_base = edge_count + (n_faces * npf if need_faces else 0)
     cell_seen = 0
+    face_tables = {}
+    if need_faces and npf > 1:
+        if getattr(mesh, "periodic_maps", None):
+            raise NotImplementedError(
+                "periodic meshes with order >= 2 HDIV/HCURL face dofs")
+        space = getattr(basis, "space", "HDIV").replace("-DG", "")
+        dconn = _dof_conn(mesh)
+        from mrhyde_tpu.fem.vector_basis import (face_perm_sign,
+                                                 hex_face_axis_orientation)
+        for fidx in range(len(topo.sides)):
+            f = list(topo.sides[fidx])
+            cyc = dconn[:, f]                          # (E, 3|4)
+            perm_e = np.zeros((n_elem, npf), dtype=np.int64)
+            sgn_e = np.ones((n_elem, npf))
+            if mesh.cell_type == "tet":
+                sig = np.argsort(cyc, axis=1, kind="stable")
+                keys = sig[:, 0] * 9 + sig[:, 1] * 3 + sig[:, 2]
+                for kv in np.unique(keys):
+                    rows = keys == kv
+                    desc = tuple(int(x) for x in
+                                 sig[np.argmax(rows)])
+                    p, s = face_perm_sign("tet", space, basis.order,
+                                          desc)
+                    perm_e[rows] = p
+                    sgn_e[rows] = s
+            else:
+                k0 = np.argmin(cyc, axis=1)
+                nxt = cyc[np.arange(n_elem), (k0 + 1) % 4]
+                prv = cyc[np.arange(n_elem), (k0 - 1) % 4]
+                d = np.where(nxt < prv, 1, -1)
+                keys = k0 * 2 + (d > 0)
+                ax_or = (hex_face_axis_orientation(fidx)
+                         if space == "HDIV" else 1.0)
+                for kv in np.unique(keys):
+                    rows = keys == kv
+                    r0 = int(np.argmax(rows))
+                    p, s = face_perm_sign("hex", space, basis.order,
+                                          (fidx, int(k0[r0]),
+                                           int(d[r0])))
+                    perm_e[rows] = p
+                    sgn_e[rows] = s * ax_or
+            face_tables[fidx] = (perm_e, sgn_e)
     for j, (kind, idx) in enumerate(ents):
         if kind == "cell":
             if only_cell:
@@ -294,8 +341,16 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
             # local direction disagrees where edge_flip is set
             if not scalar_trace:
                 signs[:, j] = np.where(edge_flip[:, idx], -1.0, 1.0)
-        else:  # face (3D HDIV)
-            eldofs[:, j] = n_edges * 0 + elem_faces[:, idx]
+        elif npf > 1:   # order >= 2 face dofs: lattice perm + sign
+            s = face_sub.get(idx, 0)
+            face_sub[idx] = s + 1
+            perm_e, sgn_e = face_tables[idx]
+            eldofs[:, j] = (face_base + elem_faces[:, idx] * npf
+                            + perm_e[:, s])
+            if not scalar_trace:
+                signs[:, j] = sgn_e[:, s]
+        else:  # single-dof face (lowest-order 3D HDIV)
+            eldofs[:, j] = face_base + elem_faces[:, idx]
             # sign = local outward normal . global sorted-node normal
             f = list(topo.sides[idx])
             pf = coords[:, f, :]                   # (E, nf, dim)
@@ -311,8 +366,7 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     if only_cell and n_cell_dofs:
         n_dof = n_elem * n_cell_dofs
     else:
-        n_dof = ((n_faces if need_faces else n_edges * npe)
-                 + n_elem * n_cell_dofs)
+        n_dof = cell_base + n_elem * n_cell_dofs
     # dof coords = facet/element centroids (for Dirichlet data etc.)
     dof_coords = np.zeros((n_dof, topo.dim))
     for j, (kind, idx) in enumerate(ents):

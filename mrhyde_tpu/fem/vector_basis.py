@@ -369,7 +369,7 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
         order = 1
     topo = cell_topology(cell)
     if order >= 2 and space.replace("-DG", "") in ("HDIV", "HCURL") \
-            and cell in ("quad", "tri"):
+            and cell in ("quad", "tri", "hex", "tet"):
         _ensure_order(cell, space.replace("-DG", ""), order)
     if space.endswith("-DG") and space != "HFACE":
         # broken (element-local) spaces: all dofs are cell dofs
@@ -381,15 +381,15 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
         return VectorBasis(cell=cell, space=space, order=order,
                            ndof=n, dof_entity=ents)
     if space in ("HDIV", "HCURL") and order >= 2 \
-            and cell in ("quad", "tri"):
+            and cell in ("quad", "tri", "hex", "tet"):
         ents = _GEN_ENTS[(cell, space, order)]
         return VectorBasis(cell=cell, space=space, order=order,
                            ndof=len(ents), dof_entity=ents)
     if space != "HFACE" and order != 1:
         raise NotImplementedError(
             f"continuous {space} order {order} (orientation-folded "
-            "numbering implemented for quad/tri at any order and "
-            "lowest order elsewhere)")
+            "numbering implemented at any order except tet HCURL, "
+            "whose face dofs need 2x2 frame mixing)")
     if space == "HDIV":
         if topo.dim == 2:
             ents = tuple(("edge", i) for i in range(len(topo.edges)))
@@ -697,6 +697,409 @@ def _tri_order_n(space, k):
     return ev, dv, tuple(ents)
 
 
+# ---------------------------------------------------------------------------
+# arbitrary-order 3D bases (reference: Intrepid2 HDIV/HCURL_HEX/TET_In,
+# served by the basis factory at discretizationInterface.cpp:354-430 with
+# OrientationTools folding at :1263). Same design as the 2D generalization
+# above: NODAL functionals against UNNORMALIZED geometric vectors, which
+# are Piola-invariant pointwise —
+#   HDIV : f(v) = v . ((c1-c0) x (c2-c0)) at a face lattice point
+#          (contravariant Piola maps this to the physical-face cross
+#          vector: v_phys . (Ja x Jb) = v_ref . (a x b)),
+#   HCURL: f(v) = v . (cb - ca) at an edge Gauss point (covariant Piola:
+#          v_phys . (J t) = v_ref . t),
+# so a shared entity's dof value depends only on the PHYSICAL entity
+# geometry + the corner ordering. Cross-element consistency is then a
+# lattice-index permutation plus a +-1 sign computed from the face
+# corners' global ids (fem/dofmap.py), exactly like lowest order:
+# - hex faces: the D4 symmetry group maps +-axis frames to +-axis
+#   frames; symmetric Gauss lattices map onto themselves.
+# - tet HDIV faces: S3 permutes the barycentric lattice; the cross
+#   vector flips sign with permutation parity.
+# - tet HCURL faces (order >= 2) need genuine 2x2 tangential-frame
+#   mixing (the t0+t1+t2=0 redundancy) — not a signed permutation;
+#   unimplemented (get_vector_basis raises).
+# ---------------------------------------------------------------------------
+
+
+def _hex_side_frame(s):
+    """Per hex side: (na, ns, t1, t2) — outward-normal axis, its sign,
+    and the two in-face axes in increasing order."""
+    topo = cell_topology("hex")
+    c = topo.corners[list(topo.sides[s])]          # (4, 3)
+    n_out = np.cross(c[1] - c[0], c[3] - c[0])     # outward (ccw sides)
+    na = int(np.argmax(np.abs(n_out)))
+    ns = 1.0 if n_out[na] > 0 else -1.0
+    t1, t2 = [ax for ax in range(3) if ax != na]
+    return na, ns, t1, t2
+
+
+def _hdiv_hex_order_n(n):
+    """RT[n] on the reference hex: v_c in Q with degree n along axis c
+    (nodes = endpoints + interior Gauss) and n-1 across (Gauss nodes).
+    Face dofs = ns * v[na] at the n x n Gauss lattice (index a along
+    t1, b along t2, both in increasing coordinate); interior after."""
+    Nk, Ek = _quad_node_sets(n)
+    CN, CE = _lagrange_coef(Nk), _lagrange_coef(Ek)
+    nN, nE = len(Nk), len(Ek)
+    topo = cell_topology("hex")
+
+    dofs = []           # (comp, (i, j, k) tensor idx, scale)
+    ents = []
+    for s in range(len(topo.sides)):
+        na, ns, t1, t2 = _hex_side_frame(s)
+        na_idx = nN - 1 if ns > 0 else 0
+        for a in range(nE):
+            for b in range(nE):
+                idx = [0, 0, 0]
+                idx[na] = na_idx
+                idx[t1] = a
+                idx[t2] = b
+                dofs.append((na, tuple(idx), ns))
+                ents.append(("face", s))
+    for c in range(3):
+        t1, t2 = [ax for ax in range(3) if ax != c]
+        for i in range(1, nN - 1):
+            for a in range(nE):
+                for b in range(nE):
+                    idx = [0, 0, 0]
+                    idx[c] = i
+                    idx[t1] = a
+                    idx[t2] = b
+                    dofs.append((c, tuple(idx), 1.0))
+                    ents.append(("cell", len(ents)))
+    assert len(dofs) == 3 * n * n * (n + 1)
+
+    def ev(p, deriv=False):
+        L = {}
+        dL = {}
+        for ax in range(3):
+            L[("N", ax)] = _poly_eval(CN, p[:, ax])
+            L[("E", ax)] = _poly_eval(CE, p[:, ax])
+            dL[ax] = _poly_eval(CN, p[:, ax], 1)
+        out_v = np.zeros((len(dofs), p.shape[0], 3))
+        out_d = np.zeros((len(dofs), p.shape[0]))
+        for k, (c, idx, s) in enumerate(dofs):
+            prof = np.ones(p.shape[0])
+            for ax in range(3):
+                if ax == c:
+                    continue
+                prof = prof * L[("E", ax)][idx[ax]]
+            out_v[k, :, c] = s * L[("N", c)][idx[c]] * prof
+            out_d[k] = s * dL[c][idx[c]] * prof
+        return out_d if deriv else out_v
+
+    return (lambda p: ev(p)), (lambda p: ev(p, True)), tuple(ents)
+
+
+def _hcurl_hex_order_n(n):
+    """Nedelec[n] on the reference hex: v_c in Q with degree n-1 along
+    axis c (Gauss nodes) and n across (endpoint+Gauss nodes). Edge dofs
+    = v . t_traversal at n Gauss points along each topo edge (listed in
+    traversal order, so the dofmap's npe reversal+sign applies); face
+    dofs = two +axis tangential components per face, each on a
+    Gauss(n)-along x interior(n-1)-across lattice; interior after."""
+    Nk, Ek = _quad_node_sets(n)
+    CN, CE = _lagrange_coef(Nk), _lagrange_coef(Ek)
+    nN, nE = len(Nk), len(Ek)
+    topo = cell_topology("hex")
+    corners = topo.corners
+
+    dofs = []
+    ents = []
+    for e, (a, b) in enumerate(topo.edges):
+        d = (corners[b] - corners[a]) / 2.0        # +-unit axis vector
+        ax = int(np.argmax(np.abs(d)))
+        sgn = 1.0 if d[ax] > 0 else -1.0
+        t1, t2 = [u for u in range(3) if u != ax]
+        i1 = 0 if corners[a][t1] < 0 else nN - 1
+        i2 = 0 if corners[a][t2] < 0 else nN - 1
+        for i in range(nE):
+            # Gauss index i runs along the TRAVERSAL direction: for a
+            # -axis edge, coordinate = -E[i] = E[nE-1-i]
+            gi = i if sgn > 0 else nE - 1 - i
+            idx = [0, 0, 0]
+            idx[ax] = gi
+            idx[t1] = i1
+            idx[t2] = i2
+            dofs.append((ax, tuple(idx), sgn))
+            ents.append(("edge", e))
+    for s in range(len(topo.sides)):
+        na, ns, t1, t2 = _hex_side_frame(s)
+        na_idx = nN - 1 if ns > 0 else 0
+        for comp_ax, trans_ax in ((t1, t2), (t2, t1)):
+            for a in range(nE):                    # along comp_ax
+                for b in range(1, nN - 1):         # interior across
+                    idx = [0, 0, 0]
+                    idx[na] = na_idx
+                    idx[comp_ax] = a
+                    idx[trans_ax] = b
+                    dofs.append((comp_ax, tuple(idx), 1.0))
+                    ents.append(("face", s))
+    for c in range(3):
+        t1, t2 = [ax for ax in range(3) if ax != c]
+        for i in range(nE):
+            for a in range(1, nN - 1):
+                for b in range(1, nN - 1):
+                    idx = [0, 0, 0]
+                    idx[c] = i
+                    idx[t1] = a
+                    idx[t2] = b
+                    dofs.append((c, tuple(idx), 1.0))
+                    ents.append(("cell", len(ents)))
+    assert len(dofs) == 3 * n * (n + 1) ** 2
+
+    def ev(p, curl=False):
+        L = {}
+        dLN = {}
+        for ax in range(3):
+            L[("N", ax)] = _poly_eval(CN, p[:, ax])
+            L[("E", ax)] = _poly_eval(CE, p[:, ax])
+            dLN[ax] = _poly_eval(CN, p[:, ax], 1)
+        out_v = np.zeros((len(dofs), p.shape[0], 3))
+        out_c = np.zeros((len(dofs), p.shape[0], 3))
+        for k, (c, idx, s) in enumerate(dofs):
+            t1, t2 = [ax for ax in range(3) if ax != c]
+            f = L[("E", c)][idx[c]]
+            g1 = L[("N", t1)][idx[t1]]
+            g2 = L[("N", t2)][idx[t2]]
+            dg1 = dLN[t1][idx[t1]]
+            dg2 = dLN[t2][idx[t2]]
+            out_v[k, :, c] = s * f * g1 * g2
+            # curl of (0,..,v_c,..,0): (curl v)_a = eps_{a b c} d_b v_c
+            for (a, b_ax, gb, go) in ((t2, t1, dg1, g2),
+                                      (t1, t2, dg2, g1)):
+                eps = _LEVI[(a, b_ax, c)]
+                out_c[k, :, a] += eps * s * f * gb * go
+        return out_c if curl else out_v
+
+    return (lambda p: ev(p)), (lambda p: ev(p, True)), tuple(ents)
+
+
+_LEVI = {(0, 1, 2): 1.0, (1, 2, 0): 1.0, (2, 0, 1): 1.0,
+         (0, 2, 1): -1.0, (2, 1, 0): -1.0, (1, 0, 2): -1.0}
+
+
+def _tet_span_hdiv(k):
+    """Monomial span for tet RT[k]: (P_{k-1})^3 (+) x~ P~_{k-1}.
+    Returns ev(p) -> (span values (nsp, npts, 3), divs (nsp, npts))."""
+    polys = [(i, j, l) for d in range(k) for i in range(d + 1)
+             for j in range(d + 1) for l in range(d + 1)
+             if i + j + l == d]
+    homog = [(i, j, l) for i in range(k) for j in range(k)
+             for l in range(k) if i + j + l == k - 1]
+
+    def ev(p):
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        cols_v, cols_d = [], []
+        for c in range(3):
+            for (i, j, l) in polys:
+                m = x ** i * y ** j * z ** l
+                v = np.zeros((p.shape[0], 3))
+                v[:, c] = m
+                cols_v.append(v)
+                cols_d.append(_mono_d(p, i, j, l, c))
+        for (i, j, l) in homog:
+            h = x ** i * y ** j * z ** l
+            cols_v.append(p * h[:, None])
+            # div(x h) = 3h + x.grad h = (3 + k - 1) h
+            cols_d.append((k + 2) * h)
+        return np.array(cols_v), np.array(cols_d)
+
+    return ev
+
+
+def _mono_d(p, i, j, l, c):
+    """d/dx_c of x^i y^j z^l."""
+    e = (i, j, l)
+    if e[c] == 0:
+        return np.zeros(p.shape[0])
+    ee = list(e)
+    ee[c] -= 1
+    return e[c] * p[:, 0] ** ee[0] * p[:, 1] ** ee[1] * p[:, 2] ** ee[2]
+
+
+@lru_cache(maxsize=None)
+def _tet_hdiv_order_n(k):
+    """Vandermonde-built RT[k] on the reference tet: per face, the
+    degree k-1 barycentric lattice of pointwise cross-vector flux
+    functionals f(v) = v.((c1-c0)x(c2-c0)) (corners in topo.sides
+    traversal order, lattice in _facet_lattice flat order so
+    fem/dofmap folds orientations with _hface3d_permutation + parity
+    sign); interior component values after."""
+    topo = cell_topology("tet")
+    verts = topo.corners
+    span = _tet_span_hdiv(k)
+    lat = _facet_lattice("tri", k - 1) if k >= 2 else \
+        np.array([[1.0 / 3.0, 1.0 / 3.0]])
+
+    pts, vecs, ents = [], [], []
+    for s, f in enumerate(topo.sides):
+        c0, c1, c2 = verts[f[0]], verts[f[1]], verts[f[2]]
+        nrm = np.cross(c1 - c0, c2 - c0)           # outward, area-scaled
+        for (u, v) in lat:
+            pts.append((1 - u - v) * c0 + u * c1 + v * c2)
+            vecs.append(nrm)
+            ents.append(("face", s))
+    # interior: 3 components at a strictly-interior barycentric lattice
+    # of dim P_{k-2} points
+    if k >= 2:
+        d = k - 2
+        ip = []
+        for i in range(d + 1):
+            for j in range(d + 1 - i):
+                for l in range(d + 1 - i - j):
+                    ip.append([(i + 1.0) / (k + 2), (j + 1.0) / (k + 2),
+                               (l + 1.0) / (k + 2)])
+        for q in ip:
+            for c in range(3):
+                w = np.zeros(3)
+                w[c] = 1.0
+                pts.append(np.asarray(q))
+                vecs.append(w)
+                ents.append(("cell", len(ents)))
+    pts = np.array(pts)
+    vecs = np.array(vecs)
+
+    sp_v, _ = span(pts)
+    V = np.einsum("snd,nd->ns", sp_v, vecs)
+    assert V.shape[0] == V.shape[1], ("HDIV tet", k, V.shape)
+    cond = np.linalg.cond(V)
+    assert cond < 1e12, f"RT[{k}] tet Vandermonde cond {cond:.1e}"
+    A = np.linalg.inv(V.T)
+
+    def ev(p):
+        sv, _ = span(p)
+        return np.einsum("js,snx->jnx", A, sv)
+
+    def dv(p):
+        _, sd = span(p)
+        return A @ sd
+
+    return ev, dv, tuple(ents)
+
+
+# --- orientation folding tables for the dofmap --------------------------
+
+
+@lru_cache(maxsize=None)
+def face_perm_sign(cell: str, space: str, order: int, desc: tuple):
+    """Within-face dof permutation + signs folding an element's local
+    face-dof layout onto the face's canonical (global-id) frame.
+
+    desc describes the face's global-id ordering as seen from THIS
+    element's topo.sides traversal:
+      hex: (side, k0, d) — local side index, argmin corner position in
+           the traversal, and cyclic direction toward the smaller
+           neighbor (+1/-1). The side index matters because the basis
+           lattice lives in the side's increasing-axis (t1, t2) frame,
+           which relates to the traversal differently per side.
+      tet: sigma — tuple argsort of the 3 corner ids (stable).
+    Returns (perm, sgn): local within-face dof j holds global lattice
+    slot perm[j] with orientation sign sgn[j]."""
+    n = order
+    if cell == "tet":
+        if space != "HDIV":
+            raise NotImplementedError("tet HCURL face orientation "
+                                      "needs 2x2 mixing (unsupported)")
+        sigma = np.asarray(desc)
+        npf = n * (n + 1) // 2
+        # lattice permutation: weights (1-u-v, u, v) on traversal
+        # corners reordered by sigma (same rule as _hface3d_permutation
+        # at lattice degree n-1)
+        perm = np.zeros(npf, dtype=np.int64)
+        flat = {}
+        m = 0
+        deg = n - 1
+        for i in range(deg + 1):
+            for j in range(deg + 1 - i):
+                flat[(i, j)] = m
+                m += 1
+        for (i, j), m in flat.items():
+            w = (deg - i - j, i, j)
+            wc = [w[sigma[0]], w[sigma[1]], w[sigma[2]]]
+            perm[m] = flat[(wc[1], wc[2])]
+        # parity of sigma: cross vector flips under odd permutation
+        par = 1.0
+        sg = list(desc)
+        for i in range(len(sg)):
+            while sg[i] != i:
+                j = sg[i]
+                sg[i], sg[j] = sg[j], sg[i]
+                par = -par
+        return perm, np.full(npf, par)
+    # hex quad face: canonical frame from (side, k0, d), expressed in
+    # the side's increasing-axis (t1, t2) lattice coordinates (the
+    # frame _hdiv/_hcurl_hex_order_n lay their face lattices out in)
+    s, k0, d = desc
+    na, ns, t1, t2 = _hex_side_frame(s)
+    topo = cell_topology("hex")
+    cref = cell_topology("hex").corners[list(topo.sides[s])]
+    uv = ((cref[:, [t1, t2]] + 1.0) / 2.0).astype(int)   # (4, 2) in {0,1}
+    O = uv[k0]
+    E1 = uv[(k0 + d) % 4] - O                      # canonical axis 1
+    E2 = uv[(k0 - d) % 4] - O                      # canonical axis 2
+    # in-face axis u is lattice index a, axis v is lattice index b
+    if space == "HDIV":
+        npf = n * n
+        perm = np.zeros(npf, dtype=np.int64)
+        for a in range(n):
+            for b in range(n):
+                ap = _canon_idx(E1, a, b, n)
+                bp = _canon_idx(E2, a, b, n)
+                perm[a * n + b] = ap * n + bp
+        # sign = (e1c x e2c) . n_out in face-frame coords: det of
+        # [E1; E2] (the local (u,v) frame is built so u x v = +n_out,
+        # see _hdiv_hex_order_n's (t1, t2) increasing-axis convention
+        # combined with ax_or folded below by the dofmap caller)
+        det = float(E1[0] * E2[1] - E1[1] * E2[0])
+        return perm, np.full(npf, det)
+    # HCURL: per-component blocks; local block 1 = component along u
+    # (lattice a in Gauss(n) along u, b in interior(n-1) along v),
+    # block 2 = component along v
+    nin = n - 1
+    npf = 2 * n * nin
+    perm = np.zeros(npf, dtype=np.int64)
+    sgn = np.zeros(npf)
+    for blk, (comp_ax, trans_ax) in enumerate(((0, 1), (1, 0))):
+        # which canonical vector lies along comp_ax?
+        if E1[comp_ax] != 0:
+            cblk, alpha = 0, float(E1[comp_ax])
+            beta = float(E2[trans_ax])
+        else:
+            cblk, alpha = 1, float(E2[comp_ax])
+            beta = float(E1[trans_ax])
+        for a in range(n):
+            for b in range(nin):
+                ap = a if alpha > 0 else n - 1 - a
+                bp = b if beta > 0 else nin - 1 - b
+                j = blk * n * nin + a * nin + b
+                perm[j] = cblk * n * nin + ap * nin + bp
+                sgn[j] = alpha
+    return perm, sgn
+
+
+def _canon_idx(E, a, b, n):
+    """Index along a canonical axis vector E (in face (u,v) coords) of
+    the local lattice point (a, b) on a symmetric n-point lattice."""
+    if E[0] != 0:
+        return a if E[0] > 0 else n - 1 - a
+    return b if E[1] > 0 else n - 1 - b
+
+
+def hex_face_axis_orientation(s: int) -> float:
+    """Sign of (e_t1 x e_t2) . n_out for a hex side's increasing-axis
+    in-face frame — the factor relating face_perm_sign's det (computed
+    in (u, v) = (t1, t2) lattice coords) to the outward normal."""
+    na, ns, t1, t2 = _hex_side_frame(s)
+    e1 = np.zeros(3)
+    e2 = np.zeros(3)
+    e1[t1] = 1.0
+    e2[t2] = 1.0
+    nrm = np.cross(e1, e2)
+    return float(np.sign(nrm[na]) * ns)
+
+
 # registry of generically-built arbitrary-order bases
 _GEN_ENTS: dict = {}
 
@@ -718,7 +1121,20 @@ def _ensure_order(cell, space, order):
     elif cell == "tri":
         ev, dv, ents = _tri_order_n(space, order)
         (_DIV if space == "HDIV" else _CURL)[key] = dv
+    elif cell == "hex" and space == "HDIV":
+        ev, dv, ents = _hdiv_hex_order_n(order)
+        _DIV[key] = dv
+    elif cell == "hex" and space == "HCURL":
+        ev, dv, ents = _hcurl_hex_order_n(order)
+        _CURL[key] = dv
+    elif cell == "tet" and space == "HDIV":
+        ev, dv, ents = _tet_hdiv_order_n(order)
+        _DIV[key] = dv
     else:
+        # tet HCURL order >= 2: face-tangential dofs need 2x2 frame
+        # mixing (t0 + t1 + t2 = 0 on a tri face is not a signed
+        # permutation), which the +-1 orientation contract of the
+        # assembler doesn't carry yet
         raise NotImplementedError(f"{space} order {order} on {cell}")
     _EVAL[key] = ev
     _NDOF[key] = len(ents)
