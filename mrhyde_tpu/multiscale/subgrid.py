@@ -1041,7 +1041,8 @@ class MultiscaleModels:
 
     def _vote(self, time):
         """(E,) winner index from usage >= 1 votes at the macro volume
-        qps, pooled per virtual MPI-rank x-strip.
+        qps, pooled per (virtual MPI-rank x-strip) x (workset-size
+        chunk).
 
         The reference pools votes per (MPI rank x workset GROUP) and
         picks ONE winner per group — assemblyManager.cpp:8069-8110:
@@ -1051,15 +1052,30 @@ class MultiscaleModels:
         wins a group only by UNANIMITY over it. Under `mpiexec -n 4`
         (how every regression gold was produced) the inline mesh is
         split into 4 x-strips with the extra columns on the first
-        ranks (meshInterface.cpp:54: Xprocs = comm size), and every
-        workset-size chunk of a strip spans the strip's full x-range,
-        so group granularity reduces to strip granularity. This
-        reproduces the dynamicmultimodel gold's whole ownership
-        timeline (Subgrid 2 emptying at the t=0.1 vote because
-        columns 19-20 of its strip break unanimity; Subgrid 1
-        surviving until the t=0.3 vote) — the round-2 KNOWN_DELTA's
-        late-step divergence was exactly the per-element-vs-strip
-        granularity difference."""
+        ranks (meshInterface.cpp:54: Xprocs = comm size); within each
+        rank panzer orders elements x-fastest, so a GROUP is a chunk of
+        `Solver: workset size` (default 100, assemblyManager.cpp:326)
+        consecutive elements in (y-outer, x-inner) order. We reproduce
+        that exact granularity: strip, then row-major chunking.
+
+        This reproduces BOTH multiscale-voting golds:
+        - dynamicmultimodel (ws=8 on a 7-column strip, x-only usage):
+          every 8-chunk covers all 7 strip columns (8 consecutive
+          indices mod 7 hit every residue), so chunk unanimity ==
+          strip-x unanimity — Subgrid 2 empties at the t=0.1 vote
+          because columns 19-20 break unanimity; Subgrid 1 survives
+          until t=0.3.
+        - multimodel (`assembly partitioning: subgrid-preserving`,
+          default ws=100 on 10-column strips of a 40x40 mesh): groups
+          are formed per boundary-membership SIGNATURE
+          (assemblyManager.cpp:536-613: greedy scan in local element
+          order, all elements of a group share the same set of
+          boundary groups, up to ws per group), so the left-column
+          {left}-signature group and the interior group straddling
+          the y=0.5 line lose unanimity and fall to the default
+          model — Subgrid 1 owns strictly less than the
+          (x<0.5)*(y>0.5) quarter, matching the gold Subgrid-L2
+          lines."""
         from mrhyde_tpu.assembly.assembler import PointContext
         problem = self.problem
         ips = jnp.asarray(problem.disc.ip)            # (E, Q, dim)
@@ -1073,18 +1089,54 @@ class MultiscaleModels:
             votes.append(np.asarray(vals >= 1.0).sum(axis=1))
         votes = np.stack(votes)                       # (M, E)
         strip = self._vote_strips()                   # (E,) strip id
+        ws = int((problem.cfg.get("Solver", {}) or {}).get(
+            "workset size", 100))
+        mesh = problem.mesh
+        cen = mesh.nodes[mesh.conn].mean(axis=1)      # (E, dim)
+        cx = np.round(cen[:, 0], 12)
+        cy = np.round(cen[:, 1], 12) if cen.shape[1] > 1 \
+            else np.zeros(E)
+        part = str((problem.cfg.get("Solver", {}) or {}).get(
+            "assembly partitioning", "sequential"))
+        onb = None
+        if part == "subgrid-preserving" and mesh.sidesets:
+            onb = np.zeros((E, len(mesh.sidesets)), dtype=bool)
+            for b, ss in enumerate(mesh.sidesets.values()):
+                if ss.size:
+                    onb[ss[:, 0], b] = True
         winner = np.zeros(E, dtype=int)
         n_strips = int(strip.max()) + 1
         for s in range(n_strips):
-            sel = strip == s
-            counts = votes[:, sel].sum(axis=1)        # (M,)
-            w = 0
-            best = -1
-            for j in range(counts.shape[0]):
-                if counts[j] >= best:
-                    best = counts[j]
-                    w = j
-            winner[sel] = w
+            sel = np.where(strip == s)[0]
+            # panzer x-fastest ordering within the rank
+            order = sel[np.lexsort((cx[sel], cy[sel]))]
+            if onb is None:
+                groups = [order[k:k + ws]
+                          for k in range(0, order.size, ws)]
+            else:
+                # subgrid-preserving: greedy same-boundary-signature
+                # groups in local element order, up to ws each
+                # (assemblyManager.cpp:536-613)
+                sig = onb[order]
+                added = np.zeros(order.size, dtype=bool)
+                groups = []
+                for i in range(order.size):
+                    if added[i]:
+                        continue
+                    match = np.where(
+                        ~added & (sig == sig[i]).all(axis=1))[0]
+                    grp = match[:ws]
+                    added[grp] = True
+                    groups.append(order[grp])
+            for grp in groups:
+                counts = votes[:, grp].sum(axis=1)    # (M,)
+                w = 0
+                best = -1
+                for j in range(counts.shape[0]):
+                    if counts[j] >= best:
+                        best = counts[j]
+                        w = j
+                winner[grp] = w
         return winner
 
     def _vote_strips(self):

@@ -124,7 +124,7 @@ class ObjectiveSpec:
 
 class ObjectiveManager:
     def __init__(self, disc, fm, specs: list[ObjectiveSpec], params=None,
-                 datagen_solutions=None):
+                 datagen_solutions=None, n_ranks=4):
         self.disc = disc
         self.fm = fm
         self.specs = specs
@@ -147,9 +147,9 @@ class ObjectiveManager:
         # J = sum_r w*(R_r - T)^2 with the inline mesh split into 4
         # x-strips (meshInterface.cpp:54-55: Xprocs=comm size,
         # Yprocs=1). We reproduce that decomposition with virtual
-        # ranks; set "integrated response ranks": 1 for the serial
-        # semantics.
-        self.n_virtual_ranks = 4
+        # ranks; set Postprocess "integrated response ranks": 1 for the
+        # serial semantics.
+        self.n_virtual_ranks = int(n_ranks)
         self._strip_masks = None
 
     def _strips(self, wts):

@@ -308,7 +308,8 @@ class Problem:
             specs = [ObjectiveSpec.from_config(name, sub)
                      for name, sub in obj_cfg.items()]
             self.objective_manager = ObjectiveManager(
-                self.disc, self.fm, specs, self.params)
+                self.disc, self.fm, specs, self.params,
+                n_ranks=pp_cfg.get("integrated response ranks", 4))
 
         self.solver_cfg = cfg.get("Solver", {}) or {}
         # deck-level DOF sharding (Solver: shards / CLI --shards /

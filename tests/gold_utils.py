@@ -29,6 +29,15 @@ def parse_gold(path):
         if not m:
             continue
         label = m.group("label")
+        sg = re.match(r"Subgrid (\d+): L2 norm of the error for (.+)",
+                      label)
+        if sg:
+            n = int(sg.group(1))
+            kind = "Subgrid-L2" if n == 0 else f"Subgrid-L2:{n}"
+            out.append((float(m.group("time")), kind,
+                        sg.group(2).rstrip(")"),
+                        float(m.group("val"))))
+            continue
         for prefix, kind in _KINDS:
             if label.startswith(prefix):
                 var = label[len(prefix):].rstrip(")")

@@ -58,7 +58,11 @@ def test_optimization_recovers_parameter():
                                                    ObjectiveSpec)
     spec = ObjectiveSpec(name="resp", otype="integrated response",
                          weight=1.0, target=0.0, response="e")
-    om = ObjectiveManager(p.disc, p.fm, [spec], p.params)
+    # serial (n_ranks=1) semantics: J = (integral - target)^2; the
+    # default 4-virtual-rank decomposition compares each rank-local
+    # strip integral to the target, under which a single scalar target
+    # cannot be met exactly
+    om = ObjectiveManager(p.disc, p.fm, [spec], p.params, n_ranks=1)
     import jax.numpy as jnp
     target_val = float(jnp.sqrt(om.value(res.u, 0.0)))  # = integral of e
 
@@ -70,6 +74,7 @@ def test_optimization_recovers_parameter():
          "ROL": {"check gradient": True, "Maximum Number of Iterations": 40}},
         {"resp": {"type": "integrated response", "weight": 1.0,
                   "target": target_val, "response": "e"}})
+    opt_cfg["Postprocess"]["integrated response ranks"] = 1
     result = Problem(opt_cfg).run()
     # objective is weight*(integral - target)^2, linear in b => exact
     assert result.value < 1e-14

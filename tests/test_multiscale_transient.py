@@ -87,10 +87,14 @@ def test_multimodel_gold():
     models selected by usage votes (SG-R0 refinements 0 everywhere,
     SG-R1 refinements 1 in the x<0.5, y>0.5 quarter).
 
-    Macro face error matches gold exactly. The per-model subgrid L2
-    errors sit within 1% of gold: the reference votes per ~100-element
-    workset group, so straddling groups at the region interface are
-    assigned to the majority model, while we vote per element.
+    All three gold lines match at print precision. Voting pools per
+    (virtual-rank x-strip x workset group) exactly as the reference
+    (assemblyManager.cpp:8069-8110); the deck's `assembly
+    partitioning: subgrid-preserving` forms groups per
+    boundary-membership signature (assemblyManager.cpp:536-613), so
+    the {left}-column group and the interior group straddling y=0.5
+    lose unanimity and fall to the default model — Subgrid 1 owns
+    strictly less than the usage quarter, exactly as the gold.
     """
     src = "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"
     true = "sin(2*pi*x)*sin(2*pi*y)"
@@ -112,7 +116,8 @@ def test_multimodel_gold():
                     "Dirichlet conditions":
                     {"e": {"all boundaries": "0.0"}}},
         "Discretization": {"order": {"e": 1}, "quadrature": 2},
-        "Solver": {"solver": "steady-state"},
+        "Solver": {"solver": "steady-state",
+                   "assembly partitioning": "subgrid-preserving"},
         "Postprocess": {"compute errors": True,
                         "True solutions": {"e face": true}},
         "Subgrid": {"static subgrids": True,
@@ -122,9 +127,9 @@ def test_multimodel_gold():
     res = Problem(cfg).run()
     assert np.isclose(res.errors[("L2-face", "e")], 0.00176029, rtol=1e-4)
     assert np.isclose(res.errors[("Subgrid-L2", "e")], 0.00035747,
-                      rtol=1e-2)
+                      rtol=1e-4)
     assert np.isclose(res.errors[("Subgrid-L2:1", "e")], 0.000197984,
-                      rtol=1e-2)
+                      rtol=1e-4)
 
 
 def test_3d_hex_gold():
