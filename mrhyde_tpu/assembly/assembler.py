@@ -69,16 +69,59 @@ class BlockJacobian:
     to a fixed-fan-in GATHER + sum (XLA's TPU scatter serializes; the
     reference needed Kokkos atomics here, assemblyManager.cpp:3956).
     """
-    vol: jax.Array                    # (E, nd, nd)
+    vol: jax.Array | None             # (E, nd, nd) AoS (or None)
     vol_lids: jax.Array               # (E, nd)
     bnd: list                         # list of (B, nd, nd)
     bnd_lids: list                    # list of (B, nd)
     fixed: jax.Array                  # (n_dof,) bool
     inc: jax.Array | None = None      # (n_dof, max_deg) into E*nd (+pad)
+    # SoA layout (nd*nd, E) straight off the fused Pallas kernel — the
+    # apply/diag hot paths consume it WITHOUT the (E, nd, nd) transpose
+    # (a 2x jac-sized HBM round trip at assembly time); AoS-needing
+    # consumers call aos()
+    vol_soa: jax.Array | None = None
 
     @property
     def n_dof(self):
         return self.fixed.shape[0]
+
+    @property
+    def _soa_only(self):
+        return self.vol is None and self.vol_soa is not None
+
+    def aos(self):
+        """(E, nd, nd) volume blocks, materializing from SoA if
+        needed — use only in cold paths (dense, Schwarz, MG setup)."""
+        if self.vol is not None:
+            return self.vol
+        nd = self.vol_lids.shape[1]
+        return jnp.moveaxis(self.vol_soa, 0, 1).reshape(-1, nd, nd)
+
+    def _soa_mv(self, vm):
+        """(E, nd) element products sum_j J[e,i,j]*vm[lids[e,j]] from
+        the SoA blocks, no transpose."""
+        nd = self.vol_lids.shape[1]
+        xg = [vm[self.vol_lids[:, j]] for j in range(nd)]
+        return jnp.stack(
+            [sum(self.vol_soa[i * nd + j] * xg[j] for j in range(nd))
+             for i in range(nd)], axis=1)
+
+    def _soa_mv_T(self, ve):
+        nd = self.vol_lids.shape[1]
+        vg = [ve[self.vol_lids[:, i]] for i in range(nd)]
+        return jnp.stack(
+            [sum(self.vol_soa[i * nd + j] * vg[i] for i in range(nd))
+             for j in range(nd)], axis=1)
+
+    def _vol_mv(self, vm):
+        if self._soa_only:
+            return self._soa_mv(vm)
+        return jnp.einsum("eij,ej->ei", self.vol, vm[self.vol_lids])
+
+    def _vol_mv_T(self, ve):
+        if self._soa_only:
+            return self._soa_mv_T(ve)
+        return jnp.einsum("eij,ei->ej", self.vol, ve[self.vol_lids])
 
     def _gather_sum(self, vals):
         """Assemble flattened per-element values -> (n_dof,)."""
@@ -91,8 +134,7 @@ class BlockJacobian:
     def apply(self, v):
         """J @ v with Dirichlet identity rows."""
         vm = jnp.where(self.fixed, 0.0, v)
-        out = self._gather_sum(
-            jnp.einsum("eij,ej->ei", self.vol, vm[self.vol_lids]))
+        out = self._gather_sum(self._vol_mv(vm))
         for blocks, lids in zip(self.bnd, self.bnd_lids):
             out = out + _scatter_vec(
                 jnp.einsum("eij,ej->ei", blocks, vm[lids]),
@@ -100,8 +142,7 @@ class BlockJacobian:
         return jnp.where(self.fixed, v, out)
 
     def _apply_raw(self, v):
-        out = self._gather_sum(
-            jnp.einsum("eij,ej->ei", self.vol, v[self.vol_lids]))
+        out = self._gather_sum(self._vol_mv(v))
         for blocks, lids in zip(self.bnd, self.bnd_lids):
             out = out + _scatter_vec(
                 jnp.einsum("eij,ej->ei", blocks, v[lids]),
@@ -109,8 +150,7 @@ class BlockJacobian:
         return out
 
     def _apply_raw_T(self, v):
-        out = self._gather_sum(
-            jnp.einsum("eij,ei->ej", self.vol, v[self.vol_lids]))
+        out = self._gather_sum(self._vol_mv_T(v))
         for blocks, lids in zip(self.bnd, self.bnd_lids):
             out = out + _scatter_vec(
                 jnp.einsum("eij,ei->ej", blocks, v[lids]),
@@ -130,16 +170,23 @@ class BlockJacobian:
         return out + jnp.where(self.fixed, v, 0.0)
 
     def diag(self):
-        d = self._gather_sum(_block_diag(self.vol))
+        if self._soa_only:
+            nd = self.vol_lids.shape[1]
+            dblk = jnp.stack([self.vol_soa[i * nd + i]
+                              for i in range(nd)], axis=1)
+        else:
+            dblk = _block_diag(self.vol)
+        d = self._gather_sum(dblk)
         for blocks, lids in zip(self.bnd, self.bnd_lids):
             d = d + _scatter_vec(_block_diag(blocks), lids, self.n_dof)
         return jnp.where(self.fixed, 1.0, d)
 
     def dense(self):
         n = self.n_dof
-        A = jnp.zeros((n, n), dtype=self.vol.dtype)
+        vol = self.aos()
+        A = jnp.zeros((n, n), dtype=vol.dtype)
         A = A.at[self.vol_lids[:, :, None],
-                 self.vol_lids[:, None, :]].add(self.vol)
+                 self.vol_lids[:, None, :]].add(vol)
         for blocks, lids in zip(self.bnd, self.bnd_lids):
             A = A.at[lids[:, :, None], lids[:, None, :]].add(blocks)
         mask = self.fixed[:, None] | self.fixed[None, :]
@@ -744,8 +791,15 @@ class Assembler:
         def apply(v):
             vm = jnp.where(J.fixed, 0.0, v)
             ve = self._gather_structured(vm)
-            out = self._scatter_structured(
-                jnp.einsum("eij,ej->ei", J.vol, ve))
+            if J._soa_only:
+                nd = J.vol_lids.shape[1]
+                prods = jnp.stack(
+                    [sum(J.vol_soa[i * nd + j] * ve[:, j]
+                         for j in range(nd)) for i in range(nd)],
+                    axis=1)
+            else:
+                prods = jnp.einsum("eij,ej->ei", J.vol, ve)
+            out = self._scatter_structured(prods)
             for blocks, lids in zip(J.bnd, J.bnd_lids):
                 out = out + _scatter_vec(
                     jnp.einsum("eij,ej->ei", blocks, vm[lids]),

@@ -78,7 +78,11 @@ class QpCtx:
         return v
 
     def f(self, name):
-        return self.fm.evaluate(name, self) + 0.0 * self.coords[0]
+        # NO forced tile materialization: constant expressions stay
+        # scalars so coefficient algebra (and the whole Jacobian for
+        # constant-coefficient physics) folds to scalar ops at trace
+        # time; `store()`/accumulators broadcast lazily
+        return self.fm.evaluate(name, self)
 
     # FunctionManager leaf resolver
     def resolve(self, leaf):
@@ -176,16 +180,26 @@ class FusedP1Assembly:
         # VMEM budget: the kernel holds ~nd^2 Jacobian accumulator
         # tiles (plus T/D derivative tiles of similar total size), so
         # the tile element count must scale down as nd grows —
-        # cap nd^2 * tile_elems * 4B at ~2 MB (16 MB scoped limit,
-        # shared with slabs and intermediates)
-        budget = (2 << 20) // 4
+        # cap nd^2 * tile_elems * 4B at ~2 MB default (16 MB scoped
+        # limit, shared with slabs and intermediates). MRHYDE_TILE /
+        # MRHYDE_TILE_BUDGET_MB override for tile-size experiments
+        # (each grid step pays a synchronous DMA wait, so fewer/larger
+        # tiles may win — unvalidated on hardware).
+        import os
+        budget = (int(os.environ.get("MRHYDE_TILE_BUDGET_MB", "2"))
+                  << 20) // 4
         if self.dim == 2:
-            ti = 64
-            while ti > 1 and self.nd * self.nd * ti * 128 > budget:
+            tj = 128
+            ti0 = 64
+            ov = os.environ.get("MRHYDE_TILE")
+            if ov:
+                ti0, tj = (int(x) for x in ov.split("x"))
+            ti = ti0
+            while ti > 1 and self.nd * self.nd * ti * tj > budget:
                 ti //= 2
-            if self.nd * self.nd * ti * 128 > budget:
+            if self.nd * self.nd * ti * tj > budget:
                 return None
-            tiles = (ti, 128)
+            tiles = (ti, tj)
         else:
             t0 = 4
             while t0 > 1 and self.nd * self.nd * t0 * 8 * 128 > budget:
@@ -209,20 +223,24 @@ class FusedP1Assembly:
         ctx = QpCtx(uq, udq, gq, coords, t, params, self.fm,
                     self.h_elem, params.get("__deltat", 1.0),
                     self.asm.is_transient, self.dim)
-        zero = 0.0 * coords[0]
-        S = {v: zero for v in self.vars}
-        F = {v: [zero] * self.dim for v in self.vars}
+        # None-accumulate: absent densities stay structural zeros all
+        # the way through the sparse AD (scalar 0.0 at the boundary)
+        S = {v: None for v in self.vars}
+        F = {v: [None] * self.dim for v in self.vars}
         for m in self.asm.modules:
             out = m.qp_density(ctx)
             for v, (sv, fv) in out.items():
-                S[v] = S[v] + sv
+                S[v] = sv if S[v] is None else S[v] + sv
                 if fv is not None:
                     for d in range(self.dim):
-                        F[v][d] = F[v][d] + fv[d]
-        return [S[v] for v in self.vars] + \
-               [F[v][d] for v in self.vars for d in range(self.dim)]
+                        F[v][d] = fv[d] if F[v][d] is None \
+                            else F[v][d] + fv[d]
+        z = 0.0
+        return [S[v] if S[v] is not None else z for v in self.vars] + \
+               [F[v][d] if F[v][d] is not None else z
+                for v in self.vars for d in range(self.dim)]
 
-    def _kernel(self, tiles, dtype, pvec_names):
+    def _kernel(self, tiles, dtype, pvec_names, steady=False):
         dim, nc, n_var, Q = self.dim, self.nc, self.n_var, self.Q
         nd = self.nd
         vars_, phi, grad, wts = self.vars, self.phi, self.grad, self.wts
@@ -237,22 +255,31 @@ class FusedP1Assembly:
             slab[k] += 1
         slab = tuple(slab)
         tile_shape = tuple(tiles)
-        n_in = n_var * (2 + dim)     # (u, udot, grad_d) per variable
+        # input slots per variable: (u[, udot], grad_d). The steady
+        # specialization (trace-time-known alpha_u=1, alpha_t=0,
+        # beta=0) drops the udot lane family AND 2 of 3 DMA slabs.
+        n_in = n_var * ((1 if steady else 2) + dim)
 
-        def kernel(scal_ref, u_ref, bu_ref, bt_ref, res_ref, jac_ref):
+        def kernel(scal_ref, *refs):
+            if steady:
+                u_ref, res_ref, jac_ref = refs
+                bu_ref = bt_ref = None
+            else:
+                u_ref, bu_ref, bt_ref, res_ref, jac_ref = refs
             pids = [pl.program_id(a) * tiles[a] for a in range(dim)]
 
             def inner(su, sbu, sbt, sem):
-                for hbm, sv in ((u_ref, su), (bu_ref, sbu),
-                                (bt_ref, sbt)):
+                pairs = ((u_ref, su),) if steady else \
+                    ((u_ref, su), (bu_ref, sbu), (bt_ref, sbt))
+                for hbm, sv in pairs:
                     idx = tuple([slice(None)]
                                 + [pl.ds(p, s) for p, s in
                                    zip(pids, slab)])
                     dma = pltpu.make_async_copy(hbm.at[idx], sv, sem)
                     dma.start()
                     dma.wait()
-                alpha_u = scal_ref[0]
-                alpha_t = scal_ref[1]
+                alpha_u = 1.0 if steady else scal_ref[0]
+                alpha_t = 0.0 if steady else scal_ref[1]
                 t = scal_ref[2]
                 deltat = scal_ref[3]
                 params = dict(self.asm.params)
@@ -273,20 +300,28 @@ class FusedP1Assembly:
                     ud[v] = []
                     for off in corners:
                         uc = corner_tile(su, vi, off)
-                        ue[v].append(alpha_u * uc
-                                     + corner_tile(sbu, vi, off))
-                        ud[v].append(alpha_t * uc
-                                     + corner_tile(sbt, vi, off))
+                        if steady:
+                            ue[v].append(uc)
+                            ud[v].append(0.0)
+                        else:
+                            ue[v].append(alpha_u * uc
+                                         + corner_tile(sbu, vi, off))
+                            ud[v].append(alpha_t * uc
+                                         + corner_tile(sbt, vi, off))
 
                 iotas = [
                     (jax.lax.broadcasted_iota(jnp.int32, tile_shape, a)
                      + pids[a]).astype(dtype)
                     for a in range(dim)]
 
-                res = [jnp.zeros(tile_shape, dtype)
-                       for _ in range(nd)]
-                jac = [jnp.zeros(tile_shape, dtype)
-                       for _ in range(nd * nd)]
+                # res/jac accumulate as None -> scalar -> tile: purely
+                # scalar contributions (constant-coefficient physics)
+                # never touch the VPU until the final broadcast store
+                res = [None] * nd
+                jac = [None] * (nd * nd)
+
+                def acc2(a, b):
+                    return b if a is None else a + b
 
                 for q in range(Q):
                     coords = [origin[a] + iotas[a] * h_axes[a]
@@ -301,18 +336,25 @@ class FusedP1Assembly:
                                      for c in range(nc))
                                  for d in range(dim)]
 
-                    # flatten qp state for linearization
+                    # flatten qp state for linearization; steady drops
+                    # the udot slots (structurally zero)
+                    off_g = n_var * (1 if steady else 2)
+
                     def unflat(z):
                         u_ = {v: z[i] for i, v in enumerate(vars_)}
-                        ud_ = {v: z[n_var + i]
-                               for i, v in enumerate(vars_)}
-                        g_ = {v: [z[2 * n_var + i * dim + d]
+                        if steady:
+                            ud_ = {v: 0.0 for v in vars_}
+                        else:
+                            ud_ = {v: z[n_var + i]
+                                   for i, v in enumerate(vars_)}
+                        g_ = {v: [z[off_g + i * dim + d]
                                   for d in range(dim)]
                               for i, v in enumerate(vars_)}
                         return u_, ud_, g_
 
                     z0 = ([uq[v] for v in vars_]
-                          + [udq[v] for v in vars_]
+                          + ([] if steady
+                             else [udq[v] for v in vars_])
                           + [gq[v][d] for v in vars_
                              for d in range(dim)])
 
@@ -321,15 +363,24 @@ class FusedP1Assembly:
                         return self._density(u_, ud_, g_, coords, t,
                                              params)
 
-                    out0, f_lin = jax.linearize(f, z0)
-                    one = jnp.ones(tile_shape, dtype)
-                    zero = jnp.zeros(tile_shape, dtype)
-                    # derivative tiles D[o][k]
-                    D = []
-                    for k in range(n_in):
-                        tz = [one if i == k else zero
-                              for i in range(n_in)]
-                        D.append(f_lin(tz))
+                    # trace-time sparse forward AD: D[k][oi] is None
+                    # where structurally zero and may be a SCALAR for
+                    # constant coefficients (the SFad analog; see
+                    # ops/sparse_fwd.py). Falls back to dense
+                    # jax.linearize on unsupported primitives.
+                    try:
+                        from mrhyde_tpu.ops.sparse_fwd import (
+                            SparseFwdUnsupported, sparse_jacfwd)
+                        out0, D = sparse_jacfwd(f, z0)
+                    except SparseFwdUnsupported:
+                        out0, f_lin = jax.linearize(f, z0)
+                        one = jnp.ones(tile_shape, dtype)
+                        zero = jnp.zeros(tile_shape, dtype)
+                        D = []
+                        for k in range(n_in):
+                            tz = [one if i == k else zero
+                                  for i in range(n_in)]
+                            D.append(f_lin(tz))
 
                     w = float(wts[q])
                     # residual accumulation
@@ -338,12 +389,15 @@ class FusedP1Assembly:
                         Fv = [out0[n_var + vi * dim + d]
                               for d in range(dim)]
                         for c in range(nc):
-                            acc = phi[c, q] * Sv
+                            a = phi[c, q] * Sv
                             for d in range(dim):
-                                acc = acc + grad[c, q, d] * Fv[d]
-                            res[vi * nc + c] = res[vi * nc + c] + w * acc
+                                a = a + grad[c, q, d] * Fv[d]
+                            res[vi * nc + c] = acc2(
+                                res[vi * nc + c], w * a)
 
-                    # T[o][w,c'] tiles, then Jacobian accumulation
+                    # T[o][w,c'] combos, then Jacobian accumulation;
+                    # None entries (structural zeros) skip their whole
+                    # multiply-accumulate chain at trace time
                     for wi in range(n_var):
                         for cp_ in range(nc):
                             # combined tangent coefficient for column
@@ -352,40 +406,65 @@ class FusedP1Assembly:
                             Tcol = [None] * (n_var * (1 + dim))
                             pc = phi[cp_, q]
                             for oi in range(n_var * (1 + dim)):
-                                acc = (alpha_u * pc
-                                       * D[wi][oi]
-                                       + alpha_t * pc
-                                       * D[n_var + wi][oi])
+                                a = None
+                                d1 = D[wi][oi]
+                                if d1 is not None:
+                                    a = acc2(a, alpha_u * pc * d1)
+                                if not steady:
+                                    d2 = D[n_var + wi][oi]
+                                    if d2 is not None:
+                                        a = acc2(a,
+                                                 alpha_t * pc * d2)
                                 for d in range(dim):
-                                    acc = acc + alpha_u \
-                                        * grad[cp_, q, d] \
-                                        * D[2 * n_var + wi * dim
-                                            + d][oi]
-                                Tcol[oi] = acc
+                                    d3 = D[off_g + wi * dim + d][oi]
+                                    if d3 is not None:
+                                        a = acc2(
+                                            a, alpha_u
+                                            * grad[cp_, q, d] * d3)
+                                Tcol[oi] = a
                             for vi in range(n_var):
                                 for c in range(nc):
-                                    acc = phi[c, q] * Tcol[vi]
+                                    a = None
+                                    if Tcol[vi] is not None:
+                                        a = acc2(a, phi[c, q]
+                                                 * Tcol[vi])
                                     for d in range(dim):
-                                        acc = acc + grad[c, q, d] \
-                                            * Tcol[n_var
-                                                   + vi * dim + d]
+                                        tg = Tcol[n_var + vi * dim + d]
+                                        if tg is not None:
+                                            a = acc2(
+                                                a, grad[c, q, d] * tg)
+                                    if a is None:
+                                        continue
                                     row = vi * nc + c
                                     col = wi * nc + cp_
-                                    jac[row * nd + col] = \
-                                        jac[row * nd + col] + w * acc
+                                    jac[row * nd + col] = acc2(
+                                        jac[row * nd + col], w * a)
+
+                def store(v):
+                    if v is None:
+                        return jnp.zeros(tile_shape, dtype)
+                    return jnp.broadcast_to(
+                        jnp.asarray(v, dtype), tile_shape)
 
                 for k in range(nd):
-                    res_ref[k] = res[k]
+                    res_ref[k] = store(res[k])
                 for k in range(nd * nd):
-                    jac_ref[k] = jac[k]
+                    jac_ref[k] = store(jac[k])
 
-            pl.run_scoped(
-                inner,
-                su=pltpu.VMEM((n_var,) + slab, dtype),
-                sbu=pltpu.VMEM((n_var,) + slab, dtype),
-                sbt=pltpu.VMEM((n_var,) + slab, dtype),
-                sem=pltpu.SemaphoreType.DMA(()),
-            )
+            if steady:
+                pl.run_scoped(
+                    lambda su, sem: inner(su, None, None, sem),
+                    su=pltpu.VMEM((n_var,) + slab, dtype),
+                    sem=pltpu.SemaphoreType.DMA(()),
+                )
+            else:
+                pl.run_scoped(
+                    inner,
+                    su=pltpu.VMEM((n_var,) + slab, dtype),
+                    sbu=pltpu.VMEM((n_var,) + slab, dtype),
+                    sbt=pltpu.VMEM((n_var,) + slab, dtype),
+                    sem=pltpu.SemaphoreType.DMA(()),
+                )
 
         return kernel
 
@@ -426,7 +505,23 @@ class FusedP1Assembly:
                 gs.append(g)
             return jnp.stack(gs)
 
-        gu, gbu, gbt = grids(u), grids(tc.beta_u), grids(tc.beta_t)
+        # trace-time steady detection: when the TimeCoeffs leaves are
+        # CONCRETE (built outside jit / closed over as constants) and
+        # equal the steady() values, specialize the kernel — the udot
+        # lane family and 2 of 3 input DMA slabs vanish entirely
+        def _steady_check():
+            try:
+                # float()/bool() raise on tracers -> not specializable
+                return (float(tc.alpha_t) == 0.0
+                        and float(tc.alpha_u) == 1.0
+                        and not bool(jnp.any(tc.beta_u))
+                        and not bool(jnp.any(tc.beta_t)))
+            except Exception:
+                return False
+
+        steady = _steady_check()
+
+        gu = grids(u)
         nd = self.nd
         grid = tuple(k // t for k, t in zip(kdims, tiles))
 
@@ -438,15 +533,26 @@ class FusedP1Assembly:
         out_shape = [jax.ShapeDtypeStruct((nd,) + kdims, dtype),
                      jax.ShapeDtypeStruct((nd * nd,) + kdims, dtype)]
         hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-        res_out, jac_out = pl.pallas_call(
-            self._kernel(tiles, dtype, names),
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      hbm, hbm, hbm],
-            out_specs=[res_spec, jac_spec],
-            out_shape=out_shape,
-            interpret=interpret,
-        )(scal, gu, gbu, gbt)
+        if steady:
+            res_out, jac_out = pl.pallas_call(
+                self._kernel(tiles, dtype, names, steady=True),
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm],
+                out_specs=[res_spec, jac_spec],
+                out_shape=out_shape,
+                interpret=interpret,
+            )(scal, gu)
+        else:
+            gbu, gbt = grids(tc.beta_u), grids(tc.beta_t)
+            res_out, jac_out = pl.pallas_call(
+                self._kernel(tiles, dtype, names),
+                grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                          hbm, hbm, hbm],
+                out_specs=[res_spec, jac_spec],
+                out_shape=out_shape,
+                interpret=interpret,
+            )(scal, gu, gbu, gbt)
 
         # discard the tile-rounding pad elements
         real = tuple(slice(0, d) for d in dims)
@@ -478,7 +584,13 @@ class FusedP1Assembly:
 
     def jacobian(self, u, tc, pvec=None, interpret=False):
         from mrhyde_tpu.assembly.assembler import BlockJacobian
-        r, jac = self.res_jac_blocks(u, tc, pvec, interpret=interpret)
-        return r, BlockJacobian(vol=jac, vol_lids=self.asm.lids, bnd=[],
-                                bnd_lids=[], fixed=self.asm.fixed,
-                                inc=self.asm.inc)
+        r, jac = self.res_jac(u, tc, pvec, interpret=interpret)
+        # hand the kernel's SoA layout straight to BlockJacobian — the
+        # apply/diag hot paths consume it as-is; skipping the AoS
+        # transpose saves a 2x jac-sized HBM round trip per assembly
+        E = int(np.prod(self.dims))
+        return r, BlockJacobian(vol=None, vol_lids=self.asm.lids,
+                                bnd=[], bnd_lids=[],
+                                fixed=self.asm.fixed, inc=self.asm.inc,
+                                vol_soa=jac.reshape(self.nd * self.nd,
+                                                    E))

@@ -189,7 +189,7 @@ class StructuredMG:
     def _fold_boundary(self, J):
         """Add boundary-group Jacobian blocks into a copy of the volume
         blocks (groups share the owning element's dof set)."""
-        vol = J.vol
+        vol = J.aos()
         if not J.bnd:
             return vol
         disc_groups = list(self.asm.disc.boundary_groups)

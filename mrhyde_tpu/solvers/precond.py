@@ -43,8 +43,15 @@ def _gershgorin_lmax(J, dinv):
     (Power iteration UNDER-estimates on clustered spectra and makes
     Chebyshev divergent on the top modes; a guaranteed bound only costs
     a slightly smaller effective degree.)"""
+    if J.vol is None:                        # SoA fused-kernel layout
+        nd = J.vol_lids.shape[1]
+        row_e = jnp.stack(
+            [sum(jnp.abs(J.vol_soa[i * nd + j]) for j in range(nd))
+             for i in range(nd)], axis=1)
+    else:
+        row_e = jnp.abs(J.vol).sum(axis=2)
     rows = jax.ops.segment_sum(
-        jnp.abs(J.vol).sum(axis=2).ravel(), J.vol_lids.ravel(),
+        row_e.ravel(), J.vol_lids.ravel(),
         num_segments=J.n_dof)
     for blocks, lids in zip(J.bnd, J.bnd_lids):
         rows = rows + jax.ops.segment_sum(
@@ -108,9 +115,10 @@ def element_schwarz_precond(J, damping=1.0):
     """
     lids = J.vol_lids                               # (E, nd)
     fixed_e = J.fixed[lids]                         # (E, nd) bool
-    eye = jnp.eye(J.vol.shape[1], dtype=J.vol.dtype)
+    vol = J.aos()
+    eye = jnp.eye(vol.shape[1], dtype=vol.dtype)
     mask = (~fixed_e[:, :, None]) & (~fixed_e[:, None, :])
-    blocks = jnp.where(mask, J.vol, 0.0)
+    blocks = jnp.where(mask, vol, 0.0)
     blocks = blocks + eye * fixed_e[:, :, None]
     # replace each block's diagonal with the ASSEMBLED diagonal
     # (gathered): raw element stiffness blocks are singular for
@@ -130,7 +138,7 @@ def element_schwarz_precond(J, damping=1.0):
     dd = jnp.diagonal(blocks, axis1=1, axis2=2)
     dinv_blk = eye * (1.0 / jnp.where(dd == 0, 1.0, dd))[:, :, None]
     inv = jnp.where(ok, inv, dinv_blk)
-    ones = jnp.ones(lids.shape, dtype=J.vol.dtype)
+    ones = jnp.ones(lids.shape, dtype=vol.dtype)
     mult = jax.ops.segment_sum(ones.ravel(), lids.ravel(),
                                num_segments=J.n_dof)
     w = damping / jnp.where(mult == 0, 1.0, mult)

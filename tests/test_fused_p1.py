@@ -20,10 +20,21 @@ def _compare(p, tc, tol=1e-11):
     rng = np.random.RandomState(0)
     u = jnp.asarray(rng.randn(p.n_dof) * 0.3)
     r_ref = asm.residual(u, tc, None)
-    J_ref = asm.jacobian(u, tc, None).vol
+    J_ref = asm.jacobian(u, tc, None)
     r_f, J_f = fk.res_jac_blocks(u, tc, None, interpret=True)
     assert float(jnp.max(jnp.abs(r_f - r_ref))) < tol
-    assert float(jnp.max(jnp.abs(J_f - J_ref))) < tol
+    assert float(jnp.max(jnp.abs(J_f - J_ref.vol))) < tol
+    # SoA BlockJacobian (the production layout off the kernel):
+    # aos/apply/diag must agree with the general AoS path
+    _r2, J_soa = fk.jacobian(u, tc, None, interpret=True)
+    assert J_soa.vol is None and J_soa.vol_soa is not None
+    assert float(jnp.max(jnp.abs(J_soa.aos() - J_ref.vol))) < tol
+    v = jnp.asarray(rng.randn(p.n_dof))
+    assert float(jnp.max(jnp.abs(J_soa.apply(v) - J_ref.apply(v)))) \
+        < tol * 10
+    assert float(jnp.max(jnp.abs(J_soa.diag() - J_ref.diag()))) < tol
+    av = asm.matfree_apply_fn(J_soa)(v)
+    assert float(jnp.max(jnp.abs(av - J_ref.apply(v)))) < tol * 10
 
 
 def test_thermal_2d_nondivisible_dims_matches_general():
