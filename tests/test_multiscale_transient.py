@@ -302,15 +302,21 @@ def test_hface_transient_nonzero_ic_gold():
 def test_dynamic_multimodel():
     """thermal/2D_verification_multiscale_dynamicmultimodel: three
     subgrid models with TIME-DEPENDENT usage expressions; ownership is
-    re-voted each step and fine state is L2-transferred across fine
-    spaces on switches.
+    re-voted each step (per (rank x group), matching the reference)
+    and fine state is L2-projected onto the new owner's space at
+    switches (multiscaleManager.cpp:396-407 semantics).
 
     t = 0 and t = 0.1 match the reference gold digit-for-digit
     (macro 0.5 / 0.0584511; per-model 0.353628 / 0.259694 / 0.239805
-    then 0.0403358 / 0.0295268 / 0.0271638). Later steps differ only
-    in per-model attribution (the reference's workset-group vote
-    empties Model2 from t >= 0.2; we vote per element), so those pin
-    self-values.
+    then 0.0403358 / 0.0295268 / 0.0271638), and the OWNERSHIP
+    TIMELINE (which Subgrid lines are exactly zero) matches gold at
+    every time. The t >= 0.2 error VALUES are the documented
+    KNOWN_DELTA (<= 1% macro): the divergence is confined to the
+    post-switch fine-state evolution — measured negative results rule
+    out the transfer timing (always-blend is bit-identical) and the
+    reference's target-quadrature projection rule (moves AWAY from
+    gold); by t = 0.4 our macro error (0.00270) is smaller than the
+    reference's (0.00290). Those rows pin self-values.
     """
     import yaml
     d = ("/root/reference/regression/thermal/"
@@ -335,11 +341,17 @@ def test_dynamic_multimodel():
     assert np.isclose(e1[("Subgrid-L2", "e")], 0.0403358, rtol=1e-4)
     assert np.isclose(e1[("Subgrid-L2:1", "e")], 0.0295268, rtol=1e-4)
     assert np.isclose(e1[("Subgrid-L2:2", "e")], 0.0271638, rtol=1e-4)
-    # self-regression rows (attribution differs from gold, see above)
+    # self-regression rows (post-switch KNOWN_DELTA, see above);
+    # ownership-timeline zeros must match gold exactly
     e2 = hist[0.2]
-    assert np.isclose(e2[("L2", "e")], 0.0088867, rtol=1e-3)
+    assert np.isclose(e2[("L2", "e")], 0.00887822, rtol=5e-4)
+    assert np.isclose(e2[("Subgrid-L2", "e")], 0.00642961, rtol=1e-3)
+    assert np.isclose(e2[("Subgrid-L2:1", "e")], 0.0033993, rtol=1e-3)
+    assert e2[("Subgrid-L2:2", "e")] == 0.0
     e4 = hist[0.4]
-    assert np.isclose(e4[("L2", "e")], 0.00270374, rtol=1e-3)
+    assert np.isclose(e4[("L2", "e")], 0.00270176, rtol=5e-4)
+    assert e4[("Subgrid-L2:1", "e")] == 0.0
+    assert e4[("Subgrid-L2:2", "e")] == 0.0
 
 
 @pytest.mark.parametrize("name,macro,sub", [
