@@ -37,17 +37,27 @@ def _newton_step_fn(assembler, linear_method, linear_tol, linear_maxiter,
     cache = assembler.__dict__.setdefault("_newton_step_cache", {})
     key = (linear_method, linear_tol, linear_maxiter, precond_variant)
     if key not in cache:
-        mg_variant = precond_variant in ("multigrid", "mg")
+        mg_variant = precond_variant in ("multigrid", "mg", "amg")
         if mg_variant:
-            # build the (static) grid hierarchy once, outside the trace;
-            # fall back to element-Schwarz off the structured-p1 path
+            # build the (static) hierarchy once, outside the trace:
+            # geometric MG on structured p1 grids, aggregation AMG on
+            # everything else (the MueLu analog), element-Schwarz as
+            # the last resort
             from mrhyde_tpu.solvers.multigrid import StructuredMG
             if "_mg_hierarchy" not in assembler.__dict__:
-                try:
-                    assembler.__dict__["_mg_hierarchy"] = \
-                        StructuredMG(assembler)
-                except ValueError:
-                    assembler.__dict__["_mg_hierarchy"] = None
+                hier = None
+                if precond_variant != "amg":
+                    try:
+                        hier = StructuredMG(assembler)
+                    except ValueError:
+                        hier = None
+                if hier is None:
+                    from mrhyde_tpu.solvers.amg import AggregationAMG
+                    try:
+                        hier = AggregationAMG(assembler)
+                    except ValueError:
+                        hier = None
+                assembler.__dict__["_mg_hierarchy"] = hier
             if assembler.__dict__["_mg_hierarchy"] is None:
                 mg_variant = False
                 precond_variant = "schwarz"

@@ -1,0 +1,113 @@
+"""Aggregation AMG (solvers/amg.py) — MueLu analog for UNSTRUCTURED
+meshes (reference: linearAlgebraInterface.cpp:358-430 builds MueLu for
+any matrix; StructuredMG only serves structured p1 quad/hex grids).
+
+Checks: the hierarchy coarsens, the V-cycle is a convergent GMRES
+preconditioner on tri-mesh Poisson with near-mesh-independent iteration
+counts, it beats Jacobi decisively, and the nonlinear driver fallback
+chain (multigrid -> StructuredMG raise -> AggregationAMG) solves an
+unstructured deck end to end.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mrhyde_tpu.assembly.assembler import TimeCoeffs
+from mrhyde_tpu.problem import Problem
+from mrhyde_tpu.solvers.amg import AggregationAMG
+from mrhyde_tpu.solvers.krylov import gmres
+
+
+def _tri_poisson(nx):
+    return Problem({
+        "Mesh": {"dimension": 2, "element type": "tri",
+                 "NX": nx, "NY": nx},
+        "Functions": {"thermal source":
+                      "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state", "max nonlinear iters": 2},
+    })
+
+
+def _J_b(p, seed=1):
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    J = p.assembler.jacobian(p.initial_state(), tc, None)
+    b = jnp.asarray(np.random.RandomState(seed).randn(p.n_dof))
+    b = jnp.where(J.fixed, 0.0, b)
+    return J, b
+
+
+def test_hierarchy_coarsens():
+    p = _tri_poisson(24)
+    amg = AggregationAMG(p.assembler)
+    assert amg.n_levels >= 2
+    # every level materially smaller than the previous
+    for a, b in zip(amg.sizes, amg.sizes[1:]):
+        assert b < 0.6 * a
+    assert amg.sizes[-1] <= 600
+
+
+def test_amg_preconditioned_gmres_converges():
+    iters = []
+    for nx in (16, 32):
+        p = _tri_poisson(nx)
+        J, b = _J_b(p)
+        amg = AggregationAMG(p.assembler, coarse_dofs=60)
+        x, info = gmres(J.apply, b, m=80, tol=1e-10, max_restarts=5,
+                        precond=amg.preconditioner(J))
+        assert bool(info.converged)
+        # true solution check vs dense
+        xd = jnp.linalg.solve(J.dense(), b)
+        assert float(jnp.max(jnp.abs(x - xd))) < 1e-7
+        iters.append(int(info.iters))
+    # near-mesh-independence (plain aggregation: mild growth allowed)
+    assert iters[1] <= 2 * iters[0]
+
+
+def test_amg_beats_jacobi():
+    p = _tri_poisson(32)
+    J, b = _J_b(p)
+    amg = AggregationAMG(p.assembler, coarse_dofs=60)
+    _, info_amg = gmres(J.apply, b, m=80, tol=1e-10, max_restarts=5,
+                        precond=amg.preconditioner(J))
+    dinv = 1.0 / J.diag()
+    _, info_jac = gmres(J.apply, b, m=80, tol=1e-10, max_restarts=5,
+                        precond=lambda v: dinv * v)
+    assert bool(info_amg.converged)
+    total_amg = int(info_amg.iters)
+    total_jac = int(info_jac.iters) + (0 if bool(info_jac.converged)
+                                       else 400)
+    assert total_amg < 0.5 * total_jac
+
+
+def test_unstructured_deck_via_multigrid_fallback():
+    """'preconditioner variant: multigrid' on a tri mesh: StructuredMG
+    refuses (not structured-quad), AggregationAMG takes over, and the
+    manufactured solution still converges to the expected error."""
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "tri",
+                 "NX": 20, "NY": 20},
+        "Functions": {"thermal source":
+                      "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state", "max nonlinear iters": 2,
+                   "use direct solver": False,
+                   "preconditioner variant": "multigrid",
+                   "linear TOL": 1e-12},
+        "Postprocess": {"compute errors": True,
+                        "True solutions": {
+                            "e": "sin(2*pi*x)*sin(2*pi*y)"}},
+    }
+    res = Problem(cfg).run()
+    # must match the direct-solver result on the same deck (measured
+    # 0.014019203409740 with 'use direct solver: true') — pins that
+    # the AMG-preconditioned Krylov converged to the discrete solution
+    assert np.isclose(res.errors[("L2", "e")], 0.0140192034, rtol=1e-6)
