@@ -209,6 +209,39 @@ def _scatter_vec(vals, lids, n_dof):
     return jax.ops.segment_sum(vals.ravel(), lids.ravel(), num_segments=n_dof)
 
 
+def _fold_W(g, signs, mixp, mixw):
+    """Gather-side orientation fold u_loc = W g per element: diagonal
+    signs plus the optional 2x2 face-pair mixing channel (tet HCURL
+    order >= 2; None mixp = pure signs)."""
+    out = g * signs
+    if mixp is not None:
+        out = out + mixw * jnp.take_along_axis(g, mixp, axis=1)
+    return out
+
+
+def _fold_WT(r, signs, mixp, mixwT):
+    """Scatter-side fold W^T r (signs are their own transpose; the
+    mixing channel uses mixwT[j] = mixw[pair[j]])."""
+    out = r * signs
+    if mixp is not None:
+        out = out + mixwT * jnp.take_along_axis(r, mixp, axis=1)
+    return out
+
+
+def _fold_jac_WT_W(J, signs, mixp, mixwT):
+    """Element-block Jacobian fold W^T J W (J rows/cols in the local
+    frame -> global canonical frame)."""
+    A = J * signs[:, :, None]
+    if mixp is not None:
+        idx = jnp.broadcast_to(mixp[:, :, None], J.shape)
+        A = A + mixwT[:, :, None] * jnp.take_along_axis(J, idx, axis=1)
+    B = A * signs[:, None, :]
+    if mixp is not None:
+        idx = jnp.broadcast_to(mixp[:, None, :], A.shape)
+        B = B + mixwT[:, None, :] * jnp.take_along_axis(A, idx, axis=2)
+    return B
+
+
 def build_incidence(lids: np.ndarray, n_dof: int) -> np.ndarray:
     """dof -> positions in lids.ravel() (padded with E*nd = zero slot).
 
@@ -351,7 +384,20 @@ class Assembler:
                     hv[k] = jnp.asarray(t, dtype=dt)
                 self.g_bg["hface"] = hv
         self.signs = jnp.asarray(disc.dofmap.signs, dtype=dt)
-        self.has_signs = bool(np.any(disc.dofmap.signs != 1.0))
+        # 2x2 orientation mixing channel (tet HCURL order >= 2 face
+        # dofs, fem/dofmap.py): u_loc = signs*g + mixw*g[mixp];
+        # scatter/Jacobian folds use the transposed weight
+        # mixwT[j] = mixw[pair[j]]
+        if disc.dofmap.mix_pair is not None:
+            self.mixp = jnp.asarray(disc.dofmap.mix_pair,
+                                    dtype=jnp.int32)
+            self.mixw = jnp.asarray(disc.dofmap.mix_w, dtype=dt)
+            self.mixwT = jnp.take_along_axis(self.mixw, self.mixp,
+                                             axis=1)
+        else:
+            self.mixp = self.mixw = self.mixwT = None
+        self.has_signs = bool(np.any(disc.dofmap.signs != 1.0)) \
+            or self.mixp is not None
         self.g_ip = jnp.asarray(disc.ip, dtype=dt)
         self.g_bv = {k: jnp.asarray(v, dtype=dt)
                      for k, v in disc.basis_vals.items()}
@@ -371,6 +417,17 @@ class Assembler:
                 elems=np.asarray(bg.elems),
                 lids=jnp.asarray(bg.lids),
                 signs=jnp.asarray(disc.dofmap.signs[bg.elems], dtype=dt),
+                mixp=(None if disc.dofmap.mix_pair is None else
+                      jnp.asarray(disc.dofmap.mix_pair[bg.elems],
+                                  dtype=jnp.int32)),
+                mixw=(None if disc.dofmap.mix_w is None else
+                      jnp.asarray(disc.dofmap.mix_w[bg.elems],
+                                  dtype=dt)),
+                mixwT=(None if disc.dofmap.mix_w is None else
+                       jnp.asarray(np.take_along_axis(
+                           disc.dofmap.mix_w[bg.elems],
+                           disc.dofmap.mix_pair[bg.elems], axis=1),
+                           dtype=dt)),
                 wts=jnp.asarray(bg.wts, dtype=dt),
                 ip=jnp.asarray(bg.ip, dtype=dt),
                 normals=jnp.asarray(bg.normals, dtype=dt),
@@ -628,17 +685,25 @@ class Assembler:
     # global assembly
     # ------------------------------------------------------------------
 
-    def _gathered(self, u_st, tc: TimeCoeffs, lids, signs=None):
-        if signs is None:
+    def _gathered(self, u_st, tc: TimeCoeffs, lids, signs=None,
+                  group=None):
+        if signs is None and group is None:
             signs = self.signs if lids is self.lids else None
+            mixp, mixw = self.mixp, self.mixw
+        elif group is not None:
+            signs = group["signs"]
+            mixp, mixw = group["mixp"], group["mixw"]
+        else:
+            mixp = mixw = None
         if lids is self.lids and self._structured is not None \
                 and not self.has_signs:
             return (self._gather_structured(u_st),
                     self._gather_structured(tc.beta_u),
                     self._gather_structured(tc.beta_t))
         if signs is not None and self.has_signs:
-            return (u_st[lids] * signs, tc.beta_u[lids] * signs,
-                    tc.beta_t[lids] * signs)
+            return (_fold_W(u_st[lids], signs, mixp, mixw),
+                    _fold_W(tc.beta_u[lids], signs, mixp, mixw),
+                    _fold_W(tc.beta_t[lids], signs, mixp, mixw))
         return u_st[lids], tc.beta_u[lids], tc.beta_t[lids]
 
     def residual(self, u_st, tc: TimeCoeffs, pvec=None):
@@ -652,7 +717,7 @@ class Assembler:
                                       self._bg_ax, 0))(
             u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg, extra)
         if self.has_signs:
-            res_e = res_e * self.signs
+            res_e = _fold_WT(res_e, self.signs, self.mixp, self.mixwT)
         if self._structured is not None and not self.has_signs:
             r = self._scatter_structured(res_e)
         else:
@@ -661,7 +726,7 @@ class Assembler:
             r = flat[self.inc].sum(axis=1)
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
-                                             signs=group["signs"])
+                                             group=group)
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
@@ -671,7 +736,8 @@ class Assembler:
                 u_b, bu_b, bt_b, group["wts"], group["ip"],
                 group["normals"], group["bg"], bex)
             if self.has_signs:
-                res_b = res_b * group["signs"]
+                res_b = _fold_WT(res_b, group["signs"], group["mixp"],
+                                 group["mixwT"])
             r = r + _scatter_vec(res_b, group["lids"], self.n_dof)
         if self.multiscale is not None:
             r = r + self.multiscale.residual_contribution(u_st, tc, pvec)
@@ -729,11 +795,12 @@ class Assembler:
                                   self._bg_ax, 0))(
             u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg, extra)
         if self.has_signs:
-            jac_e = jac_e * self.signs[:, :, None] * self.signs[:, None, :]
+            jac_e = _fold_jac_WT_W(jac_e, self.signs, self.mixp,
+                                   self.mixwT)
         bnd_blocks, bnd_lids = [], []
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
-                                             signs=group["signs"])
+                                             group=group)
             bfn = partial(self._belem_residual, group, alpha_u=tc.alpha_u,
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
@@ -744,8 +811,8 @@ class Assembler:
                 u_b, bu_b, bt_b, group["wts"], group["ip"],
                 group["normals"], group["bg"], bex)
             if self.has_signs:
-                jac_b = jac_b * group["signs"][:, :, None] \
-                    * group["signs"][:, None, :]
+                jac_b = _fold_jac_WT_W(jac_b, group["signs"],
+                                       group["mixp"], group["mixwT"])
             bnd_blocks.append(jac_b)
             bnd_lids.append(group["lids"])
         if self.multiscale is not None:
@@ -816,7 +883,7 @@ class Assembler:
         M = jnp.asarray(self.disc.mass_blocks(var), dtype=self.dtype)
         if var is None:
             if self.has_signs:
-                M = M * self.signs[:, :, None] * self.signs[:, None, :]
+                M = _fold_jac_WT_W(M, self.signs, self.mixp, self.mixwT)
             return BlockJacobian(vol=M, vol_lids=self.lids, bnd=[],
                                  bnd_lids=[],
                                  fixed=jnp.zeros(self.n_dof, dtype=bool),
@@ -829,7 +896,9 @@ class Assembler:
         lids = jnp.asarray(vdm.eldofs)
         if self.has_signs:
             s = self.signs[:, st:st + nd]
-            M = M * s[:, :, None] * s[:, None, :]
+            mp = None if self.mixp is None else self.mixp[:, st:st + nd] - st
+            mwT = None if self.mixwT is None else self.mixwT[:, st:st + nd]
+            M = _fold_jac_WT_W(M, s, mp, mwT)
         return BlockJacobian(vol=M, vol_lids=lids, bnd=[], bnd_lids=[],
                              fixed=jnp.zeros(vdm.n_dof, dtype=bool))
 
@@ -853,7 +922,7 @@ class Assembler:
                      in_axes=(0, 0, self._wts_ax, 0, self._bg_ax))(
             u_dot, u_eval, self.g_wts, self.g_ip, self.g_bg)
         if self.has_signs:
-            M = M * self.signs[:, :, None] * self.signs[:, None, :]
+            M = _fold_jac_WT_W(M, self.signs, self.mixp, self.mixwT)
         return M
 
     def lumped_mass(self, u_st, tc: TimeCoeffs, pvec=None):
@@ -897,7 +966,12 @@ class Assembler:
                 contrib = jnp.einsum("eiqd,eqd->ei", vv,
                                      f * wtsE[:, :, None])
                 sg = self.signs[:, st:st + nd]
-                b = b + _scatter_vec(contrib * sg, lids_v, self.n_dof)
+                mp = None if self.mixp is None \
+                    else self.mixp[:, st:st + nd] - st
+                mwT = None if self.mixwT is None \
+                    else self.mixwT[:, st:st + nd]
+                b = b + _scatter_vec(_fold_WT(contrib, sg, mp, mwT),
+                                     lids_v, self.n_dof)
                 continue
             if var not in exprs:
                 continue

@@ -31,6 +31,14 @@ class VarDofMap:
     dof_coords: np.ndarray     # (n_dof, dim) physical coords (nodal bases)
     signs: np.ndarray | None = None   # (n_elem, ndof_per_elem) +-1 for
     #                                   HDIV/HCURL orientation
+    # 2x2 orientation MIXING (tet HCURL order >= 2 face dofs, whose
+    # frame change is not a signed permutation): local coefficient
+    # u_loc[j] = signs[j] * g[j] + mix_w[j] * g[mix_pair[j]], where g
+    # is the gathered global coefficient vector. mix_pair is a LOCAL
+    # slot index (self where no mixing, with mix_w = 0); pairing is
+    # symmetric (pair[pair[j]] == j).
+    mix_pair: np.ndarray | None = None   # (n_elem, ndof_per_elem) int
+    mix_w: np.ndarray | None = None      # (n_elem, ndof_per_elem)
 
 
 @dataclass
@@ -42,6 +50,33 @@ class DofMap:
     lids: np.ndarray           # (n_elem, ndof_total) global dof ids
     offsets: dict[str, tuple[int, int]]  # var -> (start, ndof) in element vec
     signs: np.ndarray = None   # (n_elem, ndof_total) orientation signs
+    mix_pair: np.ndarray = None   # (n_elem, ndof_total) local partner
+    mix_w: np.ndarray = None      # (n_elem, ndof_total) partner weight
+
+    @property
+    def has_mix(self):
+        return self.mix_pair is not None
+
+    def fold(self, g, st=0, nd=None):
+        """Gather-side orientation fold of element coefficient arrays
+        g (..., n_elem, nd_slice): u_loc = signs * g + mix_w * g[pair].
+        st/nd select a within-element dof slice (one variable); pairs
+        never cross variables. Works on numpy or jax arrays (the dof
+        axis is last, the element axis second-to-last)."""
+        sl = slice(st, (st + nd) if nd is not None else None)
+        s = self.signs[:, sl]
+        if self.mix_pair is None:
+            return g * s
+        pr = self.mix_pair[:, sl] - st
+        w = self.mix_w[:, sl]
+        if isinstance(g, np.ndarray):
+            gp = np.take_along_axis(
+                g, np.broadcast_to(pr, g.shape), axis=-1)
+        else:
+            import jax.numpy as jnp
+            gp = jnp.take_along_axis(
+                g, jnp.broadcast_to(pr, g.shape), axis=-1)
+        return g * s + w * gp
 
     def var(self, name: str) -> VarDofMap:
         for v in self.vars:
@@ -262,6 +297,8 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     only_cell = n_cell_dofs == basis.ndof
     eldofs = np.zeros((n_elem, basis.ndof), dtype=np.int64)
     signs = np.ones((n_elem, basis.ndof))
+    mix_pair = None
+    mix_w = None
     coords = mesh.nodes[mesh.conn]                 # (E, nc, dim)
     dof_coords = None
     scalar_trace = getattr(basis, "space", "") == "HFACE"
@@ -293,6 +330,28 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
             cyc = dconn[:, f]                          # (E, 3|4)
             perm_e = np.zeros((n_elem, npf), dtype=np.int64)
             sgn_e = np.ones((n_elem, npf))
+            if mesh.cell_type == "tet" and space == "HCURL":
+                # 2x2 tangential-frame mixing per face lattice slot
+                # (vector_basis.tet_hcurl_face_mix): instance s = 2m+a
+                # holds canonical component a at canonical slot
+                # permlat[m], gathering with weights M[a, a] (self) and
+                # M[a, 1-a] (its local partner 2m+(1-a))
+                from mrhyde_tpu.fem.vector_basis import \
+                    tet_hcurl_face_mix
+                mixw_e = np.zeros((n_elem, npf))
+                sig = np.argsort(cyc, axis=1, kind="stable")
+                keys = sig[:, 0] * 9 + sig[:, 1] * 3 + sig[:, 2]
+                for kv in np.unique(keys):
+                    rows = keys == kv
+                    desc = tuple(int(x) for x in sig[np.argmax(rows)])
+                    permlat, M = tet_hcurl_face_mix(basis.order, desc)
+                    for s in range(npf):
+                        m, a = s // 2, s % 2
+                        perm_e[rows, s] = 2 * permlat[m] + a
+                        sgn_e[rows, s] = M[a, a]
+                        mixw_e[rows, s] = M[a, 1 - a]
+                face_tables[fidx] = (perm_e, sgn_e, mixw_e)
+                continue
             if mesh.cell_type == "tet":
                 sig = np.argsort(cyc, axis=1, kind="stable")
                 keys = sig[:, 0] * 9 + sig[:, 1] * 3 + sig[:, 2]
@@ -344,11 +403,21 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
         elif npf > 1:   # order >= 2 face dofs: lattice perm + sign
             s = face_sub.get(idx, 0)
             face_sub[idx] = s + 1
-            perm_e, sgn_e = face_tables[idx]
+            tab = face_tables[idx]
+            perm_e, sgn_e = tab[0], tab[1]
             eldofs[:, j] = (face_base + elem_faces[:, idx] * npf
                             + perm_e[:, s])
             if not scalar_trace:
                 signs[:, j] = sgn_e[:, s]
+            if len(tab) == 3:      # tet HCURL 2x2 mixing channel
+                if mix_pair is None:
+                    mix_pair = np.tile(np.arange(basis.ndof),
+                                       (n_elem, 1))
+                    mix_w = np.zeros((n_elem, basis.ndof))
+                # pairs are consecutive in the ents walk: instance
+                # s = 2m is followed by its partner 2m+1
+                mix_pair[:, j] = j + 1 if s % 2 == 0 else j - 1
+                mix_w[:, j] = tab[2][:, s]
         else:  # single-dof face (lowest-order 3D HDIV)
             eldofs[:, j] = face_base + elem_faces[:, idx]
             # sign = local outward normal . global sorted-node normal
@@ -377,7 +446,8 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
         else:
             mid = coords[:, list(topo.sides[idx]), :].mean(axis=1)
         dof_coords[eldofs[:, j]] = mid
-    return VarDofMap(name, basis, n_dof, eldofs, dof_coords, signs=signs)
+    return VarDofMap(name, basis, n_dof, eldofs, dof_coords, signs=signs,
+                     mix_pair=mix_pair, mix_w=mix_w)
 
 
 def _build_hface_var(mesh: Mesh, name: str, basis) -> VarDofMap:
@@ -603,5 +673,21 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
     signs = np.concatenate(
         [v.signs if v.signs is not None
          else np.ones_like(v.eldofs, dtype=float) for v in vars_], axis=1)
+    mix_pair = mix_w = None
+    if any(v.mix_pair is not None for v in vars_):
+        pairs, ws = [], []
+        for v in vars_:
+            st = offsets[v.name][0]
+            if v.mix_pair is not None:
+                pairs.append(v.mix_pair + st)
+                ws.append(v.mix_w)
+            else:
+                pairs.append(np.tile(
+                    np.arange(st, st + v.basis.ndof),
+                    (v.eldofs.shape[0], 1)))
+                ws.append(np.zeros_like(v.eldofs, dtype=float))
+        mix_pair = np.concatenate(pairs, axis=1)
+        mix_w = np.concatenate(ws, axis=1)
     return DofMap(mesh=mesh, vars=vars_, var_start=var_start, n_dof=tot,
-                  lids=lids.astype(np.int64), offsets=offsets, signs=signs)
+                  lids=lids.astype(np.int64), offsets=offsets, signs=signs,
+                  mix_pair=mix_pair, mix_w=mix_w)

@@ -387,9 +387,7 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
                            ndof=len(ents), dof_entity=ents)
     if space != "HFACE" and order != 1:
         raise NotImplementedError(
-            f"continuous {space} order {order} (orientation-folded "
-            "numbering implemented at any order except tet HCURL, "
-            "whose face dofs need 2x2 frame mixing)")
+            f"continuous {space} order {order} on {cell}")
     if space == "HDIV":
         if topo.dim == 2:
             ents = tuple(("edge", i) for i in range(len(topo.edges)))
@@ -979,6 +977,205 @@ def _tet_hdiv_order_n(k):
     return ev, dv, tuple(ents)
 
 
+def _tet_span_hcurl(k):
+    """Monomial span for tet Nedelec-1st-kind[k]:
+    (P_{k-1})^3 (+) S_k, S_k = {v homogeneous deg k : v.x = 0}.
+    S_k generators: x cross (m e_c) for monomials m of degree k-1 —
+    rank-selected via pivoted QR (the generator set has a
+    dim-P~_{k-2} kernel). Every span element is a monomial dict
+    {(i,j,l,c): coef}, so curls are exact.
+
+    Returns ev(p) -> (values (nsp, npts, 3), curls (nsp, npts, 3))."""
+    elems = []                               # list of dicts
+    for c in range(3):
+        for d in range(k):
+            for i in range(d + 1):
+                for j in range(d + 1 - i):
+                    l = d - i - j
+                    elems.append({(i, j, l, c): 1.0})
+    # homogeneous generators: m of degree k-1
+    gens = []
+    for i in range(k):
+        for j in range(k - i):
+            l = k - 1 - i - j
+            # x cross (m e_0) = (0, m z, -m y)
+            gens.append({(i, j, l + 1, 1): 1.0, (i, j + 1, l, 2): -1.0})
+            # x cross (m e_1) = (-m z, 0, m x)
+            gens.append({(i, j, l + 1, 0): -1.0, (i + 1, j, l, 2): 1.0})
+            # x cross (m e_2) = (m y, -m x, 0)
+            gens.append({(i, j + 1, l, 0): 1.0, (i + 1, j, l, 1): -1.0})
+    # rank-select k(k+2) independent generators
+    keys = sorted({m for g in gens for m in g})
+    G = np.zeros((len(keys), len(gens)))
+    ki = {m: r for r, m in enumerate(keys)}
+    for cidx, g in enumerate(gens):
+        for m, coef in g.items():
+            G[ki[m], cidx] = coef
+    import scipy.linalg as sla
+    _q, _r, piv = sla.qr(G, pivoting=True)
+    need = k * (k + 2)
+    elems.extend(gens[piv[t]] for t in range(need))
+
+    def ev(p):
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        npts = p.shape[0]
+        vals = np.zeros((len(elems), npts, 3))
+        crls = np.zeros((len(elems), npts, 3))
+        for s, g in enumerate(elems):
+            for (i, j, l, c), coef in g.items():
+                vals[s, :, c] += coef * x ** i * y ** j * z ** l
+                # curl contributions of coef x^i y^j z^l e_c
+                if c == 0:
+                    if l:
+                        crls[s, :, 1] += coef * l * \
+                            x ** i * y ** j * z ** (l - 1)
+                    if j:
+                        crls[s, :, 2] -= coef * j * \
+                            x ** i * y ** (j - 1) * z ** l
+                elif c == 1:
+                    if l:
+                        crls[s, :, 0] -= coef * l * \
+                            x ** i * y ** j * z ** (l - 1)
+                    if i:
+                        crls[s, :, 2] += coef * i * \
+                            x ** (i - 1) * y ** j * z ** l
+                else:
+                    if j:
+                        crls[s, :, 0] += coef * j * \
+                            x ** i * y ** (j - 1) * z ** l
+                    if i:
+                        crls[s, :, 1] -= coef * i * \
+                            x ** (i - 1) * y ** j * z ** l
+        return vals, crls
+
+    return ev
+
+
+@lru_cache(maxsize=None)
+def _tet_hcurl_order_n(k):
+    """Vandermonde-built Nedelec-1[k] on the reference tet.
+
+    Functionals (all POINTWISE circulation densities v.t against
+    UNNORMALIZED corner-difference tangents, so they are covariant-
+    Piola invariant and shareable across elements):
+      - per edge (a, b): k Gauss points, tangent = corner_b - corner_a;
+      - per face (topo.sides traversal c0,c1,c2): at each point of the
+        degree k-2 barycentric lattice (_facet_lattice order), TWO dofs
+        listed consecutively: components along t1 = c1-c0 and
+        t2 = c2-c0. Cross-element consistency needs a 2x2 frame mix
+        (tet_hcurl_face_mix) because the face symmetry group does not
+        act by signed permutations on (t1, t2);
+      - interior: 3 component values per point of a strictly-interior
+        P_{k-3} lattice.
+
+    Reference analog: Intrepid2 HCURL_TET_In_FEM + orientation tools
+    (discretizationInterface.cpp:354-430, :1263)."""
+    topo = cell_topology("tet")
+    verts = topo.corners
+    span = _tet_span_hcurl(k)
+    g01 = (_gauss_nodes(k) + 1.0) / 2.0
+
+    pts, vecs, ents = [], [], []
+    for e, (a, b) in enumerate(topo.edges):
+        pa, pb = verts[a], verts[b]
+        t = pb - pa
+        for s in g01:
+            pts.append(pa + s * t)
+            vecs.append(t)
+            ents.append(("edge", e))
+    if k >= 2:
+        # STRICTLY-INTERIOR symmetric face lattice (i+1)/(deg+3): the
+        # corner-touching _facet_lattice makes the k>=3 Vandermonde
+        # singular (corner tangential values are dependent on the edge
+        # functionals). Index order matches _facet_lattice /
+        # tet_hcurl_face_mix's (i, j) flat enumeration.
+        deg = k - 2
+        lat = np.array([[(i + 1.0) / (deg + 3), (j + 1.0) / (deg + 3)]
+                        for i in range(deg + 1)
+                        for j in range(deg + 1 - i)])
+        for s, f in enumerate(topo.sides):
+            c0, c1, c2 = verts[f[0]], verts[f[1]], verts[f[2]]
+            t1, t2 = c1 - c0, c2 - c0
+            for (u, v) in lat:
+                p = (1 - u - v) * c0 + u * c1 + v * c2
+                for t in (t1, t2):
+                    pts.append(p)
+                    vecs.append(t)
+                    ents.append(("face", s))
+    if k >= 3:
+        d = k - 3
+        for i in range(d + 1):
+            for j in range(d + 1 - i):
+                for l in range(d + 1 - i - j):
+                    q = np.array([(i + 1.0) / (k + 2),
+                                  (j + 1.0) / (k + 2),
+                                  (l + 1.0) / (k + 2)])
+                    for c in range(3):
+                        w = np.zeros(3)
+                        w[c] = 1.0
+                        pts.append(q)
+                        vecs.append(w)
+                        ents.append(("cell", len(ents)))
+    pts = np.array(pts)
+    vecs = np.array(vecs)
+
+    sp_v, _ = span(pts)
+    V = np.einsum("snd,nd->ns", sp_v, vecs)
+    assert V.shape[0] == V.shape[1], ("HCURL tet", k, V.shape)
+    cond = np.linalg.cond(V)
+    assert cond < 1e12, f"Ned[{k}] tet Vandermonde cond {cond:.1e}"
+    A = np.linalg.inv(V.T)
+
+    def ev(p):
+        sv, _ = span(p)
+        return np.einsum("js,snx->jnx", A, sv)
+
+    def cv(p):
+        _, sc = span(p)
+        return np.einsum("js,snx->jnx", A, sc)
+
+    return ev, cv, tuple(ents)
+
+
+@lru_cache(maxsize=None)
+def tet_hcurl_face_mix(order: int, sigma: tuple):
+    """Face-dof folding data for tet HCURL order >= 2.
+
+    sigma = argsort of the face's 3 corner GLOBAL ids in the element's
+    topo.sides traversal order. The face's canonical frame (shared by
+    both elements) is d1 = P_{sigma1} - P_{sigma0},
+    d2 = P_{sigma2} - P_{sigma0}; the local frame is t1 = P_1 - P_0,
+    t2 = P_2 - P_0. Corner differences are integer combinations, so
+    the 2x2 change-of-frame M (t_a = sum_b M[a,b] d_b) has entries in
+    {0, +-1}; a local dof's COEFFICIENT gathers as
+    u_loc = M @ u_canonical (nodal coefficients transform like their
+    functionals).
+
+    Returns (permlat, M): permlat maps local lattice slot -> canonical
+    lattice slot (weights reordered by sigma, the _hface3d rule at
+    degree order-2); M is the 2x2 mix."""
+    sigma = np.asarray(sigma)
+    deg = order - 2
+    flat = {}
+    m = 0
+    for i in range(deg + 1):
+        for j in range(deg + 1 - i):
+            flat[(i, j)] = m
+            m += 1
+    permlat = np.zeros(len(flat), dtype=np.int64)
+    for (i, j), mm in flat.items():
+        w = (deg - i - j, i, j)
+        wc = [w[sigma[0]], w[sigma[1]], w[sigma[2]]]
+        permlat[mm] = flat[(wc[1], wc[2])]
+    # rank of each traversal corner in the canonical order
+    r = np.empty(3, dtype=np.int64)
+    r[sigma] = np.arange(3)
+    # D_0 = 0, D_1 = d1, D_2 = d2; t_a = D_{r[a]} - D_{r[0]}
+    D = np.array([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    M = np.stack([D[r[1]] - D[r[0]], D[r[2]] - D[r[0]]])
+    return permlat, M
+
+
 # --- orientation folding tables for the dofmap --------------------------
 
 
@@ -1130,11 +1327,12 @@ def _ensure_order(cell, space, order):
     elif cell == "tet" and space == "HDIV":
         ev, dv, ents = _tet_hdiv_order_n(order)
         _DIV[key] = dv
+    elif cell == "tet" and space == "HCURL":
+        # face dofs fold with a 2x2 frame mix (tet_hcurl_face_mix);
+        # fem/dofmap.py carries it in the mix_pair/mix_w channel
+        ev, dv, ents = _tet_hcurl_order_n(order)
+        _CURL[key] = dv
     else:
-        # tet HCURL order >= 2: face-tangential dofs need 2x2 frame
-        # mixing (t0 + t1 + t2 = 0 on a tri face is not a signed
-        # permutation), which the +-1 orientation contract of the
-        # assembler doesn't carry yet
         raise NotImplementedError(f"{space} order {order} on {cell}")
     _EVAL[key] = ev
     _NDOF[key] = len(ents)
@@ -1160,7 +1358,10 @@ def _facet_lattice(side_cell: str, order: int):
         xi = np.linspace(-1.0, 1.0, n + 1)
         return np.array([[xi[a], xi[b]]
                          for a in range(n + 1) for b in range(n + 1)])
-    # tri: barycentric lattice (i, j), i + j <= n, coords (i/n, j/n)
+    # tri: barycentric lattice (i, j), i + j <= n, coords (i/n, j/n);
+    # degree 0 = the centroid
+    if n == 0:
+        return np.array([[1.0 / 3.0, 1.0 / 3.0]])
     return np.array([[i / n, j / n]
                      for i in range(n + 1) for j in range(n + 1 - i)])
 

@@ -441,8 +441,10 @@ class SubgridDtN:
         deltat = tc.deltat if deltat is None else deltat
         u_e, bu_e, bt_e = uf[fa.lids], bu_f[fa.lids], bt_f[fa.lids]
         if fa.has_signs:
-            u_e, bu_e = u_e * fa.signs, bu_e * fa.signs
-            bt_e = bt_e * fa.signs
+            from mrhyde_tpu.assembly.assembler import _fold_W
+            u_e = _fold_W(u_e, fa.signs, fa.mixp, fa.mixw)
+            bu_e = _fold_W(bu_e, fa.signs, fa.mixp, fa.mixw)
+            bt_e = _fold_W(bt_e, fa.signs, fa.mixp, fa.mixw)
         fn = partial(fa._elem_residual, alpha_u=alpha_u,
                      alpha_t=alpha_t, time=time, pvec=pvec,
                      deltat=deltat)
@@ -458,7 +460,8 @@ class SubgridDtN:
             res_e = jax.vmap(fn, in_axes=(0, 0, 0, 0, 0, 0, ex_ax))(
                 u_e, bu_e, bt_e, geo["wts"], geo["ip"], geo["bg"], ex)
         if fa.has_signs:
-            res_e = res_e * fa.signs
+            from mrhyde_tpu.assembly.assembler import _fold_WT
+            res_e = _fold_WT(res_e, fa.signs, fa.mixp, fa.mixwT)
         flat = jnp.concatenate([res_e.ravel(),
                                 jnp.zeros(1, dtype=res_e.dtype)])
         r = flat[fa.inc].sum(axis=1)
@@ -865,9 +868,9 @@ class SubgridDtN:
             wts = jnp.asarray(disc.wts)[None]           # (1, Ef, Q)
         lids = jnp.asarray(disc.lids)
         u_all = ufs[:, lids]                            # (E, Ef, ndt)
-        signs = np.asarray(disc.dofmap.signs)
-        if np.any(signs != 1.0):
-            u_all = u_all * jnp.asarray(signs, u_all.dtype)
+        if np.any(np.asarray(disc.dofmap.signs) != 1.0) \
+                or disc.dofmap.mix_pair is not None:
+            u_all = disc.dofmap.fold(u_all)
         ctx = PointContext(ips, time, self.problem.params)
         kind = ("Subgrid-L2" if self.label == 0
                 else f"Subgrid-L2:{self.label}")

@@ -162,6 +162,11 @@ def build_dof_partition(assembler, n_shards: int) -> DofPartition:
     # positions (padded entries -> trash slot nmax)
     send_next = np.full((S, gp_max), nmax, dtype=np.int64)
     send_prev = np.full((S, gn_max), nmax, dtype=np.int64)
+    if getattr(assembler, "mixp", None) is not None:
+        raise NotImplementedError(
+            "DOF-sharded execution with 2x2 orientation mixing (tet "
+            "HCURL order >= 2) — the halo gather would need the mix "
+            "channel shipped per shard")
     signs = np.asarray(assembler.signs) if assembler.has_signs else None
     for s in range(n_shards):
         el = lids[cuts[s]:cuts[s + 1]]                 # (Es, nd)

@@ -89,8 +89,8 @@ class ErrorCalculator:
     def _compute(self, u, time) -> dict:
         disc = self.disc
         out = {}
-        u_e = u[jnp.asarray(disc.lids)] \
-            * jnp.asarray(disc.dofmap.signs)          # (E, nd_total)
+        u_e = disc.dofmap.fold(
+            u[jnp.asarray(disc.lids)])                # (E, nd_total)
 
         for var, comps in self.comp_exprs.items():
             if var not in disc.offsets:

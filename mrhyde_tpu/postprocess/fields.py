@@ -26,8 +26,7 @@ class GlobalFieldContext:
         self.time = time
         self.params = params or {}
         self.field_params = field_params or {}
-        self._u_e = u[jnp.asarray(disc.lids)] \
-            * jnp.asarray(disc.dofmap.signs, dtype=u.dtype)
+        self._u_e = disc.dofmap.fold(u[jnp.asarray(disc.lids)])
         self._cache = {}
 
     def _var(self, var):

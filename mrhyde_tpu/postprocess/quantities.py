@@ -32,9 +32,14 @@ class BoundaryFieldContext:
         self.time = time
         self.params = params or {}
         lids = disc.lids[bg.elems]
-        signs = disc.dofmap.signs[bg.elems]
-        self._u_e = u[jnp.asarray(lids)] * jnp.asarray(signs,
-                                                       dtype=u.dtype)
+        dm = disc.dofmap
+        u_g = u[jnp.asarray(lids)]
+        self._u_e = u_g * jnp.asarray(dm.signs[bg.elems], dtype=u.dtype)
+        if dm.mix_pair is not None:   # tet HCURL >= 2 face-pair mixing
+            self._u_e = self._u_e + \
+                jnp.asarray(dm.mix_w[bg.elems], dtype=u.dtype) * \
+                jnp.take_along_axis(
+                    u_g, jnp.asarray(dm.mix_pair[bg.elems]), axis=1)
         self._cache = {}
 
     def resolve(self, leaf):

@@ -59,8 +59,7 @@ class SolutionWriter:
         p = self.problem
         disc = p.disc
         st, nd = disc.offsets[var]
-        u_e = u[disc.lids][:, st:st + nd] \
-            * np.asarray(disc.dofmap.signs)[:, st:st + nd]
+        u_e = disc.dofmap.fold(u[disc.lids][:, st:st + nd], st, nd)
         key = disc.basis_keys[var]
         wts = disc.wts
         if key[0] in ("HDIV", "HCURL"):

@@ -12,9 +12,10 @@ projection of a field lying IN the conforming space must reproduce it
 to machine precision. Any wrong face-lattice permutation or sign on
 the shared face breaks this at O(1). The split-hex tet mesh plays the
 same role for tets (neighboring tets traverse shared faces in
-different orders). tet HCURL order >= 2 is intentionally unsupported
-(face dofs need 2x2 tangential mixing, not a signed permutation):
-get_vector_basis must say so rather than fold wrong."""
+different orders). tet HCURL order >= 2 folds through the 2x2
+tangential-frame MIXING channel (dofmap mix_pair/mix_w — the face
+symmetry group is not a signed permutation of the (t1, t2) frame), so
+its patch tests exercise that machinery end to end."""
 
 import itertools
 
@@ -71,6 +72,18 @@ def _two_hex_mesh(rho=None):
     return Mesh(dim=3, cell_type="hex", nodes=nodes, conn=conn)
 
 
+def _fold_basis(v, vv):
+    """Per-element GLOBAL basis tables psi = W^T phi: diagonal signs
+    plus the optional tet-HCURL face-pair mixing channel."""
+    out = vv * v.signs[:, :, None, None]
+    if v.mix_pair is not None:
+        mixwT = np.take_along_axis(v.mix_w, v.mix_pair, axis=1)
+        out = out + mixwT[:, :, None, None] * \
+            np.take_along_axis(
+                vv, v.mix_pair[:, :, None, None], axis=1)
+    return out
+
+
 def _projection_err(mesh, space, order, f):
     """Max pointwise error of the global L2 projection of f (exact
     when f lies in the conforming global space)."""
@@ -78,7 +91,7 @@ def _projection_err(mesh, space, order, f):
                           quadrature_degree=2 * order + 2)
     v = disc.dofmap.vars[0]
     key = (space, order)
-    vv = disc.vec_vals[key] * v.signs[:, :, None, None]
+    vv = _fold_basis(v, disc.vec_vals[key])
     lids, w = v.eldofs, disc.wts
     nd = disc.dofmap.n_dof
     Me = np.einsum("eiqd,ejqd,eq->eij", vv, vv, w)
@@ -219,14 +232,35 @@ def test_tet_hdiv3_quadratic_patch():
     assert err < 1e-9, err
 
 
-def test_tet_hcurl_order2_raises():
-    with pytest.raises(NotImplementedError):
-        get_vector_basis("tet", "HCURL", 2)
+@pytest.mark.parametrize("order", [2, 3])
+def test_tet_hcurl_patch(order):
+    """tet HCURL order >= 2: the face dofs fold through the 2x2
+    tangential-frame mixing channel (fem/dofmap.py mix_pair/mix_w;
+    vector_basis.tet_hcurl_face_mix). Projection of a linear field on
+    the split-hex tet mesh (every neighbor traversal order appears) is
+    exact only if both the lattice permutation AND the frame mix are
+    right — a sign-only fold fails at O(1)."""
+    mesh = box_mesh("tet", nx=2, ny=2, nz=2)
+    err = _projection_err(mesh, "HCURL", order, _f_linear)
+    assert err < 1e-9, err
+
+
+def test_tet_hcurl3_quadratic_patch():
+    mesh = box_mesh("tet", nx=2, ny=2, nz=2)
+
+    def f(ip):
+        return np.stack([ip[..., 0] ** 2 + ip[..., 1] * ip[..., 2],
+                         1 - ip[..., 1] ** 2,
+                         ip[..., 0] * ip[..., 2]], -1)
+
+    err = _projection_err(mesh, "HCURL", 3, f)
+    assert err < 1e-9, err
 
 
 @pytest.mark.parametrize("cell,space", [("hex", "HDIV"),
                                         ("hex", "HCURL"),
-                                        ("tet", "HDIV")])
+                                        ("tet", "HDIV"),
+                                        ("tet", "HCURL")])
 def test_projection_convergence_rate_3d(cell, space):
     """L2 projection error ~ O(h^2) for order 2."""
     errs = []
@@ -235,7 +269,7 @@ def test_projection_convergence_rate_3d(cell, space):
         disc = Discretization(mesh, [("w", space, 2)],
                               quadrature_degree=5)
         v = disc.dofmap.vars[0]
-        vv = disc.vec_vals[(space, 2)] * v.signs[:, :, None, None]
+        vv = _fold_basis(v, disc.vec_vals[(space, 2)])
         lids, w, ip = v.eldofs, disc.wts, disc.ip
         f = np.stack([np.sin(np.pi * ip[..., 0]) * ip[..., 1],
                       np.cos(np.pi * ip[..., 1]) * ip[..., 2],
@@ -298,3 +332,38 @@ def test_p2_mixed_porous_3d_convergence(cell):
     rate_p = np.log2(errs_p[0] / errs_p[1])
     assert rate_u > 1.6, (errs_u, rate_u)
     assert rate_p > 1.6, (errs_p, rate_p)
+
+
+def test_tet_ned2_maxwell_deck_path():
+    """Ned[2]/RT[1] Maxwell on a tet mesh through the FULL deck path:
+    the L2-projected linear initial E field is reproduced exactly at
+    t = 0 (assembler mass fold through the mixing channel +
+    error-calculator coefficient fold), and one implicit step stays
+    finite (residual/Jacobian W^T J W folds)."""
+    cfg = {
+        "Mesh": {"dimension": 3, "element type": "tet",
+                 "NX": 2, "NY": 2, "NZ": 2},
+        "Physics": {"modules": "maxwell",
+                    "Initial conditions": {
+                        "E[x]": "0.2 + 0.5*y - 0.3*z",
+                        "E[y]": "0.1 - 0.4*x",
+                        "E[z]": "0.3 + 0.2*x - 0.1*y",
+                        "B[x]": "0.0", "B[y]": "0.0", "B[z]": "0.0"}},
+        "Discretization": {"order": {"E": 2, "B": 1}, "quadrature": 4},
+        "Solver": {"solver": "transient", "final time": 0.01,
+                   "number of steps": 1, "use direct solver": True,
+                   "transient Butcher tableau": "BWE",
+                   "initial type": "L2-projection"},
+        "Postprocess": {"compute errors": True,
+                        "True solutions": {
+                            "E[x]": "0.2 + 0.5*y - 0.3*z",
+                            "E[y]": "0.1 - 0.4*x",
+                            "E[z]": "0.3 + 0.2*x - 0.1*y"}},
+    }
+    res = Problem(cfg).run()
+    hist = dict((round(t, 12), e) for t, e in res.error_history)
+    # projection of an in-space (linear) field is exact at t = 0
+    assert hist[0.0][("L2", "E")] < 1e-9, hist[0.0]
+    # the implicit step produced a finite, sane field
+    tfin = max(hist)
+    assert np.isfinite(hist[tfin][("L2", "E")])
