@@ -61,6 +61,9 @@ _SLOW = [
     "thermal/2d_gradient_check_sensor_gradresponse",
     "thermal/2d_gradient_check_integrated_response",
     "thermal/2D_transient_source_control",
+    # 2D_transient_fd_check's gold runs 0 optimizer iterations
+    # (Iteration Limit at iter 0): the table has exactly ONE row, and
+    # the real content is the three FD-check rows (matched at 1e-9)
     "thermal/2D_transient_fd_check",
     "thermal/2D_transient_mass_single_scale_inversion",
     "thermal/2D_Data_Generating_Inversion",
@@ -68,6 +71,7 @@ _SLOW = [
     "le/2d_two_disc_inversion",
     "le/2d_stress_inversion",
 ]
+_MIN_ROWS = {"thermal/2D_transient_fd_check": 1}
 
 
 @pytest.mark.parametrize("deck", _FAST)
@@ -84,7 +88,7 @@ def test_rol_trajectory_slow(deck):
     text, result = _run_deck(deck)
     n = assert_rol_matches(text, f"{_REG}/{deck}/mrhyde.gold",
                            final_params=result.x)
-    assert n >= 2
+    assert n >= _MIN_ROWS.get(deck, 2)
 
 
 @pytest.mark.slow
@@ -123,7 +127,10 @@ def test_rol_trajectory_gradient_check_ms():
         (0, 0.125, 0.23740296, 100.0), rel=1e-6)
     it, val, gnorm, snorm, delta = rows[1][:5]
     assert rows[1][5:] == (2, 2, 0, 1, 0)     # counters/flags as gold
-    assert val == pytest.approx(0.07145498, rel=1e-4)
+    # round-3 re-pin at committed-code values (the originals were
+    # recorded against a pre-commit WIP — see the cdr test docstring)
+    assert val == pytest.approx(0.07499359, rel=1e-4)
+    assert gnorm == pytest.approx(0.1838758, rel=1e-4)
     assert snorm == pytest.approx(0.23740296, rel=1e-6)
     assert delta == pytest.approx(250.0, rel=1e-12)
     assert out["params"] == [(0, pytest.approx(0.237403, rel=1e-4))]
@@ -158,16 +165,31 @@ def test_rol_trajectory_sparse_simul_pinned():
 def test_cdr_source_inversion_pinned():
     """Pinned under CURRENT reference semantics (tau ignored): the gold
     trajectory is stale (see module docstring), so the whole 6-row
-    table is pinned at our values to guard the machinery."""
+    table is pinned at our values to guard the machinery.
+
+    (Round-3 re-pin: the original pins were recorded against a
+    pre-commit WIP of trust_region.py and never matched ANY committed
+    state — verified by running this test at its own intro commit,
+    which produces today's values. iter 0 is unchanged; the gold-
+    compared decks in test_rol_trajectory_fast/slow all pass, so the
+    committed TR mechanics are the ROL-faithful ones.)"""
     text, _ = _run_deck("cdr/2D_source_inversion")
     rows = parse_rol_output(text)["tables"][0]["rows"]
     assert rows[0][1:3] == pytest.approx((0.6210840, 0.03816687),
                                          rel=2e-6)
-    # iter1: full-CG interior step accepted, radius held
+    # iter1: full-CG interior step accepted (|g|-length B0=I step),
+    # radius grows 10 -> 25
     it, val, gnorm, snorm, delta = rows[1][:5]
     assert (it, rows[1][7], rows[1][8], rows[1][9]) == (1, 0, 1, 0)
-    assert val == pytest.approx(0.6308164, rel=2e-5)
-    assert gnorm == pytest.approx(0.009645619, rel=2e-5)
-    assert snorm == pytest.approx(0.3535350, rel=2e-5)
-    assert delta == pytest.approx(10.0, rel=1e-12)
+    assert val == pytest.approx(0.6181084, rel=2e-5)
+    assert gnorm == pytest.approx(0.1316979, rel=2e-5)
+    assert snorm == pytest.approx(0.03816687, rel=2e-5)
+    assert delta == pytest.approx(25.0, rel=1e-12)
+    # iter4: two-CG-iteration step, big descent; iter5: rejection
+    # (tr_flag=2) with the negative-rho interpolated shrink
+    assert rows[4][1] == pytest.approx(0.09576404, rel=2e-5)
+    assert rows[4][:1] + rows[4][5:] == (4, 5, 5, 0, 2, 0)
+    assert rows[5][1] == pytest.approx(rows[4][1], rel=1e-12)
+    assert rows[5][4] == pytest.approx(0.2464986, rel=2e-5)
+    assert rows[5][:1] + rows[5][5:] == (5, 6, 5, 2, 2, 0)
     assert len(rows) == 6
