@@ -44,6 +44,7 @@ def integrated_objective(problem):
 
 
 @pytest.mark.parametrize("transient", [False, True])
+@pytest.mark.slow
 def test_adjoint_matches_fd(transient):
     p = make_problem(transient)
     om = integrated_objective(p)
@@ -58,6 +59,7 @@ def test_adjoint_matches_fd(transient):
     assert rel < 1e-6, (float(grad["src_mag"]), fd["src_mag"])
 
 
+@pytest.mark.slow
 def test_sensor_objective_gradient():
     p = make_problem(False)
     spec = ObjectiveSpec(name="sens", otype="sensors", weight=1.0,
@@ -77,6 +79,7 @@ def test_sensor_objective_gradient():
 
 
 @pytest.mark.parametrize("transient", [False, True])
+@pytest.mark.slow
 def test_hessian_vector_matches_fd(transient):
     """d2J/dp2 . v via reverse-over-reverse AD through the implicit
     stage solves vs a central difference of the gradient (the
@@ -114,6 +117,7 @@ def test_apply_rowfix_transpose_matches_dense():
         rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_matrix_free_stage_solver_matches_dense():
     """linear='iterative' reproduces the dense implicit solve AND its
     gradient on a small problem (same custom_vjp, Krylov inside)."""

@@ -11,6 +11,7 @@ unstructured deck end to end.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mrhyde_tpu.assembly.assembler import TimeCoeffs
 from mrhyde_tpu.problem import Problem
@@ -51,6 +52,7 @@ def test_hierarchy_coarsens():
     assert amg.sizes[-1] <= 600
 
 
+@pytest.mark.slow
 def test_amg_preconditioned_gmres_converges():
     iters = []
     for nx in (16, 32):
@@ -68,6 +70,7 @@ def test_amg_preconditioned_gmres_converges():
     assert iters[1] <= 2 * iters[0]
 
 
+@pytest.mark.slow
 def test_amg_beats_jacobi():
     p = _tri_poisson(32)
     J, b = _J_b(p)

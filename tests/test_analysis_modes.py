@@ -28,6 +28,7 @@ def thermal_cfg(extra_params=None, analysis=None, objectives=None,
     return cfg
 
 
+@pytest.mark.slow
 def test_uq_sampling():
     params = {
         "a": {"type": "scalar", "value": 1.0, "usage": "stochastic",
@@ -46,6 +47,7 @@ def test_uq_sampling():
     assert np.std(out["responses"]) > 0
 
 
+@pytest.mark.slow
 def test_optimization_recovers_parameter():
     # target response generated with src_mag = 1.5; optimizer starts at
     # 0.5 and must recover the generating value

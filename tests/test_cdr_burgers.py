@@ -59,6 +59,7 @@ def burgers_result():
     return Problem(cfg).run()
 
 
+@pytest.mark.slow
 def test_burgers_initial_projection(burgers_result):
     # t=0 value checks the L2 projection of exp(-100(x-0.2)^2)
     hist = dict((round(t, 10), e[("L2", "u")])

@@ -37,6 +37,7 @@ def test_ode_bdf3_skips_missing_include_and_matches_gold():
     assert_matches_gold(res, f"{_REG}/ODE/BDF3/mrhyde.gold")
 
 
+@pytest.mark.slow
 def test_transient_dbcs_time_dependent_strong_dirichlet():
     # e = t exactly: BDF3 with default startup (steps = BDF order)
     res = _run("thermal/2D_verification_transient_DBCs")

@@ -49,10 +49,12 @@ _THERMAL = {
 }
 
 
+@pytest.mark.slow
 def test_thermal_steady_sharded_matches():
     _assert_match(_THERMAL)
 
 
+@pytest.mark.slow
 def test_thermal_transient_sharded_matches():
     cfg = copy.deepcopy(_THERMAL)
     cfg["Physics"]["Initial conditions"] = {"scalar data": True,

@@ -45,6 +45,7 @@ def test_partition_covers_and_balances():
     assert part.nmax <= -(-p.n_dof // 8) + 40   # near-even split
 
 
+@pytest.mark.slow
 def test_sharded_residual_matches_single_device():
     p = _thermal()
     mesh = _mesh()
@@ -85,6 +86,7 @@ def test_sharded_newton_cg_step_matches_replicated():
     assert np.max(np.abs(u1 - np.asarray(u1_rep))) < 1e-10
 
 
+@pytest.mark.slow
 def test_sharded_transient_residual_with_beta():
     """Transient coefficients flow through the sharded bu/bt path."""
     p = _thermal(16, 16)
@@ -106,6 +108,7 @@ def test_sharded_transient_residual_with_beta():
     assert np.max(np.abs(r - r_ref)) < 1e-10 * (1 + np.abs(r_ref).max())
 
 
+@pytest.mark.slow
 def test_signed_spaces_under_dof_sharding():
     """HDIV/HCURL orientation signs survive the owned/ghost gather."""
     cfg = {

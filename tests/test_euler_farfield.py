@@ -6,6 +6,7 @@ eigendecomposition inside an actual solve (VERDICT round-1 item 10).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mrhyde_tpu.assembly.assembler import TimeCoeffs
 from mrhyde_tpu.problem import Problem
@@ -43,6 +44,7 @@ def _freestream_vec(p):
     return u
 
 
+@pytest.mark.slow
 def test_freestream_is_exact_steady_state():
     p = Problem(_cfg())
     u = _freestream_vec(p)
@@ -51,6 +53,7 @@ def test_freestream_is_exact_steady_state():
     assert float(jnp.abs(r).max()) < 1e-12
 
 
+@pytest.mark.slow
 def test_newton_recovers_freestream_from_perturbation():
     """The A- characteristic correction must damp perturbations back to
     the freestream (wrong eigen-splitting signs diverge here)."""

@@ -31,6 +31,7 @@ def test_eigendecomposition_reconstructs_jacobian(dim):
     assert np.isclose(lam[0], un - a) and np.isclose(lam[-1], un + a)
 
 
+@pytest.mark.slow
 def test_euler_acoustic_pulse_runs():
     # smoke: small acoustic perturbation on a periodic-free box stays
     # bounded over a few explicit steps
@@ -58,6 +59,7 @@ def test_euler_acoustic_pulse_runs():
     assert abs(u).max() < 10.0
 
 
+@pytest.mark.slow
 def test_cns_viscous_pulse_decays():
     # with viscosity, the acoustic pulse loses energy vs inviscid Euler
     def run(modname, extra):

@@ -29,6 +29,7 @@ def make_problem():
     return Problem(cfg)
 
 
+@pytest.mark.slow
 def test_field_parameter_gradient_matches_fd():
     p = make_problem()
     spec = ObjectiveSpec(name="obj", otype="integrated response",
@@ -54,6 +55,7 @@ def test_field_parameter_gradient_matches_fd():
     assert abs(fd - g @ d) / (abs(fd) + 1e-14) < 1e-6
 
 
+@pytest.mark.slow
 def test_source_field_inversion_reduces_misfit():
     # data generated with src = 10*sin(pi*x)*sin(pi*y); invert from a
     # flat initial guess using sensor data

@@ -9,6 +9,7 @@ import pytest
 from mrhyde_tpu.problem import Problem
 
 
+@pytest.mark.slow
 def test_stokes_pspg():
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad", "NX": 4, "NY": 4},
@@ -31,6 +32,7 @@ def test_stokes_pspg():
     assert np.isclose(res.errors[("L2", "uy")], 0.00063617, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_navierstokes_channel():
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad",
@@ -58,6 +60,7 @@ def test_navierstokes_channel():
     assert np.isclose(res.errors[("L2", "uy")], 0.000169464, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_ns_boussinesq_buoyancy_coupling():
     """NS 'have_energy' coupling (navierstokes.cpp:134-147): with a
     temperature variable in the set, rho*beta*(T - T_ambient)*source_d

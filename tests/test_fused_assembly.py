@@ -46,6 +46,7 @@ def _compare(p, tc):
     assert float(jnp.max(jnp.abs(J_f - J_ref))) < 1e-12
 
 
+@pytest.mark.slow
 def test_steady_variable_kappa():
     p = _problem({"thermal diffusion": "1.0 + 0.5*x*y"})
     _compare(p, TimeCoeffs.steady(p.n_dof, dtype=jnp.float64))
@@ -61,6 +62,7 @@ def test_transient_seeded():
     _compare(p, tc)
 
 
+@pytest.mark.slow
 def test_advection():
     p = _problem({"advection x": "1.0 + y", "advection y": "0.5*x"},
                  {"include advection": True})

@@ -37,6 +37,7 @@ def _compare(p, tc, tol=1e-11):
     assert float(jnp.max(jnp.abs(av - J_ref.apply(v)))) < tol * 10
 
 
+@pytest.mark.slow
 def test_thermal_2d_nondivisible_dims_matches_general():
     """Mesh dims that do NOT divide the tile: the kernel pads the
     element grid to tile multiples and discards pad-element output."""
@@ -54,6 +55,7 @@ def test_thermal_2d_nondivisible_dims_matches_general():
     _compare(p, tc)
 
 
+@pytest.mark.slow
 def test_thermal_2d_matches_general():
     p = Problem({
         "Mesh": {"dimension": 2, "element type": "quad",

@@ -9,6 +9,7 @@ pinned at NX=500 and checked for h^2 convergence.
 """
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import Problem
 
@@ -46,6 +47,7 @@ def _cfg(nx):
     }
 
 
+@pytest.mark.slow
 def test_hartmann_analytical():
     e250 = Problem(_cfg(250)).run().errors
     e500 = Problem(_cfg(500)).run().errors

@@ -9,6 +9,7 @@ mrhyde.gold values.
 """
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import Problem
 
@@ -44,6 +45,7 @@ def _wg_cfg(orders, quadrature, active=None, useAC=False):
     }
 
 
+@pytest.mark.slow
 def test_weak_galerkin_ac_matches_gold():
     cfg = _wg_cfg({"pint": 0, "pbndry": 0, "u": 1, "t": 1}, 2,
                   useAC=True)
@@ -53,6 +55,7 @@ def test_weak_galerkin_ac_matches_gold():
                       rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_weak_galerkin_highorder_matches_gold():
     cfg = _wg_cfg({"pint": 1, "pbndry": 1, "u": 2, "t": 2}, 4,
                   active={"pint": "HGRAD-DG", "u": "HDIV-DG",
@@ -65,6 +68,7 @@ def test_weak_galerkin_highorder_matches_gold():
     assert np.isclose(res.errors[("L2", "t")], 0.065258, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_mixed_hybrid_highorder_matches_gold():
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad",

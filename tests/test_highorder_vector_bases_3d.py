@@ -261,6 +261,7 @@ def test_tet_hcurl3_quadratic_patch():
                                         ("hex", "HCURL"),
                                         ("tet", "HDIV"),
                                         ("tet", "HCURL")])
+@pytest.mark.slow
 def test_projection_convergence_rate_3d(cell, space):
     """L2 projection error ~ O(h^2) for order 2."""
     errs = []
@@ -334,6 +335,7 @@ def test_p2_mixed_porous_3d_convergence(cell):
     assert rate_p > 1.6, (errs_p, rate_p)
 
 
+@pytest.mark.slow
 def test_tet_ned2_maxwell_deck_path():
     """Ned[2]/RT[1] Maxwell on a tet mesh through the FULL deck path:
     the L2-projected linear initial E field is reproduced exactly at

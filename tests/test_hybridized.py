@@ -3,10 +3,12 @@
 algebraic reformulation of the same method."""
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import Problem
 
 
+@pytest.mark.slow
 def test_porous_mixed_hybridized_matches_mixed_gold():
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad", "NX": 8, "NY": 8},
@@ -31,6 +33,7 @@ def test_porous_mixed_hybridized_matches_mixed_gold():
     assert np.isclose(res.errors[("L2", "u")], 1.02259, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_porous_weak_galerkin_matches_gold():
     """Regression parity: porous/WeakGalerkin_2D.
 

@@ -44,6 +44,7 @@ def _cfg(nx, wells=False):
     return cfg
 
 
+@pytest.mark.slow
 def test_manufactured_transport_converges():
     # source = d/dx[ (0.5 + 0.25 sin) * ... ]; recompute cleanly:
     # flux F = f_w(S) * u = S, so source = phi S_t + S_x S? NO —
@@ -61,6 +62,7 @@ def test_manufactured_transport_converges():
     assert np.log2(errs[0] / errs[1]) > 0.9, errs
 
 
+@pytest.mark.slow
 def test_well_source_engages():
     import jax.numpy as jnp
 

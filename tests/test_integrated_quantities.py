@@ -3,6 +3,7 @@ whole-domain values = 4x the reference's per-block golds:
 total e = 4*0.101321, left flux = 2*(-1.00205))."""
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import Problem
 
@@ -31,6 +32,7 @@ CFG = {
 }
 
 
+@pytest.mark.slow
 def test_integrated_quantities():
     # gold (thermal/2D_integrated_quantities) reports per block on a
     # 2x2-block mesh: whole-domain totals are 4x (or 2x for the

@@ -56,6 +56,7 @@ def test_solution_writer_and_vtk(tmp_path):
     assert os.path.getsize(vtk) > 100
 
 
+@pytest.mark.slow
 def test_restart_resumes(tmp_path):
     import os
     os.chdir(tmp_path)
@@ -79,6 +80,7 @@ def test_restart_resumes(tmp_path):
                                rtol=1e-10, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_restart_recovers_scalar_params(tmp_path):
     """Restart 'scalar parameter file name' + mode keys (reference:
     analysisManager.cpp:831-889)."""

@@ -44,6 +44,7 @@ def _state_jacobian(p):
     return J, -r
 
 
+@pytest.mark.slow
 def test_gmres_reports_true_residual_and_convergence():
     p = _poisson_problem()
     J, b = _state_jacobian(p)
@@ -71,6 +72,7 @@ def test_gmres_reports_nonconvergence_honestly():
     assert np.isclose(float(info.resnorm), actual, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_chebyshev_beats_jacobi_on_poisson():
     p = _poisson_problem(nx=32)
     J, _ = _state_jacobian(p)
@@ -83,6 +85,7 @@ def test_chebyshev_beats_jacobi_on_poisson():
     assert int(info_c.iters) < int(info_j.iters)
 
 
+@pytest.mark.slow
 def test_schwarz_solves_saddle_point_mixed_block():
     """Element-Schwarz handles the indefinite mixed-porous Jacobian
     (plain Jacobi stalls on the zero pressure-pressure block)."""
@@ -105,6 +108,7 @@ def test_schwarz_solves_saddle_point_mixed_block():
         jnp.linalg.norm(xd)))
 
 
+@pytest.mark.slow
 def test_stiff_deck_converges_on_iterative_path():
     """Linear elasticity (vector HGRAD, stiff) solved end-to-end WITHOUT
     `use direct solver: true` — VERDICT round-1 item 4 'done' check."""

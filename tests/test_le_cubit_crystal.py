@@ -49,6 +49,7 @@ def test_3d_manufactured_matches_gold():
     assert np.isclose(res.errors[("L2", "dz")], 0.0306752, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_crystal_elasticity_matches_gold():
     res = _run("le/crystal_elasticity")
     assert np.isclose(res.errors[("L2", "dx")], 0.0669357, rtol=1e-4)
@@ -56,6 +57,7 @@ def test_crystal_elasticity_matches_gold():
     assert np.isclose(res.errors[("L2", "dz")], 0.0795866, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_2d_uniaxial_cubit_multiscale_exact():
     res = _run("le/2d_uniaxial_tension_cubit_multiscale")
     for v in ("dx", "dy"):

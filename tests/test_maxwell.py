@@ -41,6 +41,7 @@ def result():
     return Problem(cfg).run()
 
 
+@pytest.mark.slow
 def test_initial_projection_matches_gold(result):
     errs0 = dict(result.error_history)[0.0]
     assert np.isclose(errs0[("L2", "E")], 0.0692758, rtol=2e-5)
@@ -53,6 +54,7 @@ def test_step_matches_gold(result):
     assert np.isclose(errs1[("L2", "B")], 0.101339, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_maxwell_planewave_gold():
     """maxwell/PlaneWave: 3D HCURL/HCURL-HDIV E-B on a doubly-periodic
     2x2x100 hex mesh driven by a gated current sheet with PML-style

@@ -46,6 +46,7 @@ GOLD = {"Arx": 0.0115417, "Aix": 0.013503, "phir": 0.0108162,
         "Arz": 0.0209644, "Aiz": 0.0253728}
 
 
+@pytest.mark.slow
 def test_maxwell_fp_3d_verification_matches_gold():
     cfg = {
         "Mesh": {"dimension": 3, "element type": "hex",

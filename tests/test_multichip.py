@@ -3,13 +3,16 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_after_backend_init():
     """The driver condition that failed rounds 1-2: jax is ALREADY
     imported and a backend initialized before dryrun_multichip is
@@ -21,6 +24,7 @@ def test_dryrun_multichip_after_backend_init():
     ge.dryrun_multichip(4)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_ignores_hostile_env(monkeypatch):
     """Env pointing at a broken TPU must be scrubbed by the subprocess
     launcher (the r02 failure was a version-skewed libtpu client)."""

@@ -42,6 +42,7 @@ def test_transfer_adjointness():
     assert np.isclose(lhs, rhs, rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_mesh_independent_convergence():
     tc = None
     iters = []
@@ -60,6 +61,7 @@ def test_mesh_independent_convergence():
     assert iters[-1] <= 12
 
 
+@pytest.mark.slow
 def test_3d_hex_mg():
     p = Problem({
         "Mesh": {"dimension": 3, "element type": "hex",

@@ -42,6 +42,7 @@ def result():
     return Problem(CFG).run()
 
 
+@pytest.mark.slow
 def test_macro_face_error(result):
     assert np.isclose(result.errors[("L2-face", "e")], 0.198706, rtol=1e-3)
 

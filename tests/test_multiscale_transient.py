@@ -56,6 +56,7 @@ def _check(res, gold):
                           rtol=1e-4, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_bwe_gold():
     res = Problem(_cfg(10, {"number of steps": 5})).run()
     _check(res, [
@@ -68,6 +69,7 @@ def test_bwe_gold():
     ])
 
 
+@pytest.mark.slow
 def test_dirk33_gold():
     res = Problem(_cfg(4, {"number of steps": 4,
                            "transient BDF order": 1,
@@ -82,6 +84,7 @@ def test_dirk33_gold():
     ])
 
 
+@pytest.mark.slow
 def test_multimodel_gold():
     """thermal/2D_verification_multiscale_multimodel: two subgrid
     models selected by usage votes (SG-R0 refinements 0 everywhere,
@@ -132,6 +135,7 @@ def test_multimodel_gold():
                       rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_3d_hex_gold():
     """thermal/3D_verification_multiscale: hex macro cells."""
     src = "12*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)*sin(2*pi*z)"
@@ -175,6 +179,7 @@ ASYNC_SUBGRID = {
 }
 
 
+@pytest.mark.slow
 def test_async_one_substep_equals_sync():
     """Asynchronous stepping with one substep reduces exactly to the
     synchronous algorithm (fine BWE at the macro dt, trace interp hits
@@ -194,6 +199,7 @@ def test_async_one_substep_equals_sync():
                           rtol=1e-12, atol=1e-14)
 
 
+@pytest.mark.slow
 def test_async_substeps_regression():
     """Async subgrid (4 fine substeps/macro step, Lagrange trace
     interpolation; reference: subgridDtN_solver.cpp:339-442).
@@ -220,6 +226,7 @@ def test_async_substeps_regression():
                           rtol=1e-8, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_hface_steady_gold():
     """thermal/2D_verification_multiscale_HFACE: HFACE (linear per
     facet) macro traces coupled to a refinements-2 subgrid."""
@@ -254,6 +261,7 @@ def test_hface_steady_gold():
                       rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_hface_transient_nonzero_ic_gold():
     """thermal/2D_verification_multiscale_transient_nonzeroIC: HFACE
     macro trace with L2-projected nonzero initial conditions on both
@@ -299,6 +307,7 @@ def test_hface_transient_nonzero_ic_gold():
         assert np.isclose(errs[("Subgrid-L2", "e")], sf, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_dynamic_multimodel():
     """thermal/2D_verification_multiscale_dynamicmultimodel: three
     subgrid models with TIME-DEPENDENT usage expressions; ownership is
@@ -358,6 +367,7 @@ def test_dynamic_multimodel():
     ("2D_verification_multiscale_panzermesh", 0.198706, 0.042848),
     ("3D_verification_multiscale_panzermesh", 0.48724, 0.0488942),
 ])
+@pytest.mark.slow
 def test_panzermesh_decks_from_reference_yaml(name, macro, sub):
     """The panzermesh multiscale decks (Panzer inline-mesh keys:
     'mesh type: panzer', 'shape', 'dim') run straight from the
@@ -389,6 +399,7 @@ def _ref_deck(d):
     return cfg
 
 
+@pytest.mark.slow
 def test_exodusmesh_multiscale_gold():
     """thermal/3D_verification_multiscale_exodusmesh: hex macro mesh
     with a tet fine template read from cube_tet.e (reference:
@@ -404,6 +415,7 @@ def test_exodusmesh_multiscale_gold():
                       rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tet_hybrid_multiscale_gold():
     """porous/Mixed_TET_hybrid_multiscale: HFACE p0 trace variable on
     a tet macro mesh (Active variables restricts 'porous mixed' to p),
@@ -435,6 +447,7 @@ def test_tet_hybrid_multiscale_gold():
      {("L2-face", "pbndry"): 0.0170789, ("Subgrid-L2", "u"): 0.338954,
       ("Subgrid-L2", "t"): 0.338954}),
 ])
+@pytest.mark.slow
 def test_porous_hybrid_multiscale_golds(name, vals):
     """porous/*_hybrid_multiscale decks: HFACE/HGRAD macro traces with
     mixed / weak-Galerkin fine physics, run straight from the reference

@@ -7,6 +7,7 @@ gold c error equals t exactly.
 """
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import make_problem
 
@@ -42,6 +43,7 @@ CFG = {
 }
 
 
+@pytest.mark.slow
 def test_multiset_different_timeschemes():
     res = make_problem(CFG).run()
     hist = {round(t, 10): e for t, e in res.error_history}
@@ -53,6 +55,7 @@ def test_multiset_different_timeschemes():
     assert hist[0.01][("L2", "q")] < 5e-12
 
 
+@pytest.mark.slow
 def test_ns_cdr_fully_coupled_gold():
     """Multiphysics/NavierStokes-CDR/Fully-Coupled: one physics set,
     two modules, cross-variable expressions (cdr advected by ux/uy,
@@ -72,6 +75,7 @@ def test_ns_cdr_fully_coupled_gold():
     assert np.isclose(errs[("L2", "c")], 2.053, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_ns_cdr_iteratively_coupled_gold():
     """Multiphysics/NavierStokes-CDR/Iteratively-Coupled: two physics
     sets Picard-swept with 'max subcycles: 2', each seeing the other's
@@ -90,6 +94,7 @@ def test_ns_cdr_iteratively_coupled_gold():
     assert np.isclose(errs[("L2", "c")], 2.05308, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_multiset_multiblock_exodus_gold():
     """Multiphysics/MultiSet-MultiBlock: ODE + CDR sets on a two-block
     Exodus hex mesh; every error is reported once per element block

@@ -10,6 +10,7 @@ dispatch, no ragged per-block loops.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import Problem
 
@@ -51,6 +52,7 @@ def _cfg(nx):
     }
 
 
+@pytest.mark.slow
 def test_two_block_thermal_cdr():
     p = Problem(_cfg(16))
     assert p.assembler.module_masks is not None

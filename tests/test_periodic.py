@@ -2,6 +2,7 @@
 periodic strip; gold values from the reference's mrhyde.gold)."""
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import Problem
 
@@ -22,6 +23,7 @@ CFG = {
 }
 
 
+@pytest.mark.slow
 def test_cdr_periodic_matches_gold():
     res = Problem(CFG).run()
     hist = {round(t, 10): e[("L2", "c")] for t, e in res.error_history}

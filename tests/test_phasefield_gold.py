@@ -63,6 +63,7 @@ def test_phasefield_2d_3phi_matches_gold():
     assert np.isclose(t5[("L2", "phi3")], 96.9442, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_phasefield_correct_weak_form_evolves():
     """Default (non-legacy) path: the well potential keeps the phases
     bounded and the step changes the solution."""

@@ -42,6 +42,7 @@ def _cfg(module, dim=2, extra_phys=None):
     return cfg
 
 
+@pytest.mark.slow
 def test_matches_msphasefield_2d():
     """In 2D the weak forms coincide (16A well, single-count grads)
     once msphasefield's legacy first-qp sampling is off."""
@@ -124,6 +125,7 @@ def test_3d_z_term_doubled():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 def test_transient_pinned():
     """Two BWE steps pinned (regression guard; the reference ships no
     deck for this module)."""

@@ -79,6 +79,7 @@ SMOKE = {
 
 
 @pytest.mark.parametrize("name", sorted(SMOKE))
+@pytest.mark.slow
 def test_module_smoke(name):
     sub = SMOKE[name]
     cfg = {"Mesh": {"dimension": 2, "element type": "quad",
@@ -103,6 +104,7 @@ def test_registry_lists_all():
         assert name in mods, name
 
 
+@pytest.mark.slow
 def test_vdns_smoke():
     cfg = {"Mesh": {"dimension": 2, "element type": "quad",
                     "NX": 3, "NY": 3},
@@ -128,6 +130,7 @@ def test_vdns_smoke():
     assert np.isfinite(np.asarray(res.u)).all()
 
 
+@pytest.mark.slow
 def test_maxwells_fp_smoke():
     cfg = {"Mesh": {"dimension": 2, "element type": "quad",
                     "NX": 3, "NY": 3},
@@ -148,6 +151,7 @@ def test_maxwells_fp_smoke():
     assert np.isfinite(np.asarray(res.u)).all()
 
 
+@pytest.mark.slow
 def test_crystal_elasticity_isotropic_matches_le():
     # with C11 = lambda + 2 mu, C12 = lambda, C44 = mu the cubic tensor
     # contracts to isotropic linear elasticity exactly (the full-tensor

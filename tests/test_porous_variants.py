@@ -34,6 +34,7 @@ _DECKS = [
 
 
 @pytest.mark.parametrize("deck", _DECKS)
+@pytest.mark.slow
 def test_reference_deck_matches_gold(deck):
     d = f"{_REG}/{deck}"
     res = Problem(load_input_deck(f"{d}/input.yaml")).run()

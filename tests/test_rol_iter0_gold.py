@@ -80,6 +80,7 @@ _FAST = ["thermal/2d_gradient_check_non-ms",
 
 
 @pytest.mark.parametrize("deck", _FAST)
+@pytest.mark.slow
 def test_rol_iter0_fast(deck):
     v, g = _iter0(deck)
     gv, gg = GOLD[deck]

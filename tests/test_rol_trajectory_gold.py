@@ -75,6 +75,7 @@ _MIN_ROWS = {"thermal/2D_transient_fd_check": 1}
 
 
 @pytest.mark.parametrize("deck", _FAST)
+@pytest.mark.slow
 def test_rol_trajectory_fast(deck):
     text, result = _run_deck(deck)
     n = assert_rol_matches(text, f"{_REG}/{deck}/mrhyde.gold",

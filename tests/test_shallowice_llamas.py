@@ -42,6 +42,7 @@ def _l2(res, var):
     return res.errors[("L2", var)]
 
 
+@pytest.mark.slow
 def test_shallowice_steady_equals_thermal():
     """At unit diffusion / unit thermal coefficients the two modules
     assemble the SAME discrete system; errors must match to solver
@@ -54,6 +55,7 @@ def test_shallowice_steady_equals_thermal():
     assert abs(e_ice - e_th) < 1e-10 * max(1.0, abs(e_th))
 
 
+@pytest.mark.slow
 def test_shallowice_transient_matches_thermal():
     """The time term (s_t, v) must also match thermal's at unit
     specific heat: BDF1 transient runs agree step by step."""

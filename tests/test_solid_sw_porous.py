@@ -7,6 +7,7 @@ import pytest
 from mrhyde_tpu.problem import Problem
 
 
+@pytest.mark.slow
 def test_linearelasticity_2d_manufactured():
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad",
@@ -43,6 +44,7 @@ def test_linearelasticity_2d_manufactured():
     assert np.isclose(res.errors[("L2", "dy")], 0.00121848, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_shallowwater_droptest():
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad",
@@ -99,6 +101,7 @@ def test_porous_2d_verification():
     assert np.isclose(res.errors[("L2-face", "p")], 0.0017603, rtol=2e-4)
 
 
+@pytest.mark.slow
 def test_thermoelastic_transient_gold():
     """thermoelastic/2D_transient: thermal + linearelasticity in one
     set; the stress picks up -alpha_T (T - T_ambient)(3 lambda + 2 mu) I

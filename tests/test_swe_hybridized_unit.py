@@ -2,6 +2,7 @@
 unit_tests/physics/shallowwaterHybridized.cpp)."""
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.physics.shallowwater_hybridized import \
     swe_flux_jacobian_eig
@@ -18,6 +19,7 @@ def test_swe_eigenvalues():
                                rtol=1e-12)
 
 
+@pytest.mark.slow
 def test_swe_farfield_freestream_is_steady():
     """Far-field boundary flux wired into the residual: a uniform lake
     at rest with matching far-field data gives zero residual, and a

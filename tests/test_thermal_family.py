@@ -27,6 +27,7 @@ def base_cfg(**mesh):
     }
 
 
+@pytest.mark.slow
 def test_transient_time_dependent_source():
     cfg = base_cfg()
     cfg["Functions"] = {"thermal source":
@@ -46,6 +47,7 @@ def test_transient_time_dependent_source():
     assert np.isclose(hist[1.0], 0.00118468, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_nonzero_dirichlet_projection():
     cfg = base_cfg()
     cfg["Functions"] = {"thermal source": "2.0*sin(x)*sin(y)"}
@@ -81,6 +83,7 @@ def test_highorder_p4_blockwise_config():
     assert np.isclose(res.errors[("L2", "e")], 8.59709e-07, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_tri_mesh():
     cfg = base_cfg(**{"element type": "tri"})
     cfg["Functions"] = {"thermal source":
@@ -89,6 +92,7 @@ def test_tri_mesh():
     assert np.isclose(res.errors[("L2", "e")], 0.00354884, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_3d_hex():
     cfg = {
         "Mesh": {"dimension": 3, "element type": "hex",
@@ -108,6 +112,7 @@ def test_3d_hex():
     assert np.isclose(res.errors[("L2", "e")], 0.0116656, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_mixed_dirichlet_neumann():
     cfg = base_cfg()
     cfg["Functions"] = {"thermal source":

@@ -46,6 +46,7 @@ def result():
     return Problem(CFG).run()
 
 
+@pytest.mark.slow
 def test_l2_error_matches_reference(result):
     assert np.isclose(result.errors[("L2", "e")], 0.00102776, rtol=1e-4)
 

@@ -7,10 +7,12 @@ p0/dp0dt entering as inactive parameters.
 """
 
 import numpy as np
+import pytest
 
 from mrhyde_tpu.problem import Problem
 
 
+@pytest.mark.slow
 def test_vdns_channel_matches_gold():
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad",
