@@ -569,11 +569,8 @@ class Assembler:
         """Per-block physics assignment (reference:
         physicsInterface.cpp:38-54): masks is (E, n_modules) with 1
         where module k owns the element's block. Each module's volume
-        contribution is scaled by its mask — branch-free dispatch over
-        ONE batched element array."""
-        if self._active_bnd_groups():
-            raise NotImplementedError(
-                "per-block physics with active boundary groups")
+        AND boundary contribution is scaled by its mask — branch-free
+        dispatch over ONE batched element array."""
         self.module_masks = jnp.asarray(masks, dtype=self.dtype)
 
     def _elem_residual_uv(self, u_eval, u_dot, wts, ip, bg_slices,
@@ -659,8 +656,8 @@ class Assembler:
         return out or None
 
     def _belem_residual(self, group, u_st, beta_u, beta_t, wts, ip, normals,
-                        bg_slices, extra=None, alpha_u=1.0, alpha_t=0.0,
-                        time=0.0, pvec=None, deltat=1.0):
+                        bg_slices, extra=None, bmask=None, alpha_u=1.0,
+                        alpha_t=0.0, time=0.0, pvec=None, deltat=1.0):
         u_eval = alpha_u * u_st + beta_u
         u_dot = alpha_t * u_st + beta_t
         bcs = {v: self.var_bcs.get(v, {}).get(group["sideset"])
@@ -670,8 +667,18 @@ class Assembler:
                                 side_name=group["sideset"], bcs=bcs,
                                 deltat=deltat, basis_vals=group["bv"],
                                 extra_fields=extra)
-        for m in self.modules:
-            m.boundary_residual(wk)
+        if bmask is None:
+            for m in self.modules:
+                m.boundary_residual(wk)
+        else:
+            # per-block physics: module k's boundary contribution only
+            # on its own block's elements (physicsInterface.cpp:38-54
+            # dispatches boundaryResidual per block)
+            prev = wk.res
+            for k, m in enumerate(self.modules):
+                m.boundary_residual(wk)
+                wk._res = prev + bmask[k] * (wk.res - prev)
+                prev = wk._res
         # physics-agnostic 'Flux conditions' (reference:
         # physicsInterface.cpp:1703 fluxConditions -- res += -flux*w*phi
         # applied by the assembly manager for any module)
@@ -731,10 +738,14 @@ class Assembler:
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
             bex = self._field_param_boundary_values(pvec, group)
+            bmask_g = None if self.module_masks is None else \
+                self.module_masks[np.asarray(group["elems"])]
             res_b = jax.vmap(bfn, in_axes=(0, 0, 0, 0, 0, 0, 0,
-                                           None if bex is None else 0))(
+                                           None if bex is None else 0,
+                                           None if bmask_g is None
+                                           else 0))(
                 u_b, bu_b, bt_b, group["wts"], group["ip"],
-                group["normals"], group["bg"], bex)
+                group["normals"], group["bg"], bex, bmask_g)
             if self.has_signs:
                 res_b = _fold_WT(res_b, group["signs"], group["mixp"],
                                  group["mixwT"])
@@ -805,11 +816,14 @@ class Assembler:
                           alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                           deltat=tc.deltat)
             bex = self._field_param_boundary_values(pvec, group)
+            bmask_g = None if self.module_masks is None else \
+                self.module_masks[np.asarray(group["elems"])]
             jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0),
                              in_axes=(0, 0, 0, 0, 0, 0, 0,
-                                      None if bex is None else 0))(
+                                      None if bex is None else 0,
+                                      None if bmask_g is None else 0))(
                 u_b, bu_b, bt_b, group["wts"], group["ip"],
-                group["normals"], group["bg"], bex)
+                group["normals"], group["bg"], bex, bmask_g)
             if self.has_signs:
                 jac_b = _fold_jac_WT_W(jac_b, group["signs"],
                                        group["mixp"], group["mixwT"])

@@ -89,3 +89,39 @@ def test_masked_residual_is_blockwise():
     interior_b1 = np.where(coords[:, 0] > 1.0 + 1e-9)[0]
     rows = int(dm.var_start[i_e]) + interior_b1
     assert np.abs(r[rows]).max() < 1e-12
+
+
+@pytest.mark.slow
+def test_per_block_with_boundary_groups():
+    """Per-block physics WITH active boundary groups (round-2 missing
+    item 5 — this used to raise NotImplementedError): thermal's top
+    Neumann must be assembled ONLY on its own block's top elements.
+
+    The manufactured e = sin(pi x/2) sin(pi y) needs flux
+    g = -pi sin(pi x/2) on block 0's top; the deck's expression keeps
+    that form over block 1 too (nonzero garbage there). Unmasked
+    boundary assembly would attach those contributions to the top
+    element at the block interface (shared e dofs at x=1) and pollute
+    the block-0 solution; with per-block masking the error stays at
+    the Dirichlet-deck level and converges at O(h^2).
+    """
+    def cfg(nx):
+        c = _cfg(nx)
+        # replace e's top Dirichlet with the exact Neumann flux
+        # (du/dn at y=1: d/dy sin(pi y) = pi cos(pi) = -pi)
+        c["Physics"]["eblock-0_0"]["Dirichlet conditions"]["e"] = {
+            "left": 0.0, "right": 0.0, "bottom": 0.0}
+        c["Physics"]["eblock-0_0"]["Neumann conditions"] = {
+            "e": {"top": "pi*sin(pi*x/2)*cos(pi*1.0)"}}
+        return c
+
+    p = Problem(cfg(16))
+    assert p.assembler.module_masks is not None
+    assert p.assembler._active_bnd_groups()
+    res = p.run()
+    e0 = res.errors[("L2", "e")]
+    c1 = res.errors[("L2@1", "c")]
+    assert e0 < 0.03, e0
+    assert c1 < 0.02, c1
+    res2 = Problem(cfg(32)).run()
+    assert res2.errors[("L2", "e")] < 0.3 * e0
