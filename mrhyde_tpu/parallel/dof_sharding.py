@@ -34,6 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from mrhyde_tpu.assembly.assembler import (_fold_W, _fold_WT,
+                                           _fold_jac_WT_W)
+
 __all__ = ["DofPartition", "build_dof_partition", "DofShardedStep"]
 
 
@@ -162,12 +165,16 @@ def build_dof_partition(assembler, n_shards: int) -> DofPartition:
     # positions (padded entries -> trash slot nmax)
     send_next = np.full((S, gp_max), nmax, dtype=np.int64)
     send_prev = np.full((S, gn_max), nmax, dtype=np.int64)
-    if getattr(assembler, "mixp", None) is not None:
-        raise NotImplementedError(
-            "DOF-sharded execution with 2x2 orientation mixing (tet "
-            "HCURL order >= 2) — the halo gather would need the mix "
-            "channel shipped per shard")
     signs = np.asarray(assembler.signs) if assembler.has_signs else None
+    # 2x2 orientation mixing channel (tet HCURL order >= 2): mix_pair
+    # is a per-element LOCAL slot index, so it chunks exactly like the
+    # signs — pad rows mix with themselves at weight zero
+    mixp_np = (None if getattr(assembler, "mixp", None) is None
+               else np.asarray(assembler.mixp))
+    if mixp_np is not None:
+        mixw_np = np.asarray(assembler.mixw)
+        mixp_l = np.tile(np.arange(nd, dtype=np.int64), (S, emax, 1))
+        mixw_l = np.zeros((S, emax, nd))
     for s in range(n_shards):
         el = lids[cuts[s]:cuts[s + 1]]                 # (Es, nd)
         ne = el.shape[0]
@@ -175,6 +182,9 @@ def build_dof_partition(assembler, n_shards: int) -> DofPartition:
         e_valid[s, :ne] = True
         if signs is not None:
             signs_l[s, :ne] = signs[cuts[s]:cuts[s + 1]]
+        if mixp_np is not None:
+            mixp_l[s, :ne] = mixp_np[cuts[s]:cuts[s + 1]]
+            mixw_l[s, :ne] = mixw_np[cuts[s]:cuts[s + 1]]
         if s + 1 < n_shards:
             send_next[s, :len(gprev[s + 1])] = local_pos[gprev[s + 1]]
         if s - 1 >= 0:
@@ -192,6 +202,10 @@ def build_dof_partition(assembler, n_shards: int) -> DofPartition:
         "send_next": send_next, "send_prev": send_prev,
         "fixed": fixed_own, "valid": valid_own,
     }
+    if mixp_np is not None:
+        part.arrays["mix"] = {
+            "p": mixp_l, "w": mixw_l,
+            "wT": np.take_along_axis(mixw_l, mixp_l, axis=2)}
     return part
 
 
@@ -227,6 +241,11 @@ class DofShardedStep:
         self.send_prev = put(a["send_prev"])
         self.fixed = put(a["fixed"])
         self.valid = put(a["valid"])
+        # mixing channel ({} when the discretization has none)
+        self.mix = ({} if "mix" not in a else
+                    {"p": put(a["mix"]["p"]),
+                     "w": put(a["mix"]["w"], dtype),
+                     "wT": put(a["mix"]["wT"], dtype)})
 
         # per-shard element data (pad chunk to emax with zero weights)
         cuts, emax = p.cuts, p.emax
@@ -279,6 +298,11 @@ class DofShardedStep:
             nb = glids.shape[1]
             lids_g = np.full((S, bmax, nb), p.ext_len - 1, dtype=np.int64)
             signs_g = np.ones((S, bmax, nb))
+            bnd_mix = gdict.get("mixp") is not None
+            if bnd_mix:
+                mixp_g = np.tile(np.arange(nb, dtype=np.int64),
+                                 (S, bmax, 1))
+                mixw_g = np.zeros((S, bmax, nb))
             wts_g = np.zeros((S, bmax) + gdict["wts"].shape[1:])
             ip_g = np.zeros((S, bmax) + gdict["ip"].shape[1:])
             nrm_g = np.zeros((S, bmax) + gdict["normals"].shape[1:])
@@ -293,6 +317,9 @@ class DofShardedStep:
                     continue
                 lids_g[s, :rows.size] = p.ext_index(s, glids[rows])
                 signs_g[s, :rows.size] = np.asarray(gdict["signs"])[rows]
+                if bnd_mix:
+                    mixp_g[s, :rows.size] = np.asarray(gdict["mixp"])[rows]
+                    mixw_g[s, :rows.size] = np.asarray(gdict["mixw"])[rows]
                 wts_g[s, :rows.size] = np.asarray(gdict["wts"])[rows]
                 ip_g[s, :rows.size] = np.asarray(gdict["ip"])[rows]
                 nrm_g[s, :rows.size] = np.asarray(gdict["normals"])[rows]
@@ -307,6 +334,10 @@ class DofShardedStep:
                 "normals": put(nrm_g, dtype),
                 "bg": jax.tree_util.tree_map(lambda v: put(v, dtype),
                                              bg_g),
+                "mix": ({} if not bnd_mix else
+                        {"p": put(mixp_g), "w": put(mixw_g, dtype),
+                         "wT": put(np.take_along_axis(mixw_g, mixp_g,
+                                                      axis=2), dtype)}),
             }
             self._groups.append((gdict, arrays))
 
@@ -390,7 +421,7 @@ class DofShardedStep:
     def _elem_arrays(self, blk):
         """Unpack one shard's blocks (leading dim 1 from shard_map)."""
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, extra, garrs) = blk
+         ip, wts, bg, wsc, extra, mix, garrs) = blk
         sq = lambda x: x[0]
         lids, signs, ip = sq(lids), sq(signs), sq(ip)
         u, bu, bt = sq(u), sq(bu), sq(bt)
@@ -402,18 +433,21 @@ class DofShardedStep:
         else:
             wsc = sq(wsc)
         extra = jax.tree_util.tree_map(sq, extra)
+        mix = jax.tree_util.tree_map(sq, mix)
         garrs = jax.tree_util.tree_map(sq, garrs)
         return (u, bu, bt, lids, signs, send_next, send_prev, fixed,
-                valid, ip, wts, bg, wsc, extra, garrs)
+                valid, ip, wts, bg, wsc, extra, mix, garrs)
 
     def _local_res_jac(self, tc, pvec, blk, want_jac=True):
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, extra, garrs) = self._elem_arrays(blk)
+         ip, wts, bg, wsc, extra, mix, garrs) = self._elem_arrays(blk)
+        mp, mw, mwT = (mix.get("p"), mix.get("w"), mix.get("wT"))
         ext_u = self._halo_gather(u, send_next, send_prev)
         ext_bu = self._halo_gather(bu, send_next, send_prev)
         ext_bt = self._halo_gather(bt, send_next, send_prev)
-        ue, bue, bte = (ext_u[lids] * signs, ext_bu[lids] * signs,
-                        ext_bt[lids] * signs)
+        ue, bue, bte = (_fold_W(ext_u[lids], signs, mp, mw),
+                        _fold_W(ext_bu[lids], signs, mp, mw),
+                        _fold_W(ext_bt[lids], signs, mp, mw))
         fn = partial(self.asm._elem_residual, alpha_u=tc.alpha_u,
                      alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
                      deltat=tc.deltat)
@@ -431,9 +465,9 @@ class DofShardedStep:
         jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
                          in_axes=(0, 0, 0, 0, 0, gax, eax))(
             ue, bue, bte, wts_e, ip, bg, extra_v) if want_jac else None
-        res_e = res_e * signs
+        res_e = _fold_WT(res_e, signs, mp, mwT)
         if want_jac:
-            jac_e = jac_e * signs[:, :, None] * signs[:, None, :]
+            jac_e = _fold_jac_WT_W(jac_e, signs, mp, mwT)
         seg = jax.ops.segment_sum(res_e.ravel(), lids.ravel(),
                                   num_segments=self.part.ext_len)
 
@@ -442,14 +476,19 @@ class DofShardedStep:
         bnd_jacs = []
         for (gdict, _), ga in zip(self._groups, garrs):
             glids, gsigns = ga["lids"], ga["signs"]
-            ub = ext_u[glids] * gsigns
-            bub = ext_bu[glids] * gsigns
-            btb = ext_bt[glids] * gsigns
+            gmix = ga.get("mix", {})
+            gmp, gmw, gmwT = (gmix.get("p"), gmix.get("w"),
+                              gmix.get("wT"))
+            ub = _fold_W(ext_u[glids], gsigns, gmp, gmw)
+            bub = _fold_W(ext_bu[glids], gsigns, gmp, gmw)
+            btb = _fold_W(ext_bt[glids], gsigns, gmp, gmw)
             bfn = partial(self.asm._belem_residual, gdict,
                           alpha_u=tc.alpha_u, alpha_t=tc.alpha_t,
                           time=tc.time, pvec=pvec, deltat=tc.deltat)
-            res_b = jax.vmap(bfn)(ub, bub, btb, ga["wts"], ga["ip"],
-                                  ga["normals"], ga["bg"]) * gsigns
+            res_b = _fold_WT(
+                jax.vmap(bfn)(ub, bub, btb, ga["wts"], ga["ip"],
+                              ga["normals"], ga["bg"]),
+                gsigns, gmp, gmwT)
             seg = seg + jax.ops.segment_sum(
                 res_b.ravel(), glids.ravel(),
                 num_segments=self.part.ext_len)
@@ -457,7 +496,7 @@ class DofShardedStep:
                 jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
                     ub, bub, btb, ga["wts"], ga["ip"], ga["normals"],
                     ga["bg"])
-                jac_b = jac_b * gsigns[:, :, None] * gsigns[:, None, :]
+                jac_b = _fold_jac_WT_W(jac_b, gsigns, gmp, gmwT)
                 bnd_jacs.append((jac_b, glids))
 
         r = self._halo_reduce(seg, send_next, send_prev)
@@ -472,7 +511,7 @@ class DofShardedStep:
                 self.g_wts, self.g_bg,
                 self.e_wscale if self.uniform
                 else jnp.zeros((self.part.n_shards, 1)),
-                extra if extra is not None else {}, garrs)
+                extra if extra is not None else {}, self.mix, garrs)
 
     def _in_specs(self, extra=None):
         sh, rp = P(self.axis), P()
@@ -481,10 +520,11 @@ class DofShardedStep:
             lambda _: (rp if self.uniform else sh), self.g_bg)
         ex_spec = jax.tree_util.tree_map(
             lambda _: sh, extra if extra is not None else {})
+        mix_spec = jax.tree_util.tree_map(lambda _: sh, self.mix)
         g_spec = tuple(jax.tree_util.tree_map(lambda _: sh, ga)
                        for _, ga in self._groups)
         return (sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, wts_spec,
-                bg_spec, sh, ex_spec, g_spec)
+                bg_spec, sh, ex_spec, mix_spec, g_spec)
 
     # ---- public API ---------------------------------------------------
 

@@ -100,36 +100,113 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
 
     from functools import partial
 
+    from mrhyde_tpu.assembly.assembler import (_fold_W, _fold_WT,
+                                               _fold_jac_WT_W)
+
     gax = None if arrays["uniform"] else 0
+
+    # orientation fold channel, padded to the sharded element count
+    # (pad rows: signs 1, mix with self at weight 0)
+    E = assembler.lids.shape[0]
+    Epad = pad_elements(E, mesh.shape[axis])
+    shard = NamedSharding(mesh, P(axis))
+    if assembler.has_signs:
+        nd = assembler.lids.shape[1]
+        sg = np.ones((Epad, nd))
+        sg[:E] = np.asarray(assembler.signs)
+        signs = jax.device_put(jnp.asarray(sg, assembler.signs.dtype),
+                               shard)
+        if assembler.mixp is not None:
+            mp = np.tile(np.arange(nd, dtype=np.int64), (Epad, 1))
+            mw = np.zeros((Epad, nd))
+            mp[:E] = np.asarray(assembler.mixp)
+            mw[:E] = np.asarray(assembler.mixw)
+            mixp = jax.device_put(jnp.asarray(mp), shard)
+            mixw = jax.device_put(jnp.asarray(mw, signs.dtype), shard)
+            mixwT = jax.device_put(
+                jnp.asarray(np.take_along_axis(mw, mp, axis=1),
+                            signs.dtype), shard)
+        else:
+            mixp = mixw = mixwT = None
+    else:
+        signs = mixp = mixw = mixwT = None
 
     def step(u, tc, pvec=None):
         lids = arrays["lids"]
         zpad = jnp.zeros(1, dtype=u.dtype)
-        u_e = jnp.concatenate([u, zpad])[lids]
-        bu_e = jnp.concatenate([tc.beta_u, zpad])[lids]
-        bt_e = jnp.concatenate([tc.beta_t, zpad])[lids]
+
+        def gath(vec):
+            g = jnp.concatenate([vec, zpad])[lids]
+            return g if signs is None else _fold_W(g, signs, mixp, mixw)
+
+        u_e, bu_e, bt_e = gath(u), gath(tc.beta_u), gath(tc.beta_t)
         fn = partial(assembler._elem_residual, alpha_u=tc.alpha_u,
-                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec)
-        res_e = jax.vmap(fn, in_axes=(0, 0, 0, gax, 0, gax))(
-            u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"])
+                     alpha_t=tc.alpha_t, time=tc.time, pvec=pvec,
+                     deltat=tc.deltat)
+        extra = assembler._field_param_values(pvec)
+        eax = 0 if extra else None
+        extra = extra or None
+        res_e = jax.vmap(fn, in_axes=(0, 0, 0, gax, 0, gax, eax))(
+            u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"],
+            extra)
         jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
-                         in_axes=(0, 0, 0, gax, 0, gax))(
-            u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"])
+                         in_axes=(0, 0, 0, gax, 0, gax, eax))(
+            u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"],
+            extra)
+        if signs is not None:
+            res_e = _fold_WT(res_e, signs, mixp, mixwT)
+            jac_e = _fold_jac_WT_W(jac_e, signs, mixp, mixwT)
         r = jax.ops.segment_sum(res_e.ravel(), lids.ravel(),
                                 num_segments=n_dof + 1)[:n_dof]
+
+        # boundary groups (weak BCs / natural Dirichlet): O(surface),
+        # assembled replicated — added once to the replicated residual
+        bnd_jacs = []
+        for group in assembler._active_bnd_groups():
+            u_b, bu_b, bt_b = assembler._gathered(u, tc, group["lids"],
+                                                  group=group)
+            bfn = partial(assembler._belem_residual, group,
+                          alpha_u=tc.alpha_u, alpha_t=tc.alpha_t,
+                          time=tc.time, pvec=pvec, deltat=tc.deltat)
+            res_b = jax.vmap(bfn)(u_b, bu_b, bt_b, group["wts"],
+                                  group["ip"], group["normals"],
+                                  group["bg"])
+            if assembler.has_signs:
+                res_b = _fold_WT(res_b, group["signs"], group["mixp"],
+                                 group["mixwT"])
+            r = r + jax.ops.segment_sum(
+                res_b.ravel(), jnp.asarray(group["lids"]).ravel(),
+                num_segments=n_dof)
+            jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
+                u_b, bu_b, bt_b, group["wts"], group["ip"],
+                group["normals"], group["bg"])
+            if assembler.has_signs:
+                jac_b = _fold_jac_WT_W(jac_b, group["signs"],
+                                       group["mixp"], group["mixwT"])
+            bnd_jacs.append((jac_b, group["lids"]))
         r = jnp.where(fixed, 0.0, r)
 
         def apply(v):
+            # jac_e is already folded to the canonical frame (W^T J W),
+            # so the gather here is raw — no sign/mix fold
             vm = jnp.where(fixed, 0.0, v)
             ve = jnp.concatenate([vm, jnp.zeros(1, dtype=v.dtype)])[lids]
-            av = jax.ops.segment_sum(
-                jnp.einsum("eij,ej->ei", jac_e, ve).ravel(),
-                lids.ravel(), num_segments=n_dof + 1)[:n_dof]
+            ae = jnp.einsum("eij,ej->ei", jac_e, ve)
+            av = jax.ops.segment_sum(ae.ravel(), lids.ravel(),
+                                     num_segments=n_dof + 1)[:n_dof]
+            for jac_b, blids in bnd_jacs:
+                av = av + jax.ops.segment_sum(
+                    jnp.einsum("eij,ej->ei", jac_b, vm[blids]).ravel(),
+                    jnp.asarray(blids).ravel(), num_segments=n_dof)
             return jnp.where(fixed, v, av)
 
         diag = jax.ops.segment_sum(
             jnp.diagonal(jac_e, axis1=1, axis2=2).ravel(), lids.ravel(),
             num_segments=n_dof + 1)[:n_dof]
+        for jac_b, blids in bnd_jacs:
+            diag = diag + jax.ops.segment_sum(
+                jnp.diagonal(jac_b, axis1=1, axis2=2).ravel(),
+                jnp.asarray(blids).ravel(), num_segments=n_dof)
         dinv = jnp.where(fixed, 1.0, 1.0 / jnp.where(diag == 0, 1.0, diag))
 
         # fixed-iteration preconditioned CG (static control flow)

@@ -109,6 +109,54 @@ def test_sharded_transient_residual_with_beta():
 
 
 @pytest.mark.slow
+def test_mixing_channel_under_dof_sharding():
+    """tet HCURL order >= 2: the 2x2 face-pair orientation mixing
+    channel (fem/dofmap mix_pair/mix_w) ships per shard — sharded
+    residual and Newton-CG step match the single-device assembler."""
+    cfg = {
+        "Mesh": {"dimension": 3, "element type": "tet",
+                 "NX": 4, "NY": 2, "NZ": 2},
+        "Physics": {"modules": "maxwell",
+                    "Initial conditions": {
+                        f"{v}[{c}]": "0.0"
+                        for v in ("E", "B") for c in "xyz"}},
+        "Functions": {"current x": "1.0", "permittivity": "1.0",
+                      "permeability": "1.0"},
+        "Discretization": {"order": {"E": 2, "B": 1}, "quadrature": 4},
+        "Solver": {"solver": "transient", "final time": 0.01,
+                   "number of steps": 1},
+    }
+    p = Problem(cfg)
+    assert p.assembler.mixp is not None   # the channel is exercised
+    mesh = _mesh(2)
+    step = DofShardedStep(p.assembler, mesh, cg_iters=40)
+    part = step.part
+    rng = np.random.RandomState(5)
+    u = rng.randn(p.n_dof)
+    bu = rng.randn(p.n_dof) * 0.1
+    bt = rng.randn(p.n_dof) * 0.1
+    tc = TimeCoeffs(jnp.asarray(1.0), jnp.asarray(bu), jnp.asarray(50.0),
+                    jnp.asarray(bt), jnp.asarray(0.005),
+                    jnp.asarray(0.01))
+    r_ref = np.asarray(p.assembler.residual(jnp.asarray(u), tc, None))
+    u_sh = part.to_sharded(u, mesh)
+    bu_sh = part.to_sharded(bu, mesh)
+    bt_sh = part.to_sharded(bt, mesh)
+    r = part.from_sharded(step.residual_fn()(u_sh, bu_sh, bt_sh, tc))
+    assert np.max(np.abs(r - r_ref)) < 1e-9 * (1 + np.abs(r_ref).max())
+
+    # Jacobian fold W^T J W parity through one Newton-CG step: compare
+    # against the replicated scheme on the same operator
+    u1_sh, rnorm = step.newton_cg_step_fn()(u_sh, bu_sh, bt_sh, tc)
+    from mrhyde_tpu.parallel.sharding import sharded_newton_cg_step
+    rep_step, _ = sharded_newton_cg_step(p.assembler, mesh, cg_iters=40)
+    u1_rep, rnorm_rep = rep_step(jnp.asarray(u), tc, None)
+    assert np.isclose(float(rnorm), float(rnorm_rep), rtol=1e-10)
+    assert np.max(np.abs(part.from_sharded(u1_sh) - np.asarray(u1_rep))) \
+        < 1e-9 * (1 + np.abs(np.asarray(u1_rep)).max())
+
+
+@pytest.mark.slow
 def test_signed_spaces_under_dof_sharding():
     """HDIV/HCURL orientation signs survive the owned/ghost gather."""
     cfg = {
