@@ -288,6 +288,33 @@ class SubgridDtN:
         self._fine_sol_jit = None
         # dynamic multimodel: (E,) 0/1 ownership mask (None = static)
         self.mask = None
+        # optional device sharding of the fine solves (see
+        # enable_device_sharding)
+        self._shard = None
+
+    # ------------------------------------------------------------------
+    # multiscale two-level parallelism: shard the fine solves over a
+    # device mesh (the reference's 'multiscale split comm' dedicates
+    # MPI ranks to subgrid solves, split_mpi_communicators.cpp:31-41 +
+    # multiscaleManager.cpp:92-140; here the macro-element batch axis
+    # is annotated so XLA partitions the embarrassingly parallel
+    # vmapped fine solves across chips, all-gathering only the
+    # O(macro) upscaled residual/Jacobian blocks).
+    # ------------------------------------------------------------------
+
+    def enable_device_sharding(self, mesh, axis: str = "dp"):
+        from jax.sharding import NamedSharding, PartitionSpec
+        self._shard = NamedSharding(mesh, PartitionSpec(axis))
+
+    def _constrain_macro(self, tree):
+        """Pin the macro-element batch axis (dim 0 of every fine-solve
+        input) to the device mesh; no-op unless sharding is enabled."""
+        if self._shard is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda a: (jax.lax.with_sharding_constraint(a, self._shard)
+                       if hasattr(a, "ndim") and a.ndim >= 1 else a),
+            tree)
 
     # ------------------------------------------------------------------
     # transient fine-state management (synchronous with the macro
@@ -697,6 +724,8 @@ class SubgridDtN:
         if self._is_async(pvec):
             lam, lam_prev, geo, prev, t_prev, spvec = \
                 self._async_parts(pvec, u_macro, tc)
+            lam, lam_prev, geo, prev = self._constrain_macro(
+                (lam, lam_prev, geo, prev))
 
             def one_a(lam_e, lam_pe, geo_e, prev_e):
                 r, _uf = self._elem_ms_async(lam_e, lam_pe, geo_e, tc,
@@ -718,6 +747,8 @@ class SubgridDtN:
         pvec = self._strip_ms(pvec)
         lam = self._macro_traces(u_macro, tc)
         geo = self._percell(u_macro.dtype)
+        lam, geo, prev, stages = self._constrain_macro(
+            (lam, geo, prev, stages))
 
         def one(lam_e, geo_e, prev_e, stages_e):
             r, _uf = self._elem_ms_residual(lam_e, geo_e, tc, pvec,
@@ -754,6 +785,8 @@ class SubgridDtN:
         if self._is_async(pvec):
             lam, lam_prev, geo, prev, t_prev, spvec = \
                 self._async_parts(pvec, u_macro, tc)
+            lam, lam_prev, geo, prev = self._constrain_macro(
+                (lam, lam_prev, geo, prev))
 
             def one_a(lam_e, lam_pe, geo_e, prev_e):
                 return jax.jacfwd(
@@ -769,6 +802,8 @@ class SubgridDtN:
         pvec = self._strip_ms(pvec)
         lam = self._macro_traces(u_macro, tc)
         geo = self._percell(u_macro.dtype)
+        lam, geo, prev, stages = self._constrain_macro(
+            (lam, geo, prev, stages))
 
         def one(lam_e, geo_e, prev_e, stages_e):
             return jax.jacfwd(
@@ -1360,6 +1395,10 @@ class MultiscaleModels:
         sub = dict(pvec)
         sub["__ms"] = pvec["__ms"][i]
         return sub
+
+    def enable_device_sharding(self, mesh, axis: str = "dp"):
+        for m in self.models:
+            m.enable_device_sharding(mesh, axis)
 
     def residual_contribution(self, u_macro, tc, pvec=None):
         r = 0.0

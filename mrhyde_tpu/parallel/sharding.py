@@ -97,6 +97,8 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
     n_dof = assembler.n_dof
     fixed = assembler.fixed
     repl = NamedSharding(mesh, P())
+    if assembler.multiscale is not None:
+        assembler.multiscale.enable_device_sharding(mesh, axis)
 
     from functools import partial
 
@@ -184,6 +186,17 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
                 jac_b = _fold_jac_WT_W(jac_b, group["signs"],
                                        group["mixp"], group["mixwT"])
             bnd_jacs.append((jac_b, group["lids"]))
+
+        # multiscale: upscaled subgrid contributions; the fine solves
+        # themselves are sharded over the same axis (the macro batch
+        # axis carries a with_sharding_constraint — see
+        # SubgridDtN.enable_device_sharding)
+        if assembler.multiscale is not None:
+            r = r + assembler.multiscale.residual_contribution(u, tc,
+                                                               pvec)
+            for blk, blids in assembler.multiscale.jacobian_blocks(
+                    u, tc, pvec):
+                bnd_jacs.append((blk, blids))
         r = jnp.where(fixed, 0.0, r)
 
         def apply(v):
