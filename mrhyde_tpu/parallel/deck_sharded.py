@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from mrhyde_tpu.parallel.dof_sharding import DofShardedStep
 from mrhyde_tpu.solvers.nonlinear import NewtonResult
 
-__all__ = ["ShardedNewton"]
+__all__ = ["ShardedNewton", "ReplicatedShardedNewton"]
 
 
 def _mesh_for(n_shards: int):
@@ -131,6 +131,73 @@ class ShardedNewton:
             if verbose > 1:
                 print(f"  Newton iter {it}: ||r|| = {norm:.6e} "
                       f"(sharded {method})")
+            if norm < max(tol * norm0, abstol):
+                return NewtonResult(u, it, norm0, norm, True)
+            if backtracking:
+                alpha = 1.0
+                for _cut in range(8):
+                    rn = float(res_norm(u + alpha * du, tc, pvec))
+                    if rn <= norm or alpha < 1e-3:
+                        break
+                    alpha *= 0.5
+                u = u + alpha * du
+            else:
+                u = u + du
+            it += 1
+        norm = float(res_norm(u, tc, pvec))
+        converged = norm < max(tol * norm0, abstol)
+        return NewtonResult(u, it, norm0, norm, converged)
+
+
+class ReplicatedShardedNewton:
+    """newton_solve drop-in for decks the DOF-sharded path cannot take
+    (multiscale): elements and subgrid fine solves are sharded over the
+    mesh ('dp'), the macro DOF vector stays replicated (the v1 scheme
+    — macro systems in multiscale decks are tiny, the fine solves
+    dominate and those are what the reference dedicates ranks to,
+    split_mpi_communicators.cpp:31-41)."""
+
+    def __init__(self, assembler, n_shards: int, *,
+                 linear_method="auto", cg_iters=200, gmres_m=60,
+                 gmres_restarts=4):
+        self.mesh = _mesh_for(n_shards)
+        self.assembler = assembler
+        self.linear_method = linear_method
+        self.cg_iters = cg_iters
+        self.gmres_m = gmres_m
+        self.gmres_restarts = gmres_restarts
+        self._cache = {}
+
+    def _step_fns(self, method):
+        if method not in self._cache:
+            from mrhyde_tpu.parallel.sharding import \
+                sharded_newton_du_step
+            self._cache[method] = sharded_newton_du_step(
+                self.assembler, self.mesh, method=method,
+                iters=self.cg_iters, gmres_m=self.gmres_m,
+                gmres_restarts=self.gmres_restarts)
+        return self._cache[method]
+
+    def __call__(self, assembler, u0, tc, pvec=None, *, tol=1e-6,
+                 abstol=1e-100, maxiter=10, linear_method="direct",
+                 linear_tol=1e-12, linear_maxiter=2000,
+                 backtracking=True, verbose=0,
+                 precond_variant="jacobi"):
+        method = (self.linear_method if self.linear_method != "auto"
+                  else ("cg" if linear_method == "cg" else "gmres"))
+        step, res_norm = self._step_fns(method)
+        u = jnp.asarray(u0)
+        norm0 = None
+        norm = None
+        it = 0
+        while it < maxiter:
+            du, norm_j = step(u, tc, pvec)
+            norm = float(norm_j)
+            if norm0 is None:
+                norm0 = norm if norm > 0 else 1.0
+            if verbose > 1:
+                print(f"  Newton iter {it}: ||r|| = {norm:.6e} "
+                      f"(element-sharded {method})")
             if norm < max(tol * norm0, abstol):
                 return NewtonResult(u, it, norm0, norm, True)
             if backtracking:

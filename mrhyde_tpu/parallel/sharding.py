@@ -83,20 +83,21 @@ def shard_assembler_arrays(assembler, mesh: Mesh, axis: str = "dp"):
     return arrays
 
 
-def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
-                           cg_iters: int = 25):
-    """Build a jitted, element-sharded Newton-CG step: u -> u'.
+def _spmd_assemble_builder(assembler, mesh: Mesh, axis: str = "dp"):
+    """Element-sharded assembly shared by the v1 step builders.
 
-    One full implicit solver step: assemble the element-block Jacobian
-    and residual over sharded elements, then run a fixed-iteration
-    Jacobi-preconditioned CG on the matrix-free operator. All
-    cross-shard reduction is XLA-inserted (segment-sum over replicated
-    dof ids + dot products).
+    Returns (assemble, arrays) where assemble(u, tc, pvec, want_jac)
+    -> (r, apply, dinv): the replicated global residual, the
+    matrix-free J-apply over the sharded element blocks, and the
+    Jacobi diagonal inverse (apply/dinv None when want_jac=False).
+    Covers orientation signs + the tet-HCURL>=2 mixing channel, the
+    field-param/block-mask extra channel, boundary groups, and
+    multiscale decks (fine solves sharded over the same axis via
+    SubgridDtN.enable_device_sharding).
     """
     arrays = shard_assembler_arrays(assembler, mesh, axis)
     n_dof = assembler.n_dof
     fixed = assembler.fixed
-    repl = NamedSharding(mesh, P())
     if assembler.multiscale is not None:
         assembler.multiscale.enable_device_sharding(mesh, axis)
 
@@ -133,7 +134,7 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
     else:
         signs = mixp = mixw = mixwT = None
 
-    def step(u, tc, pvec=None):
+    def assemble(u, tc, pvec=None, want_jac=True):
         lids = arrays["lids"]
         zpad = jnp.zeros(1, dtype=u.dtype)
 
@@ -154,10 +155,11 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
         jac_e = jax.vmap(jax.jacfwd(fn, argnums=0),
                          in_axes=(0, 0, 0, gax, 0, gax, eax))(
             u_e, bu_e, bt_e, arrays["wts"], arrays["ip"], arrays["bg"],
-            extra)
+            extra) if want_jac else None
         if signs is not None:
             res_e = _fold_WT(res_e, signs, mixp, mixwT)
-            jac_e = _fold_jac_WT_W(jac_e, signs, mixp, mixwT)
+            if want_jac:
+                jac_e = _fold_jac_WT_W(jac_e, signs, mixp, mixwT)
         r = jax.ops.segment_sum(res_e.ravel(), lids.ravel(),
                                 num_segments=n_dof + 1)[:n_dof]
 
@@ -179,13 +181,14 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
             r = r + jax.ops.segment_sum(
                 res_b.ravel(), jnp.asarray(group["lids"]).ravel(),
                 num_segments=n_dof)
-            jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
-                u_b, bu_b, bt_b, group["wts"], group["ip"],
-                group["normals"], group["bg"])
-            if assembler.has_signs:
-                jac_b = _fold_jac_WT_W(jac_b, group["signs"],
-                                       group["mixp"], group["mixwT"])
-            bnd_jacs.append((jac_b, group["lids"]))
+            if want_jac:
+                jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
+                    u_b, bu_b, bt_b, group["wts"], group["ip"],
+                    group["normals"], group["bg"])
+                if assembler.has_signs:
+                    jac_b = _fold_jac_WT_W(jac_b, group["signs"],
+                                           group["mixp"], group["mixwT"])
+                bnd_jacs.append((jac_b, group["lids"]))
 
         # multiscale: upscaled subgrid contributions; the fine solves
         # themselves are sharded over the same axis (the macro batch
@@ -194,10 +197,13 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
         if assembler.multiscale is not None:
             r = r + assembler.multiscale.residual_contribution(u, tc,
                                                                pvec)
-            for blk, blids in assembler.multiscale.jacobian_blocks(
-                    u, tc, pvec):
-                bnd_jacs.append((blk, blids))
+            if want_jac:
+                for blk, blids in assembler.multiscale.jacobian_blocks(
+                        u, tc, pvec):
+                    bnd_jacs.append((blk, blids))
         r = jnp.where(fixed, 0.0, r)
+        if not want_jac:
+            return r, None, None
 
         def apply(v):
             # jac_e is already folded to the canonical frame (W^T J W),
@@ -221,28 +227,64 @@ def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
                 jnp.diagonal(jac_b, axis1=1, axis2=2).ravel(),
                 jnp.asarray(blids).ravel(), num_segments=n_dof)
         dinv = jnp.where(fixed, 1.0, 1.0 / jnp.where(diag == 0, 1.0, diag))
+        return r, apply, dinv
 
-        # fixed-iteration preconditioned CG (static control flow)
-        b = -r
-        x0 = jnp.zeros_like(b)
-        r0 = b
-        z0 = dinv * r0
-        p0 = z0
+    return assemble, arrays
 
-        def body(_, state):
-            x, rr, z, p = state
-            Ap = apply(p)
-            alpha = jnp.vdot(rr, z) / jnp.where(
-                jnp.vdot(p, Ap) == 0, 1.0, jnp.vdot(p, Ap))
-            x1 = x + alpha * p
-            r1 = rr - alpha * Ap
-            z1 = dinv * r1
-            beta = jnp.vdot(r1, z1) / jnp.where(
-                jnp.vdot(rr, z) == 0, 1.0, jnp.vdot(rr, z))
-            return (x1, r1, z1, z1 + beta * p)
 
-        x, *_ = jax.lax.fori_loop(0, cg_iters, body, (x0, r0, z0, p0))
+def sharded_newton_cg_step(assembler, mesh: Mesh, axis: str = "dp",
+                           cg_iters: int = 25):
+    """Build a jitted, element-sharded Newton-CG step: u -> u'.
+
+    One full implicit solver step: assemble the element-block Jacobian
+    and residual over sharded elements, then run a fixed-iteration
+    Jacobi-preconditioned CG on the matrix-free operator. All
+    cross-shard reduction is XLA-inserted (segment-sum over replicated
+    dof ids + dot products).
+    """
+    assemble, arrays = _spmd_assemble_builder(assembler, mesh, axis)
+    repl = NamedSharding(mesh, P())
+
+    def step(u, tc, pvec=None):
+        r, apply, dinv = assemble(u, tc, pvec)
+        from mrhyde_tpu.parallel.dof_sharding import DofShardedStep
+        dot = lambda a, b: jnp.vdot(a, b)
+        x = DofShardedStep._cg(apply, -r, dinv, dot, cg_iters)
         return u + x, jnp.linalg.norm(r)
 
     jstep = jax.jit(step, out_shardings=(repl, repl))
     return jstep, arrays
+
+
+def sharded_newton_du_step(assembler, mesh: Mesh, axis: str = "dp",
+                           method: str = "cg", iters: int = 200,
+                           gmres_m: int = 60, gmres_restarts: int = 4):
+    """Deck-facing element-sharded Newton LINEAR step + residual norm.
+
+    Returns (du_fn, res_norm_fn), both jitted with pvec as a runtime
+    pytree argument: du_fn(u, tc, pvec) -> (du, |r|) assembles the
+    sharded residual/Jacobian (incl. multiscale upscaled blocks with
+    device-sharded fine solves) and runs fixed-iteration Jacobi-CG or
+    restarted GMRES; res_norm_fn(u, tc, pvec) -> |r| is the
+    residual-only path for backtracking line searches.
+    """
+    assemble, _arrays = _spmd_assemble_builder(assembler, mesh, axis)
+    repl = NamedSharding(mesh, P())
+    from mrhyde_tpu.parallel.dof_sharding import DofShardedStep
+    dot = lambda a, b: jnp.vdot(a, b)
+
+    def du_step(u, tc, pvec=None):
+        r, apply, dinv = assemble(u, tc, pvec)
+        if method == "cg":
+            du = DofShardedStep._cg(apply, -r, dinv, dot, iters)
+        else:
+            du = DofShardedStep._gmres(apply, -r, dinv, dot, gmres_m,
+                                       gmres_restarts)
+        return du, jnp.linalg.norm(r)
+
+    def res_norm(u, tc, pvec=None):
+        r, _, _ = assemble(u, tc, pvec, want_jac=False)
+        return jnp.linalg.norm(r)
+
+    return (jax.jit(du_step, out_shardings=(repl, repl)),
+            jax.jit(res_norm, out_shardings=repl))

@@ -563,12 +563,19 @@ class Problem:
     # ------------------------------------------------------------------
 
     def _newton_fn(self):
-        """newton_solve or its DOF-sharded drop-in when shards > 1."""
+        """newton_solve or its sharded drop-in when shards > 1:
+        DOF-sharded (v2 halo scheme) for standard decks; multiscale
+        decks take the element-sharded scheme with device-sharded
+        subgrid fine solves and a replicated macro vector."""
         if self.shards <= 1:
             return newton_solve
         if self._sharded_newton is None:
-            from mrhyde_tpu.parallel.deck_sharded import ShardedNewton
-            self._sharded_newton = ShardedNewton(
+            from mrhyde_tpu.parallel.deck_sharded import (
+                ReplicatedShardedNewton, ShardedNewton)
+            cls = (ReplicatedShardedNewton
+                   if self.assembler.multiscale is not None
+                   else ShardedNewton)
+            self._sharded_newton = cls(
                 self.assembler, self.shards,
                 cg_iters=int(self.solver_cfg.get("max linear iters",
                                                  200)),

@@ -101,6 +101,26 @@ def test_per_block_physics_sharded_matches():
 
 
 @pytest.mark.slow
+def test_multiscale_deck_sharded_matches_gold():
+    """Multiscale decks run distributed too: `Solver: shards` routes
+    them through the element-sharded scheme (replicated macro vector,
+    device-sharded subgrid fine solves — ReplicatedShardedNewton).
+    The 2D_verification_multiscale gold norms must reproduce at 8
+    shards AND match the unsharded run to solver precision."""
+    from test_multiscale import CFG
+    a = _norms(CFG, 0)
+    b = _norms(CFG, 8)
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-13), \
+            (k, a[k], b[k])
+    # the reference gold values (mrhyde.gold) through the sharded path
+    assert b[(0.0, "L2-face", "e")] == pytest.approx(0.198706, rel=1e-3)
+    assert b[(0.0, "Subgrid-L2", "e")] == pytest.approx(0.042848,
+                                                        rel=1e-3)
+
+
+@pytest.mark.slow
 def test_field_param_forward_sharded_matches():
     """Discretized field param in the forward solve under sharding
     (lifts the round-2 exclusion): same solution vector to 1e-10."""
