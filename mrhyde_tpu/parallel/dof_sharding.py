@@ -41,10 +41,10 @@ __all__ = ["DofPartition", "build_dof_partition", "DofShardedStep"]
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
-    # check_vma=False: ppermute/psum patterns confuse the varying-axes
-    # checker; correctness is covered by the parity tests
+    # varying-axes checking ON (the round-2 check_vma=False loosening
+    # is gone: the ppermute halo ring and psum dots type-check clean)
     return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                         out_specs=out_specs, check_vma=False)
+                         out_specs=out_specs, check_vma=True)
 
 
 @dataclass
