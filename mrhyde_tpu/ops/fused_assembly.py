@@ -325,7 +325,7 @@ class FusedThermalAssembly:
                 tc.beta_u[start:start + ng].reshape(grid_nodes), pad)
             gbt = jnp.pad(
                 tc.beta_t[start:start + ng].reshape(grid_nodes), pad)
-            hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+            hbm = pl.BlockSpec(memory_space=pl.ANY)
             res_out, jac_out = pl.pallas_call(
                 self._kernel_dma(ti, tj, dtype, names),
                 grid=(nx // ti, ny // tj),

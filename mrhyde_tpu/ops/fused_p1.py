@@ -532,7 +532,7 @@ class FusedP1Assembly:
         jac_spec = pl.BlockSpec((nd * nd,) + tiles, omap)
         out_shape = [jax.ShapeDtypeStruct((nd,) + kdims, dtype),
                      jax.ShapeDtypeStruct((nd * nd,) + kdims, dtype)]
-        hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+        hbm = pl.BlockSpec(memory_space=pl.ANY)
         if steady:
             res_out, jac_out = pl.pallas_call(
                 self._kernel(tiles, dtype, names, steady=True),
