@@ -177,10 +177,16 @@ def assembly_bench():
             # DCE guard: thread a TINY jac slice into the carry. A
             # pallas_call always materializes its outputs to HBM, so
             # this keeps the kernel live without charging the bench an
-            # extra full 16.8 MB jac read per assembly (which is a
-            # consumer cost, not an assembly cost).
-            blocks = J.vol_soa if J.vol is None else J.vol
-            u = u + 1e-12 * (r + blocks.ravel()[:8].sum() * 0)
+            # extra full jac read per assembly (a consumer cost, not an
+            # assembly cost). Constant-elided rows (scalars) and
+            # structural zeros (None) have nothing to thread.
+            if J.vol is None:
+                extra = sum(rr[0] for rr in J.vol_soa
+                            if rr is not None
+                            and getattr(rr, "ndim", 0) >= 1)
+            else:
+                extra = J.vol.ravel()[0]
+            u = u + 1e-12 * r + 0.0 * extra
             return u, None
         u, _ = jax.lax.scan(body, u, None, length=length)
         return jnp.sum(u)
@@ -212,14 +218,24 @@ def assembly_bench():
     nd = asm.lids.shape[1]
     gdofs = n_elem * nd / dt / 1e9
 
-    # HBM roofline: unavoidable traffic per assembly = the node-grid
-    # input slab (u only — the steady-specialized kernel drops the
-    # beta_u/beta_t slabs) + residual parts (nd*E) + element Jacobian
-    # blocks (nd^2*E), at itemsize bytes, against the v5e HBM
-    # bandwidth (~819 GB/s). roofline_frac = floor_time / measured_time
-    # (1.0 = memory-bound speed of light).
+    # HBM roofline against the ACTUAL representation the kernel emits:
+    # input node grids (u only — the steady specialization drops the
+    # beta slabs) + the element-VARYING residual/Jacobian rows
+    # (element-independent rows are elided entirely: constant
+    # coefficients on the uniform mesh, the reference's database
+    # compression, so they cost no HBM traffic), at itemsize bytes,
+    # against the v5e HBM bandwidth (~819 GB/s). roofline_frac =
+    # floor_time / measured_time (1.0 = memory-bound speed of light).
+    fused = asm.__dict__.get("_fused_cache", (None,))[0]
+    stats = getattr(fused, "stats", None)
+    if stats is not None:
+        n_out_rows = stats["n_res_rows"] + stats["n_jac_rows"]
+        n_in_grids = 1 if stats["steady"] else 3
+    else:
+        n_out_rows = nd + nd * nd
+        n_in_grids = 1
     itemsize = jnp.zeros(0).dtype.itemsize
-    bytes_per = (p.n_dof + nd * n_elem + nd * nd * n_elem) * itemsize
+    bytes_per = (n_in_grids * p.n_dof + n_out_rows * n_elem) * itemsize
     hbm_bw = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
     floor = bytes_per / hbm_bw
     print(json.dumps({
@@ -228,6 +244,8 @@ def assembly_bench():
         "unit": "GDOF/s",
         "vs_baseline": round(gdofs / 1.0, 4),
         "roofline_frac": round(floor / dt, 3),
+        "jac_rows_varying": None if stats is None
+        else [stats["n_jac_rows"], nd * nd],
     }))
 
 

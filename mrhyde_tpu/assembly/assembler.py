@@ -21,7 +21,7 @@ assemblyManager.cpp:3963, updateJacDBC).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 
 import jax
@@ -75,11 +75,14 @@ class BlockJacobian:
     bnd_lids: list                    # list of (B, nd)
     fixed: jax.Array                  # (n_dof,) bool
     inc: jax.Array | None = None      # (n_dof, max_deg) into E*nd (+pad)
-    # SoA layout (nd*nd, E) straight off the fused Pallas kernel — the
-    # apply/diag hot paths consume it WITHOUT the (E, nd, nd) transpose
-    # (a 2x jac-sized HBM round trip at assembly time); AoS-needing
-    # consumers call aos()
-    vol_soa: jax.Array | None = None
+    # Row layout straight off the fused Pallas kernel: a LIST of nd*nd
+    # entries, each None (structural zero), a 0-d scalar
+    # (element-independent — constant coefficients on a uniform mesh,
+    # the reference's compressed-database analog), or an (E,) array.
+    # The apply/diag hot paths consume it WITHOUT the (E, nd, nd)
+    # transpose; scalar rows cost no HBM traffic in the matvec at all.
+    # AoS-needing consumers call aos().
+    vol_soa: list | None = None
 
     @property
     def n_dof(self):
@@ -89,29 +92,55 @@ class BlockJacobian:
     def _soa_only(self):
         return self.vol is None and self.vol_soa is not None
 
+    @property
+    def _n_elem(self):
+        return self.vol_lids.shape[0]
+
+    def _soa_dtype(self):
+        for r in self.vol_soa:
+            if r is not None and getattr(r, "ndim", 0) >= 1:
+                return r.dtype
+        return jnp.zeros(0).dtype
+
     def aos(self):
-        """(E, nd, nd) volume blocks, materializing from SoA if
-        needed — use only in cold paths (dense, Schwarz, MG setup)."""
+        """(E, nd, nd) volume blocks, materializing constant/zero rows
+        from SoA if needed — use only in cold paths (dense, Schwarz,
+        MG setup)."""
         if self.vol is not None:
             return self.vol
         nd = self.vol_lids.shape[1]
-        return jnp.moveaxis(self.vol_soa, 0, 1).reshape(-1, nd, nd)
+        E = self._n_elem
+        dt = self._soa_dtype()
+        rows = jnp.stack([
+            jnp.zeros(E, dt) if r is None
+            else jnp.broadcast_to(jnp.asarray(r, dt), (E,))
+            for r in self.vol_soa])
+        return jnp.moveaxis(rows, 0, 1).reshape(-1, nd, nd)
 
     def _soa_mv(self, vm):
         """(E, nd) element products sum_j J[e,i,j]*vm[lids[e,j]] from
-        the SoA blocks, no transpose."""
+        the SoA rows, no transpose; None rows skip their whole chain,
+        scalar rows fold into the multiply."""
         nd = self.vol_lids.shape[1]
         xg = [vm[self.vol_lids[:, j]] for j in range(nd)]
-        return jnp.stack(
-            [sum(self.vol_soa[i * nd + j] * xg[j] for j in range(nd))
-             for i in range(nd)], axis=1)
+        out = []
+        for i in range(nd):
+            terms = [self.vol_soa[i * nd + j] * xg[j]
+                     for j in range(nd)
+                     if self.vol_soa[i * nd + j] is not None]
+            out.append(sum(terms) if terms else jnp.zeros_like(xg[0]))
+        return jnp.stack(out, axis=1)
 
     def _soa_mv_T(self, ve):
         nd = self.vol_lids.shape[1]
         vg = [ve[self.vol_lids[:, i]] for i in range(nd)]
-        return jnp.stack(
-            [sum(self.vol_soa[i * nd + j] * vg[i] for i in range(nd))
-             for j in range(nd)], axis=1)
+        out = []
+        for j in range(nd):
+            terms = [self.vol_soa[i * nd + j] * vg[i]
+                     for i in range(nd)
+                     if self.vol_soa[i * nd + j] is not None]
+            out.append(sum(terms) if terms else jnp.zeros_like(vg[0]))
+        return jnp.stack(out, axis=1)
 
     def _vol_mv(self, vm):
         if self._soa_only:
@@ -172,8 +201,13 @@ class BlockJacobian:
     def diag(self):
         if self._soa_only:
             nd = self.vol_lids.shape[1]
-            dblk = jnp.stack([self.vol_soa[i * nd + i]
-                              for i in range(nd)], axis=1)
+            E = self._n_elem
+            dt = self._soa_dtype()
+            dblk = jnp.stack([
+                jnp.zeros(E, dt) if self.vol_soa[i * nd + i] is None
+                else jnp.broadcast_to(
+                    jnp.asarray(self.vol_soa[i * nd + i], dt), (E,))
+                for i in range(nd)], axis=1)
         else:
             dblk = _block_diag(self.vol)
         d = self._gather_sum(dblk)
@@ -731,6 +765,16 @@ class Assembler:
             flat = jnp.concatenate([res_e.ravel(),
                                     jnp.zeros(1, dtype=res_e.dtype)])
             r = flat[self.inc].sum(axis=1)
+        r = r + self._bnd_res_scatter(u_st, tc, pvec)
+        if self.multiscale is not None:
+            r = r + self.multiscale.residual_contribution(u_st, tc, pvec)
+        return jnp.where(self.fixed, 0.0, r)
+
+    def _bnd_res_scatter(self, u_st, tc: TimeCoeffs, pvec=None):
+        """Summed boundary-group residual contribution (n_dof,), zero
+        when no group is active. Additive to the volume residual, so
+        the fused volume kernel composes with it (res_and_jac)."""
+        r = jnp.zeros(self.n_dof, dtype=u_st.dtype)
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
                                              group=group)
@@ -750,9 +794,7 @@ class Assembler:
                 res_b = _fold_WT(res_b, group["signs"], group["mixp"],
                                  group["mixwT"])
             r = r + _scatter_vec(res_b, group["lids"], self.n_dof)
-        if self.multiscale is not None:
-            r = r + self.multiscale.residual_contribution(u_st, tc, pvec)
-        return jnp.where(self.fixed, 0.0, r)
+        return r
 
     def _fused_provider(self):
         """Lazily-built fused Pallas assembly (ops/fused_p1.py), the
@@ -790,7 +832,17 @@ class Assembler:
         if fused is not None and all(
                 jnp.ndim(v) == 0 for v in (pvec or {}).values()):
             self.fused_active = True
-            return fused.jacobian(u_st, tc, pvec, interpret=interpret)
+            r, J = fused.jacobian(u_st, tc, pvec, interpret=interpret)
+            # boundary groups (Neumann/Robin/weak Dirichlet/...) are
+            # ADDITIVE contributions: assemble them on the general
+            # vmapped path and attach to the fused volume result
+            if self._active_bnd_groups():
+                rb = self._bnd_res_scatter(u_st, tc, pvec)
+                r = jnp.where(self.fixed, 0.0, r + rb)
+                bnd_blocks, bnd_lids = self._bnd_jac_parts(u_st, tc,
+                                                           pvec)
+                J = replace(J, bnd=bnd_blocks, bnd_lids=bnd_lids)
+            return r, J
         return (self.residual(u_st, tc, pvec),
                 self.jacobian(u_st, tc, pvec))
 
@@ -808,6 +860,20 @@ class Assembler:
         if self.has_signs:
             jac_e = _fold_jac_WT_W(jac_e, self.signs, self.mixp,
                                    self.mixwT)
+        bnd_blocks, bnd_lids = self._bnd_jac_parts(u_st, tc, pvec)
+        if self.multiscale is not None:
+            for blk, blids in self.multiscale.jacobian_blocks(u_st, tc,
+                                                              pvec):
+                bnd_blocks.append(blk)
+                bnd_lids.append(blids)
+        return BlockJacobian(vol=jac_e, vol_lids=self.lids, bnd=bnd_blocks,
+                             bnd_lids=bnd_lids, fixed=self.fixed,
+                             inc=self.inc)
+
+    def _bnd_jac_parts(self, u_st, tc: TimeCoeffs, pvec=None):
+        """(bnd_blocks, bnd_lids) lists for the active boundary groups —
+        additive Jacobian contributions, so the fused volume kernel
+        composes with them (res_and_jac)."""
         bnd_blocks, bnd_lids = [], []
         for group in self._active_bnd_groups():
             u_b, bu_b, bt_b = self._gathered(u_st, tc, group["lids"],
@@ -829,14 +895,7 @@ class Assembler:
                                        group["mixp"], group["mixwT"])
             bnd_blocks.append(jac_b)
             bnd_lids.append(group["lids"])
-        if self.multiscale is not None:
-            for blk, blids in self.multiscale.jacobian_blocks(u_st, tc,
-                                                              pvec):
-                bnd_blocks.append(blk)
-                bnd_lids.append(blids)
-        return BlockJacobian(vol=jac_e, vol_lids=self.lids, bnd=bnd_blocks,
-                             bnd_lids=bnd_lids, fixed=self.fixed,
-                             inc=self.inc)
+        return bnd_blocks, bnd_lids
 
     def _active_bnd_groups(self):
         """Boundary groups with at least one non-strong BC to assemble."""
@@ -874,10 +933,14 @@ class Assembler:
             ve = self._gather_structured(vm)
             if J._soa_only:
                 nd = J.vol_lids.shape[1]
-                prods = jnp.stack(
-                    [sum(J.vol_soa[i * nd + j] * ve[:, j]
-                         for j in range(nd)) for i in range(nd)],
-                    axis=1)
+                cols = []
+                for i in range(nd):
+                    terms = [J.vol_soa[i * nd + j] * ve[:, j]
+                             for j in range(nd)
+                             if J.vol_soa[i * nd + j] is not None]
+                    cols.append(sum(terms) if terms
+                                else jnp.zeros_like(ve[:, 0]))
+                prods = jnp.stack(cols, axis=1)
             else:
                 prods = jnp.einsum("eij,ej->ei", J.vol, ve)
             out = self._scatter_structured(prods)

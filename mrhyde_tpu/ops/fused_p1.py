@@ -45,6 +45,12 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["FusedP1Assembly", "QpCtx"]
 
 
+def _is_varying(v):
+    """True iff an `_accumulate` entry depends on element data (came
+    back as an array of the probe/tile shape, not None or a scalar)."""
+    return getattr(v, "ndim", 0) >= 1
+
+
 class QpCtx:
     """Per-qp physics context on (tile)-shaped values.
 
@@ -105,8 +111,10 @@ class FusedP1Assembly:
     """Fused residual+Jacobian provider for qualifying problems.
 
     Qualifies when: uniform structured quad/hex mesh, all variables p1
-    HGRAD, every physics module has qp_density, no active boundary
-    groups (strong Dirichlet only), no multiscale, no field params.
+    HGRAD, every physics module has qp_density, no multiscale, no
+    field params. Active boundary groups (Neumann/Robin/weak
+    Dirichlet) do not disqualify — the assembler attaches their
+    additive contributions from the general path (res_and_jac).
     Use `FusedP1Assembly.build(asm)` -> instance or None.
     """
 
@@ -154,8 +162,9 @@ class FusedP1Assembly:
             return None
         if not all(hasattr(m, "qp_density") for m in asm.modules):
             return None
-        if asm._active_bnd_groups():
-            return None
+        # active boundary groups do NOT disqualify: their additive
+        # contributions ride the general vmapped path and are attached
+        # to the fused volume result in Assembler.res_and_jac
         if not getattr(asm, "uniform", False):
             return None
         return FusedP1Assembly(asm)
@@ -240,12 +249,189 @@ class FusedP1Assembly:
                [F[v][d] if F[v][d] is not None else z
                 for v in self.vars for d in range(self.dim)]
 
-    def _kernel(self, tiles, dtype, pvec_names, steady=False):
+    def _accumulate(self, ue, ud, iotas, alpha_u, alpha_t, t, params,
+                    steady, dtype):
+        """Shared weak-form accumulation: the per-tile qp loop with
+        trace-time sparse forward AD. Runs identically on VMEM tiles
+        (inside the kernel) and on tiny probe arrays (outside, to
+        classify entries) — an entry that never touches an array input
+        is ELEMENT-INDEPENDENT, the uniform-mesh analog of the
+        reference's compressed basis database storing one unique
+        element matrix (assemblyManager.cpp buildDatabase :4249).
+
+        Returns (res, jac) flat lists whose entries are None
+        (structural zero), 0-d/python scalars (element-independent), or
+        arrays shaped like the inputs (element-varying)."""
         dim, nc, n_var, Q = self.dim, self.nc, self.n_var, self.Q
         nd = self.nd
         vars_, phi, grad, wts = self.vars, self.phi, self.grad, self.wts
         q_off, origin, h_axes = self.q_off, self.origin, self.h_axes
-        corners = self.corners
+        n_in = n_var * ((1 if steady else 2) + dim)
+
+        res = [None] * nd
+        jac = [None] * (nd * nd)
+
+        def acc2(a, b):
+            return b if a is None else a + b
+
+        for q in range(Q):
+            coords = [origin[a] + iotas[a] * h_axes[a]
+                      + q_off[q, a] for a in range(dim)]
+            uq, udq, gq = {}, {}, {}
+            for v in vars_:
+                uq[v] = sum(phi[c, q] * ue[v][c] for c in range(nc))
+                udq[v] = sum(phi[c, q] * ud[v][c] for c in range(nc))
+                gq[v] = [sum(grad[c, q, d] * ue[v][c]
+                             for c in range(nc))
+                         for d in range(dim)]
+
+            # flatten qp state for linearization; steady drops the
+            # udot slots (structurally zero)
+            off_g = n_var * (1 if steady else 2)
+
+            def unflat(z):
+                u_ = {v: z[i] for i, v in enumerate(vars_)}
+                if steady:
+                    ud_ = {v: 0.0 for v in vars_}
+                else:
+                    ud_ = {v: z[n_var + i]
+                           for i, v in enumerate(vars_)}
+                g_ = {v: [z[off_g + i * dim + d]
+                          for d in range(dim)]
+                      for i, v in enumerate(vars_)}
+                return u_, ud_, g_
+
+            z0 = ([uq[v] for v in vars_]
+                  + ([] if steady
+                     else [udq[v] for v in vars_])
+                  + [gq[v][d] for v in vars_
+                     for d in range(dim)])
+
+            def f(z):
+                u_, ud_, g_ = unflat(z)
+                return self._density(u_, ud_, g_, coords, t, params)
+
+            # trace-time sparse forward AD: D[k][oi] is None where
+            # structurally zero and may be a SCALAR for constant
+            # coefficients (the SFad analog; see ops/sparse_fwd.py).
+            # Falls back to dense jax.linearize on unsupported
+            # primitives.
+            try:
+                from mrhyde_tpu.ops.sparse_fwd import (
+                    SparseFwdUnsupported, sparse_jacfwd)
+                out0, D = sparse_jacfwd(f, z0)
+            except SparseFwdUnsupported:
+                out0, f_lin = jax.linearize(f, z0)
+                one = jnp.ones_like(z0[0])
+                zero = jnp.zeros_like(z0[0])
+                D = []
+                for k in range(n_in):
+                    tz = [one if i == k else zero
+                          for i in range(n_in)]
+                    D.append(f_lin(tz))
+
+            w = float(wts[q])
+            # residual accumulation
+            for vi, v in enumerate(vars_):
+                Sv = out0[vi]
+                Fv = [out0[n_var + vi * dim + d]
+                      for d in range(dim)]
+                for c in range(nc):
+                    a = phi[c, q] * Sv
+                    for d in range(dim):
+                        a = a + grad[c, q, d] * Fv[d]
+                    res[vi * nc + c] = acc2(res[vi * nc + c], w * a)
+
+            # T[o][w,c'] combos, then Jacobian accumulation; None
+            # entries (structural zeros) skip their whole
+            # multiply-accumulate chain at trace time
+            for wi in range(n_var):
+                for cp_ in range(nc):
+                    # combined tangent coefficient for column (w, c'):
+                    # du = au*phi, dud = at*phi, dg_d = au*grad_d
+                    Tcol = [None] * (n_var * (1 + dim))
+                    pc = phi[cp_, q]
+                    for oi in range(n_var * (1 + dim)):
+                        a = None
+                        d1 = D[wi][oi]
+                        if d1 is not None:
+                            a = acc2(a, alpha_u * pc * d1)
+                        if not steady:
+                            d2 = D[n_var + wi][oi]
+                            if d2 is not None:
+                                a = acc2(a, alpha_t * pc * d2)
+                        for d in range(dim):
+                            d3 = D[off_g + wi * dim + d][oi]
+                            if d3 is not None:
+                                a = acc2(
+                                    a, alpha_u
+                                    * grad[cp_, q, d] * d3)
+                        Tcol[oi] = a
+                    for vi in range(n_var):
+                        for c in range(nc):
+                            a = None
+                            if Tcol[vi] is not None:
+                                a = acc2(a, phi[c, q] * Tcol[vi])
+                            for d in range(dim):
+                                tg = Tcol[n_var + vi * dim + d]
+                                if tg is not None:
+                                    a = acc2(a, grad[c, q, d] * tg)
+                            if a is None:
+                                continue
+                            row = vi * nc + c
+                            col = wi * nc + cp_
+                            jac[row * nd + col] = acc2(
+                                jac[row * nd + col], w * a)
+        return res, jac
+
+    def _probe(self, alpha_u, alpha_t, t, deltat, pvec_scalars, steady,
+               dtype):
+        """Classify res/jac entries by running `_accumulate` on tiny
+        (2,)-shaped stand-ins for every element-varying input (corner
+        values, beta grids, element-index iotas). An entry that comes
+        back with ndim >= 1 depends on element data and must be
+        computed per element in the kernel; anything else is
+        element-independent and its probe value — computed from the
+        REAL scalar inputs — is exact for every element.
+
+        Returns (res, jac) lists of None | scalar | array."""
+        params = dict(self.asm.params)
+        params["__deltat"] = deltat
+        params.update(pvec_scalars)
+        nc, dim = self.nc, self.dim
+
+        def dummy(seed):
+            # arbitrary distinct values; only the array-ness matters
+            return jnp.asarray([0.37 + 0.11 * seed, 0.81 + 0.07 * seed],
+                               dtype=dtype)
+
+        ue, ud = {}, {}
+        k = 0
+        for v in self.vars:
+            ue[v], ud[v] = [], []
+            for _c in range(nc):
+                uc = dummy(k)
+                if steady:
+                    ue[v].append(uc)
+                    ud[v].append(0.0)
+                else:
+                    ue[v].append(alpha_u * uc + dummy(k + 1))
+                    ud[v].append(alpha_t * uc + dummy(k + 2))
+                k += 3
+        iotas = [dummy(k + a) for a in range(dim)]
+        return self._accumulate(ue, ud, iotas, alpha_u, alpha_t, t,
+                                params, steady, dtype)
+
+    def _kernel(self, tiles, dtype, pvec_names, steady, res_idx,
+                jac_idx):
+        """Kernel writing ONLY the element-varying res/jac entries
+        (res_idx / jac_idx, from `_probe`); element-independent entries
+        never touch HBM — for constant-coefficient physics the entire
+        nd^2-per-element Jacobian write (and its re-read in every
+        Krylov matvec) vanishes, exactly like the reference database
+        path storing one element matrix for a uniform mesh."""
+        dim, n_var, nd = self.dim, self.n_var, self.nd
+        vars_, corners = self.vars, self.corners
         # DMA slab: majors +1, second-minor +8, minor +128
         slab = list(tiles)
         slab[-1] += 128
@@ -255,17 +441,19 @@ class FusedP1Assembly:
             slab[k] += 1
         slab = tuple(slab)
         tile_shape = tuple(tiles)
-        # input slots per variable: (u[, udot], grad_d). The steady
-        # specialization (trace-time-known alpha_u=1, alpha_t=0,
-        # beta=0) drops the udot lane family AND 2 of 3 DMA slabs.
-        n_in = n_var * ((1 if steady else 2) + dim)
 
         def kernel(scal_ref, *refs):
+            pos = 0
             if steady:
-                u_ref, res_ref, jac_ref = refs
+                u_ref = refs[0]
                 bu_ref = bt_ref = None
+                pos = 1
             else:
-                u_ref, bu_ref, bt_ref, res_ref, jac_ref = refs
+                u_ref, bu_ref, bt_ref = refs[:3]
+                pos = 3
+            res_ref = refs[pos] if res_idx else None
+            jac_ref = refs[pos + (1 if res_idx else 0)] if jac_idx \
+                else None
             pids = [pl.program_id(a) * tiles[a] for a in range(dim)]
 
             def inner(su, sbu, sbt, sem):
@@ -314,131 +502,22 @@ class FusedP1Assembly:
                      + pids[a]).astype(dtype)
                     for a in range(dim)]
 
-                # res/jac accumulate as None -> scalar -> tile: purely
-                # scalar contributions (constant-coefficient physics)
-                # never touch the VPU until the final broadcast store
-                res = [None] * nd
-                jac = [None] * (nd * nd)
+                res, jac = self._accumulate(ue, ud, iotas, alpha_u,
+                                            alpha_t, t, params, steady,
+                                            dtype)
 
-                def acc2(a, b):
-                    return b if a is None else a + b
-
-                for q in range(Q):
-                    coords = [origin[a] + iotas[a] * h_axes[a]
-                              + q_off[q, a] for a in range(dim)]
-                    uq, udq, gq = {}, {}, {}
-                    for v in vars_:
-                        uq[v] = sum(phi[c, q] * ue[v][c]
-                                    for c in range(nc))
-                        udq[v] = sum(phi[c, q] * ud[v][c]
-                                     for c in range(nc))
-                        gq[v] = [sum(grad[c, q, d] * ue[v][c]
-                                     for c in range(nc))
-                                 for d in range(dim)]
-
-                    # flatten qp state for linearization; steady drops
-                    # the udot slots (structurally zero)
-                    off_g = n_var * (1 if steady else 2)
-
-                    def unflat(z):
-                        u_ = {v: z[i] for i, v in enumerate(vars_)}
-                        if steady:
-                            ud_ = {v: 0.0 for v in vars_}
-                        else:
-                            ud_ = {v: z[n_var + i]
-                                   for i, v in enumerate(vars_)}
-                        g_ = {v: [z[off_g + i * dim + d]
-                                  for d in range(dim)]
-                              for i, v in enumerate(vars_)}
-                        return u_, ud_, g_
-
-                    z0 = ([uq[v] for v in vars_]
-                          + ([] if steady
-                             else [udq[v] for v in vars_])
-                          + [gq[v][d] for v in vars_
-                             for d in range(dim)])
-
-                    def f(z):
-                        u_, ud_, g_ = unflat(z)
-                        return self._density(u_, ud_, g_, coords, t,
-                                             params)
-
-                    # trace-time sparse forward AD: D[k][oi] is None
-                    # where structurally zero and may be a SCALAR for
-                    # constant coefficients (the SFad analog; see
-                    # ops/sparse_fwd.py). Falls back to dense
-                    # jax.linearize on unsupported primitives.
-                    try:
-                        from mrhyde_tpu.ops.sparse_fwd import (
-                            SparseFwdUnsupported, sparse_jacfwd)
-                        out0, D = sparse_jacfwd(f, z0)
-                    except SparseFwdUnsupported:
-                        out0, f_lin = jax.linearize(f, z0)
-                        one = jnp.ones(tile_shape, dtype)
-                        zero = jnp.zeros(tile_shape, dtype)
-                        D = []
-                        for k in range(n_in):
-                            tz = [one if i == k else zero
-                                  for i in range(n_in)]
-                            D.append(f_lin(tz))
-
-                    w = float(wts[q])
-                    # residual accumulation
-                    for vi, v in enumerate(vars_):
-                        Sv = out0[vi]
-                        Fv = [out0[n_var + vi * dim + d]
-                              for d in range(dim)]
-                        for c in range(nc):
-                            a = phi[c, q] * Sv
-                            for d in range(dim):
-                                a = a + grad[c, q, d] * Fv[d]
-                            res[vi * nc + c] = acc2(
-                                res[vi * nc + c], w * a)
-
-                    # T[o][w,c'] combos, then Jacobian accumulation;
-                    # None entries (structural zeros) skip their whole
-                    # multiply-accumulate chain at trace time
-                    for wi in range(n_var):
-                        for cp_ in range(nc):
-                            # combined tangent coefficient for column
-                            # (w, c'): du = au*phi, dud = at*phi,
-                            # dg_d = au*grad_d
-                            Tcol = [None] * (n_var * (1 + dim))
-                            pc = phi[cp_, q]
-                            for oi in range(n_var * (1 + dim)):
-                                a = None
-                                d1 = D[wi][oi]
-                                if d1 is not None:
-                                    a = acc2(a, alpha_u * pc * d1)
-                                if not steady:
-                                    d2 = D[n_var + wi][oi]
-                                    if d2 is not None:
-                                        a = acc2(a,
-                                                 alpha_t * pc * d2)
-                                for d in range(dim):
-                                    d3 = D[off_g + wi * dim + d][oi]
-                                    if d3 is not None:
-                                        a = acc2(
-                                            a, alpha_u
-                                            * grad[cp_, q, d] * d3)
-                                Tcol[oi] = a
-                            for vi in range(n_var):
-                                for c in range(nc):
-                                    a = None
-                                    if Tcol[vi] is not None:
-                                        a = acc2(a, phi[c, q]
-                                                 * Tcol[vi])
-                                    for d in range(dim):
-                                        tg = Tcol[n_var + vi * dim + d]
-                                        if tg is not None:
-                                            a = acc2(
-                                                a, grad[c, q, d] * tg)
-                                    if a is None:
-                                        continue
-                                    row = vi * nc + c
-                                    col = wi * nc + cp_
-                                    jac[row * nd + col] = acc2(
-                                        jac[row * nd + col], w * a)
+                # classification safety: the probe and the kernel run
+                # the same code, so an entry the probe called constant
+                # must not come back element-varying here (its probe
+                # value would silently be wrong for some elements)
+                for k in range(nd):
+                    if k not in res_idx and _is_varying(res[k]):
+                        raise AssertionError(
+                            f"res[{k}] probe/kernel class mismatch")
+                for k in range(nd * nd):
+                    if k not in jac_idx and _is_varying(jac[k]):
+                        raise AssertionError(
+                            f"jac[{k}] probe/kernel class mismatch")
 
                 def store(v):
                     if v is None:
@@ -446,10 +525,10 @@ class FusedP1Assembly:
                     return jnp.broadcast_to(
                         jnp.asarray(v, dtype), tile_shape)
 
-                for k in range(nd):
-                    res_ref[k] = store(res[k])
-                for k in range(nd * nd):
-                    jac_ref[k] = store(jac[k])
+                for pos_, k in enumerate(res_idx):
+                    res_ref[pos_] = store(res[k])
+                for pos_, k in enumerate(jac_idx):
+                    jac_ref[pos_] = store(jac[k])
 
             if steady:
                 pl.run_scoped(
@@ -521,76 +600,127 @@ class FusedP1Assembly:
 
         steady = _steady_check()
 
-        gu = grids(u)
+        # classify entries on tiny probe arrays: element-varying ones
+        # come from the kernel; element-independent ones (constant
+        # coefficients on the uniform mesh — the reference's database
+        # compression) take their exact probe value and NEVER touch HBM
+        pvec_scalars = {k: pvec[k] for k in names}
+        res_p, jac_p = self._probe(
+            1.0 if steady else tc.alpha_u,
+            0.0 if steady else tc.alpha_t,
+            tc.time, tc.deltat, pvec_scalars, steady, dtype)
         nd = self.nd
+        res_idx = tuple(k for k in range(nd) if _is_varying(res_p[k]))
+        jac_idx = tuple(k for k in range(nd * nd)
+                        if _is_varying(jac_p[k]))
+        res_pos = {k: i for i, k in enumerate(res_idx)}
+        jac_pos = {k: i for i, k in enumerate(jac_idx)}
+        # bench/diagnostic introspection (set at trace time)
+        self.stats = {"steady": steady, "n_res_rows": len(res_idx),
+                      "n_jac_rows": len(jac_idx)}
+
+        gu = grids(u)
         grid = tuple(k // t for k, t in zip(kdims, tiles))
 
         def omap(*pids):
             return (0,) + pids
 
-        res_spec = pl.BlockSpec((nd,) + tiles, omap)
-        jac_spec = pl.BlockSpec((nd * nd,) + tiles, omap)
-        out_shape = [jax.ShapeDtypeStruct((nd,) + kdims, dtype),
-                     jax.ShapeDtypeStruct((nd * nd,) + kdims, dtype)]
+        out_specs, out_shape = [], []
+        if res_idx:
+            out_specs.append(pl.BlockSpec((len(res_idx),) + tiles,
+                                          omap))
+            out_shape.append(
+                jax.ShapeDtypeStruct((len(res_idx),) + kdims, dtype))
+        if jac_idx:
+            out_specs.append(pl.BlockSpec((len(jac_idx),) + tiles,
+                                          omap))
+            out_shape.append(
+                jax.ShapeDtypeStruct((len(jac_idx),) + kdims, dtype))
+
         hbm = pl.BlockSpec(memory_space=pl.ANY)
-        if steady:
-            res_out, jac_out = pl.pallas_call(
-                self._kernel(tiles, dtype, names, steady=True),
-                grid=grid,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), hbm],
-                out_specs=[res_spec, jac_spec],
-                out_shape=out_shape,
-                interpret=interpret,
-            )(scal, gu)
-        else:
-            gbu, gbt = grids(tc.beta_u), grids(tc.beta_t)
-            res_out, jac_out = pl.pallas_call(
-                self._kernel(tiles, dtype, names),
-                grid=grid,
-                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                          hbm, hbm, hbm],
-                out_specs=[res_spec, jac_spec],
-                out_shape=out_shape,
-                interpret=interpret,
-            )(scal, gu, gbu, gbt)
+        outs = ()
+        if out_shape:
+            kern = self._kernel(tiles, dtype, names, steady, res_idx,
+                                jac_idx)
+            if steady:
+                outs = pl.pallas_call(
+                    kern, grid=grid,
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                              hbm],
+                    out_specs=out_specs, out_shape=out_shape,
+                    interpret=interpret,
+                )(scal, gu)
+            else:
+                gbu, gbt = grids(tc.beta_u), grids(tc.beta_t)
+                outs = pl.pallas_call(
+                    kern, grid=grid,
+                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                              hbm, hbm, hbm],
+                    out_specs=out_specs, out_shape=out_shape,
+                    interpret=interpret,
+                )(scal, gu, gbu, gbt)
+            if not isinstance(outs, (tuple, list)):
+                outs = (outs,)
 
         # discard the tile-rounding pad elements
         real = tuple(slice(0, d) for d in dims)
-        res_out = res_out[(slice(None),) + real]
-        jac_out = jac_out[(slice(None),) + real]
+        res_out = outs[0][(slice(None),) + real] if res_idx else None
+        jac_out = outs[1 if res_idx else 0][(slice(None),) + real] \
+            if jac_idx else None
 
-        # node scatter: one pad-add per (var, corner)
+        # node scatter: one pad-add per (var, corner); constant
+        # residual parts broadcast at the add (fused by XLA)
         r = jnp.zeros(asm.n_dof, dtype=dtype)
         for vi, v in enumerate(self.vars):
             acc = jnp.zeros(grid_nodes, dtype=dtype)
             for c, off in enumerate(self.corners):
+                k = vi * self.nc + c
                 sl = tuple(slice(o, o + d) for o, d in zip(off, dims))
-                acc = acc.at[sl].add(res_out[vi * self.nc + c])
+                if k in res_pos:
+                    acc = acc.at[sl].add(res_out[res_pos[k]])
+                elif res_p[k] is not None:
+                    acc = acc.at[sl].add(jnp.broadcast_to(
+                        jnp.asarray(res_p[k], dtype), dims))
             st = self.starts[v]
             r = r.at[st:st + ng].set(acc.ravel())
         r = jnp.where(asm.fixed, 0.0, r)
-        return r, jac_out
+
+        # Jacobian rows: list of nd*nd entries, each None (structural
+        # zero), a 0-d scalar (element-independent), or (E,)
+        E = int(np.prod(dims))
+        rows = []
+        for k in range(nd * nd):
+            if k in jac_pos:
+                rows.append(jac_out[jac_pos[k]].reshape(E))
+            elif jac_p[k] is None:
+                rows.append(None)
+            else:
+                rows.append(jnp.asarray(jac_p[k], dtype))
+        return r, rows
 
     def res_jac_blocks(self, u, tc, pvec=None, interpret=False):
         """(residual, jac blocks (E, nd, nd)) — AoS layout for the
-        BlockJacobian contract. NOTE: rows/cols are in fused corner
-        order (var-major, corners in structured-plan order), which
-        matches the assembler's lids/offsets layout."""
-        r, jac = self.res_jac(u, tc, pvec, interpret=interpret)
+        BlockJacobian contract, materializing constant rows. NOTE:
+        rows/cols are in fused corner order (var-major, corners in
+        structured-plan order), which matches the assembler's
+        lids/offsets layout."""
+        r, rows = self.res_jac(u, tc, pvec, interpret=interpret)
         E = int(np.prod(self.dims))
         nd = self.nd
-        return r, jnp.moveaxis(jac.reshape(nd * nd, E), 0, 1) \
-            .reshape(E, nd, nd)
+        dense = jnp.stack([
+            jnp.zeros(E, dtype=r.dtype) if rr is None
+            else jnp.broadcast_to(jnp.asarray(rr, r.dtype), (E,))
+            for rr in rows])
+        return r, jnp.moveaxis(dense, 0, 1).reshape(E, nd, nd)
 
     def jacobian(self, u, tc, pvec=None, interpret=False):
         from mrhyde_tpu.assembly.assembler import BlockJacobian
-        r, jac = self.res_jac(u, tc, pvec, interpret=interpret)
-        # hand the kernel's SoA layout straight to BlockJacobian — the
-        # apply/diag hot paths consume it as-is; skipping the AoS
-        # transpose saves a 2x jac-sized HBM round trip per assembly
-        E = int(np.prod(self.dims))
+        r, rows = self.res_jac(u, tc, pvec, interpret=interpret)
+        # hand the kernel's row layout straight to BlockJacobian — the
+        # apply/diag hot paths consume it per row (scalar rows cost no
+        # HBM traffic at all; varying rows skip the AoS transpose,
+        # saving a 2x jac-sized HBM round trip per assembly)
         return r, BlockJacobian(vol=None, vol_lids=self.asm.lids,
                                 bnd=[], bnd_lids=[],
                                 fixed=self.asm.fixed, inc=self.asm.inc,
-                                vol_soa=jac.reshape(self.nd * self.nd,
-                                                    E))
+                                vol_soa=rows)

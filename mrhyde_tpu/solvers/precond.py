@@ -43,11 +43,17 @@ def _gershgorin_lmax(J, dinv):
     (Power iteration UNDER-estimates on clustered spectra and makes
     Chebyshev divergent on the top modes; a guaranteed bound only costs
     a slightly smaller effective degree.)"""
-    if J.vol is None:                        # SoA fused-kernel layout
+    if J.vol is None:                        # row-list fused layout
         nd = J.vol_lids.shape[1]
-        row_e = jnp.stack(
-            [sum(jnp.abs(J.vol_soa[i * nd + j]) for j in range(nd))
-             for i in range(nd)], axis=1)
+        E = J.vol_lids.shape[0]
+        dt = J._soa_dtype()
+        rows_e = []
+        for i in range(nd):
+            terms = [jnp.abs(J.vol_soa[i * nd + j]) for j in range(nd)
+                     if J.vol_soa[i * nd + j] is not None]
+            s = sum(terms) if terms else 0.0
+            rows_e.append(jnp.broadcast_to(jnp.asarray(s, dt), (E,)))
+        row_e = jnp.stack(rows_e, axis=1)
     else:
         row_e = jnp.abs(J.vol).sum(axis=2)
     rows = jax.ops.segment_sum(

@@ -144,3 +144,43 @@ def test_cdr_matches_general():
     })
     tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
     _compare(p, tc)
+
+
+def test_fused_composes_with_boundary_groups():
+    """Active boundary groups (a Neumann flux here) no longer
+    disqualify the fused volume kernel: Assembler.res_and_jac attaches
+    the general-path boundary contributions to the fused result and
+    must match the fully-general residual/jacobian."""
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 5, "NY": 4},
+        "Functions": {"thermal source": "sin(pi*x)*y",
+                      "thermal diffusion": "1.0 + 0.5*x"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "e": {"left": 0.0, "bottom": 0.0}},
+                    "Neumann conditions": {
+                        "e": {"right": "2.0 + y", "top": "x"}}},
+        "Discretization": {"order": {"e": 1}, "quadrature": 2},
+        "Solver": {"solver": "steady-state"},
+    })
+    asm = p.assembler
+    assert asm._active_bnd_groups(), "deck must exercise boundary asm"
+    fk = FusedP1Assembly.build(asm)
+    assert fk is not None
+    asm.__dict__["_fused_cache"] = (fk, True)     # force interpret mode
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    rng = np.random.RandomState(3)
+    u = jnp.asarray(rng.randn(p.n_dof) * 0.3)
+    r_f, J_f = asm.res_and_jac(u, tc, None)
+    assert asm.fused_active and J_f.vol is None and J_f.bnd
+    r_ref = asm.residual(u, tc, None)
+    J_ref = asm.jacobian(u, tc, None)
+    assert float(jnp.max(jnp.abs(r_f - r_ref))) < 1e-11
+    v = jnp.asarray(rng.randn(p.n_dof))
+    assert float(jnp.max(jnp.abs(J_f.apply(v) - J_ref.apply(v)))) \
+        < 1e-10
+    assert float(jnp.max(jnp.abs(J_f.diag() - J_ref.diag()))) < 1e-11
+    av = asm.matfree_apply_fn(J_f)(v)
+    assert float(jnp.max(jnp.abs(av - J_ref.apply(v)))) < 1e-10
