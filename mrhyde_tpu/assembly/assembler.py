@@ -556,11 +556,17 @@ class Assembler:
                 out = out.at[start:start + E].add(vals[:, col])
                 col += 1
                 continue
-            acc = jnp.zeros(grid, dtype=vals.dtype)
+            # pad+sum, NOT a chain of .at[slice].add: the sequential
+            # dynamic-update-slices defeat XLA fusion (each pays a full
+            # acc read+write pass — measured 24.5 us of a 52 us 512^2
+            # assembly); the padded adds fuse into ONE pass
+            acc = None
             for c in corners:
-                sl = tuple(slice(c[d], c[d] + dims[d])
-                           for d in range(len(dims)))
-                acc = acc.at[sl].add(vals[:, col].reshape(dims))
+                part = jnp.pad(
+                    vals[:, col].reshape(dims),
+                    [(c[d], grid[d] - dims[d] - c[d])
+                     for d in range(len(dims))])
+                acc = part if acc is None else acc + part
                 col += 1
             out = out.at[start:start + int(np.prod(grid))].add(acc.ravel())
         return out
