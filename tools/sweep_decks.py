@@ -176,17 +176,21 @@ def _alarm(_sig, _frm):
 
 
 def _code_key():
-    """Cache key for the current code state: HEAD sha + a hash of the
-    working-tree diff, so any edit (committed or not) busts the cache."""
+    """Cache key for the current code state: the committed tree shas of
+    the directories the sweep actually executes (NOT the HEAD commit
+    sha — doc-only commits must not bust a multi-hour sweep cache) plus
+    a hash of any uncommitted diff to those paths."""
     import hashlib
     import subprocess
     try:
-        head = subprocess.run(["git", "rev-parse", "HEAD"], cwd=_ROOT,
-                              capture_output=True, text=True).stdout.strip()
-        diff = subprocess.run(["git", "diff", "HEAD", "--", "mrhyde_tpu",
-                               "native", "tools", "tests/gold_utils.py"],
+        paths = ["mrhyde_tpu", "native", "tools", "tests/gold_utils.py"]
+        trees = [subprocess.run(["git", "rev-parse", f"HEAD:{p}"],
+                                cwd=_ROOT, capture_output=True,
+                                text=True).stdout.strip() for p in paths]
+        diff = subprocess.run(["git", "diff", "HEAD", "--", *paths],
                               cwd=_ROOT, capture_output=True).stdout
-        return head + "+" + hashlib.sha256(diff).hexdigest()[:12]
+        return ("+".join(t[:12] for t in trees) + "+"
+                + hashlib.sha256(diff).hexdigest()[:12])
     except Exception:  # noqa: BLE001
         return "unknown"
 
