@@ -183,7 +183,11 @@ def _code_key():
     import hashlib
     import subprocess
     try:
-        paths = ["mrhyde_tpu", "native", "tools", "tests/gold_utils.py"]
+        # NOT the tools/ directory: the results file itself lives there
+        # and is tracked, so keying on it would self-invalidate the
+        # cache after every incremental save.
+        paths = ["mrhyde_tpu", "native", "tools/sweep_decks.py",
+                 "tests/gold_utils.py"]
         trees = [subprocess.run(["git", "rev-parse", f"HEAD:{p}"],
                                 cwd=_ROOT, capture_output=True,
                                 text=True).stdout.strip() for p in paths]
