@@ -181,9 +181,14 @@ def assembly_bench():
             # assembly cost). Constant-elided rows (scalars) and
             # structural zeros (None) have nothing to thread.
             if J.vol is None:
-                extra = sum(rr[0] for rr in J.vol_soa
-                            if rr is not None
-                            and getattr(rr, "ndim", 0) >= 1)
+                # jnp.asarray keeps the anchor dtype-stable even when
+                # every jac row is constant (extra == 0 int); the
+                # residual term anchors the kernel in that case.
+                extra = jnp.asarray(
+                    sum(rr[0] for rr in J.vol_soa
+                        if rr is not None
+                        and getattr(rr, "ndim", 0) >= 1),
+                    dtype=u.dtype)
             else:
                 extra = J.vol.ravel()[0]
             u = u + 1e-12 * r + 0.0 * extra

@@ -97,8 +97,11 @@ class BlockJacobian:
         return self.vol_lids.shape[0]
 
     def _soa_dtype(self):
+        # Rows are always jnp arrays carrying a dtype (0-d scalars
+        # included — a fully constant-coefficient Jacobian must not
+        # fall back to float32 under x64).
         for r in self.vol_soa:
-            if r is not None and getattr(r, "ndim", 0) >= 1:
+            if r is not None and hasattr(r, "dtype"):
                 return r.dtype
         return jnp.zeros(0).dtype
 

@@ -385,7 +385,7 @@ class FusedP1Assembly:
         return res, jac
 
     def _probe(self, alpha_u, alpha_t, t, deltat, pvec_scalars, steady,
-               dtype):
+               dtype, salt=0.0):
         """Classify res/jac entries by running `_accumulate` on tiny
         (2,)-shaped stand-ins for every element-varying input (corner
         values, beta grids, element-index iotas). An entry that comes
@@ -402,7 +402,10 @@ class FusedP1Assembly:
 
         def dummy(seed):
             # arbitrary distinct values; only the array-ness matters
-            return jnp.asarray([0.37 + 0.11 * seed, 0.81 + 0.07 * seed],
+            # (`salt` shifts them so a second probe can cross-check the
+            # classification — see the double-probe at the call site)
+            return jnp.asarray([0.37 + 0.11 * seed + salt,
+                                0.81 + 0.07 * seed + salt],
                                dtype=dtype)
 
         ue, ud = {}, {}
@@ -613,6 +616,45 @@ class FusedP1Assembly:
         res_idx = tuple(k for k in range(nd) if _is_varying(res_p[k]))
         jac_idx = tuple(k for k in range(nd * nd)
                         if _is_varying(jac_p[k]))
+        # Double-probe cross-check (runs even when no pallas_call is
+        # emitted, unlike the in-kernel assertion): a second probe with
+        # shifted dummy values must classify identically, and entries
+        # classified element-independent must not change value with the
+        # dummy data — a shape-collapsing op in a qp density (e.g. a
+        # reduction to 0-d) would otherwise bake a wrong constant.
+        res_p2, jac_p2 = self._probe(
+            1.0 if steady else tc.alpha_u,
+            0.0 if steady else tc.alpha_t,
+            tc.time, tc.deltat, pvec_scalars, steady, dtype, salt=0.293)
+        res_idx2 = tuple(k for k in range(nd) if _is_varying(res_p2[k]))
+        jac_idx2 = tuple(k for k in range(nd * nd)
+                         if _is_varying(jac_p2[k]))
+        if res_idx2 != res_idx or jac_idx2 != jac_idx:
+            raise AssertionError(
+                "fused-path probe classification depends on dummy "
+                "values — qp densities must be pointwise in element "
+                f"data (res {res_idx} vs {res_idx2}; "
+                f"jac {jac_idx} vs {jac_idx2})")
+
+        def _const_drifts(a, b):
+            try:  # concrete (non-tracer) values only
+                return abs(float(a) - float(b)) > 1e-6 * (
+                    1.0 + abs(float(a)))
+            except (TypeError, jax.errors.TracerArrayConversionError):
+                return False
+
+        for k in range(nd):
+            if k not in res_idx and _const_drifts(res_p[k], res_p2[k]):
+                raise AssertionError(
+                    f"res[{k}] classified constant but its probe value "
+                    "depends on element data (shape-collapsing qp "
+                    "density?)")
+        for k in range(nd * nd):
+            if k not in jac_idx and _const_drifts(jac_p[k], jac_p2[k]):
+                raise AssertionError(
+                    f"jac[{k}] classified constant but its probe value "
+                    "depends on element data (shape-collapsing qp "
+                    "density?)")
         res_pos = {k: i for i, k in enumerate(res_idx)}
         jac_pos = {k: i for i, k in enumerate(jac_idx)}
         # bench/diagnostic introspection (set at trace time)

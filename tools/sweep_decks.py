@@ -185,12 +185,18 @@ def _code_key():
     try:
         # NOT the tools/ directory: the results file itself lives there
         # and is tracked, so keying on it would self-invalidate the
-        # cache after every incremental save.
+        # cache after every incremental save. NOTE: any NEW helper
+        # module under tools/ that this sweep imports must be added to
+        # this list, or edits to it won't invalidate the cache.
         paths = ["mrhyde_tpu", "native", "tools/sweep_decks.py",
                  "tests/gold_utils.py"]
-        trees = [subprocess.run(["git", "rev-parse", f"HEAD:{p}"],
-                                cwd=_ROOT, capture_output=True,
-                                text=True).stdout.strip() for p in paths]
+        trees = []
+        for p in paths:
+            r = subprocess.run(["git", "rev-parse", f"HEAD:{p}"],
+                               cwd=_ROOT, capture_output=True, text=True)
+            if r.returncode != 0 or not r.stdout.strip():
+                return "unknown"
+            trees.append(r.stdout.strip())
         diff = subprocess.run(["git", "diff", "HEAD", "--", *paths],
                               cwd=_ROOT, capture_output=True).stdout
         return ("+".join(t[:12] for t in trees) + "+"
@@ -214,7 +220,9 @@ def main():
     results = {}
     if os.path.exists(out_path):
         cached = json.load(open(out_path))
-        if cached.get("_code_key") == key:
+        # "unknown" keys (rev-parse failure) never match: two unknown
+        # states are not known to be the same state.
+        if cached.get("_code_key") == key and key != "unknown":
             results = cached
         else:
             print(f"cache stale (code changed); re-running all decks",
