@@ -130,31 +130,23 @@ def ns_solve_bench():
     }))
 
 
-def assembly_bench():
+def _assembly_measure(cfg, u_init=None):
+    """Measure the production res_and_jac on one deck config.
+    Returns (dt_seconds, asm, problem)."""
     import jax
     import jax.numpy as jnp
 
-    nx = int(os.environ.get("BENCH_NX", "512"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
     from mrhyde_tpu.assembly.assembler import TimeCoeffs
     from mrhyde_tpu.problem import Problem
 
-    cfg = {
-        "Mesh": {"dimension": 2, "element type": "quad",
-                 "NX": nx, "NY": nx},
-        "Functions": {
-            "thermal source": "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"},
-        "Physics": {"modules": "thermal",
-                    "Dirichlet conditions": {"e": {"all boundaries": 0.0}}},
-        "Discretization": {"order": {"e": 1}, "quadrature": 2},
-        "Solver": {"solver": "steady-state"},
-    }
     p = Problem(cfg)
     asm = p.assembler
     dtype = jnp.zeros(0).dtype
     tc = TimeCoeffs.steady(p.n_dof, dtype=dtype)
-    u = jnp.zeros(p.n_dof, dtype=dtype)
+    u = jnp.zeros(p.n_dof, dtype=dtype) if u_init is None \
+        else jnp.asarray(u_init, dtype=dtype)
 
     inner = int(os.environ.get("BENCH_INNER", "100"))
 
@@ -218,19 +210,26 @@ def assembly_bench():
     if t2 <= t1:                      # residual spike: one remeasure
         t1, t2 = timed(L1), timed(L2)
     dt = max(t2 - t1, 1e-9) / (L2 - L1)
+    return dt, asm, p
+
+
+def _assembly_stats(asm, p, dt):
+    """(gdofs, roofline_frac, stats) for one measured assembly.
+
+    HBM roofline against the ACTUAL representation the kernel emits:
+    input node grids (u only — the steady specialization drops the
+    beta slabs) + the element-VARYING residual/Jacobian rows
+    (element-independent rows are elided entirely: constant
+    coefficients on the uniform mesh, the reference's database
+    compression, so they cost no HBM traffic), at itemsize bytes,
+    against the v5e HBM bandwidth (~819 GB/s). roofline_frac =
+    floor_time / measured_time (1.0 = memory-bound speed of light).
+    """
+    import jax.numpy as jnp
 
     n_elem = asm.lids.shape[0]
     nd = asm.lids.shape[1]
     gdofs = n_elem * nd / dt / 1e9
-
-    # HBM roofline against the ACTUAL representation the kernel emits:
-    # input node grids (u only — the steady specialization drops the
-    # beta slabs) + the element-VARYING residual/Jacobian rows
-    # (element-independent rows are elided entirely: constant
-    # coefficients on the uniform mesh, the reference's database
-    # compression, so they cost no HBM traffic), at itemsize bytes,
-    # against the v5e HBM bandwidth (~819 GB/s). roofline_frac =
-    # floor_time / measured_time (1.0 = memory-bound speed of light).
     fused = asm.__dict__.get("_fused_cache", (None,))[0]
     stats = getattr(fused, "stats", None)
     if stats is not None:
@@ -240,17 +239,68 @@ def assembly_bench():
         n_out_rows = nd + nd * nd
         n_in_grids = 1
     itemsize = jnp.zeros(0).dtype.itemsize
-    bytes_per = (n_in_grids * p.n_dof + n_out_rows * n_elem) * itemsize
+    bytes_per = (n_in_grids * asm.n_dof
+                 + n_out_rows * n_elem) * itemsize
     hbm_bw = float(os.environ.get("BENCH_HBM_GBS", "819")) * 1e9
     floor = bytes_per / hbm_bw
+    return gdofs, floor / dt, stats, nd
+
+
+def assembly_bench():
+    nx = int(os.environ.get("BENCH_NX", "512"))
+
+    def mesh_phys(kappa, source):
+        return {
+            "Mesh": {"dimension": 2, "element type": "quad",
+                     "NX": nx, "NY": nx},
+            "Functions": {"thermal source": source,
+                          "thermal diffusion": kappa},
+            "Physics": {"modules": "thermal",
+                        "Dirichlet conditions": {
+                            "e": {"all boundaries": 0.0}}},
+            "Discretization": {"order": {"e": 1}, "quadrature": 2},
+            "Solver": {"solver": "steady-state"},
+        }
+
+    # 1) VARYING-JACOBIAN case: nonlinear conductivity 1 + u^2 makes
+    # every element-Jacobian entry depend on the state, so the kernel
+    # writes the full Jacobian rows — the honest "element-Jacobian
+    # assembly" number (reference: every assembleJacRes call in a
+    # nonlinear solve, assemblyManager.cpp:2356-2510). Measured at a
+    # nonconstant state (zeros would re-constant-fold the rows).
+    import numpy as np
+    rng = np.random.RandomState(7)
+    n_nodes = (nx + 1) * (nx + 1)
+    u_init = 0.5 + 0.1 * rng.rand(n_nodes)
+    dt_v, asm_v, p_v = _assembly_measure(
+        mesh_phys("1.0 + e*e", "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"),
+        u_init=u_init)
+    g_v, roof_v, stats_v, nd = _assembly_stats(asm_v, p_v, dt_v)
+    print(json.dumps({
+        "metric": "element_jacobian_assembly_varying",
+        "value": round(g_v, 4),
+        "unit": "GDOF/s",
+        "vs_baseline": round(g_v / 1.0, 4),
+        "roofline_frac": round(roof_v, 3),
+        "jac_rows_varying": None if stats_v is None
+        else [stats_v["n_jac_rows"], nd * nd],
+    }))
+
+    # 2) HEADLINE: constant-coefficient steady thermal — the database-
+    # compressed best case (all Jacobian rows elide to scalars)
+    dt, asm, p = _assembly_measure(
+        mesh_phys("1.0", "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"))
+    gdofs, roof, stats, nd = _assembly_stats(asm, p, dt)
     print(json.dumps({
         "metric": "element_jacobian_assembly",
         "value": round(gdofs, 4),
         "unit": "GDOF/s",
         "vs_baseline": round(gdofs / 1.0, 4),
-        "roofline_frac": round(floor / dt, 3),
+        "roofline_frac": round(roof, 3),
         "jac_rows_varying": None if stats is None
         else [stats["n_jac_rows"], nd * nd],
+        "varying_gdofs": round(g_v, 4),
+        "varying_roofline_frac": round(roof_v, 3),
     }))
 
 

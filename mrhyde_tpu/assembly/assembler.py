@@ -21,7 +21,7 @@ assemblyManager.cpp:3963, updateJacDBC).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import dataclass, field, replace
 from functools import partial
 
 import jax
@@ -48,6 +48,12 @@ class TimeCoeffs:
     beta_t: jax.Array
     time: jax.Array
     deltat: jax.Array
+    # STATIC steadiness marker: under jit every field above is a
+    # tracer, so "alpha_u == 1 and beta == 0" cannot be checked at
+    # trace time — without this flag the fused kernel would always
+    # build its transient variant (3 DMA slabs instead of 1)
+    is_steady: bool = field(default=False,
+                            metadata=dict(static=True))
 
     @staticmethod
     def steady(n_dof, time=0.0, dtype=jnp.float64):
@@ -55,7 +61,7 @@ class TimeCoeffs:
         one = jnp.asarray(1.0, dtype=dtype)
         zero = jnp.asarray(0.0, dtype=dtype)
         return TimeCoeffs(one, z, zero, z, jnp.asarray(time, dtype=dtype),
-                          one)
+                          one, is_steady=True)
 
 
 @jax.tree_util.register_dataclass
@@ -328,7 +334,7 @@ class Assembler:
     """Owns the volume + boundary element kernels for one block."""
 
     def __init__(self, disc: Discretization, modules, fm, params=None,
-                 fixed_dofs=None, dtype=None):
+                 fixed_dofs=None, dtype=None, assemble_face_terms=None):
         self.disc = disc
         self.modules = modules
         self.fm = fm
@@ -383,8 +389,21 @@ class Assembler:
                      "vec": tbl(disc.vec_vals),
                      "div": tbl(disc.div_vals),
                      "curl": tbl(disc.curl_vals)}
+        # modules overriding face_residual get the per-side face loop
+        # inside the SAME vmapped element kernel (the TPU-native
+        # collapse of the reference's 'assemble face terms' per-side
+        # workset sweep, assemblyManager.cpp:2414-2425)
+        from mrhyde_tpu.physics.base import PhysicsModule as _PB
+        self.face_modules = [
+            m for m in modules
+            if type(m).face_residual is not _PB.face_residual]
+        if assemble_face_terms is not None:
+            self.assemble_face_terms = bool(assemble_face_terms)
+        else:
+            self.assemble_face_terms = bool(self.face_modules)
         needs_faces = any(k[0] in ("HFACE", "HDIV-DG", "HDIV_AC-DG")
-                          for k in disc.basis_keys.values())
+                          for k in disc.basis_keys.values()) \
+            or self.assemble_face_terms
         if needs_faces:
             fb = {"fwts": disc.face_wts_all,
                   "fnorm": disc.face_normals_all}
@@ -401,6 +420,15 @@ class Assembler:
                 take0(disc.face_normals_all), dtype=dt)
             self.g_bg["fvec"] = {k: jnp.asarray(take0(v), dtype=dt)
                                  for k, v in disc.face_vec_all.items()}
+            # scalar face tables are element-independent; broadcast an
+            # element axis only when the bundle dict rides a vmap axis
+            fsc = {}
+            for k, v in disc.face_scal_all.items():
+                if not self.uniform:
+                    v = np.broadcast_to(
+                        v, (disc.mesh.n_elem,) + v.shape)
+                fsc[k] = jnp.asarray(v, dtype=dt)
+            self.g_bg["fscal"] = fsc
             # HFACE trace basis at side qps: uniform (flips are folded
             # into the dof numbering); broadcast in the non-uniform case
             hkeys = [k for k in set(disc.basis_keys.values())
@@ -601,6 +629,7 @@ class Assembler:
             face_wts=bg_slices.get("fwts"),
             face_normals=bg_slices.get("fnorm"),
             face_vecs=bg_slices.get("fvec"),
+            face_scals=bg_slices.get("fscal"),
             hface_vals=bg_slices.get("hface"),
             offsets=self.disc.offsets, var_keys=self.disc.basis_keys,
             u_eval=u_eval, u_dot=u_dot, time=time, fm=self.fm,
@@ -628,10 +657,16 @@ class Assembler:
             if bm is None:
                 for m in self.modules:
                     m.volume_residual(wk)
+                    if self.assemble_face_terms \
+                            and m in self.face_modules:
+                        m.face_residual(wk)
             else:
                 prev = wk.res
                 for k, m in enumerate(self.modules):
                     m.volume_residual(wk)
+                    if self.assemble_face_terms \
+                            and m in self.face_modules:
+                        m.face_residual(wk)
                     wk._res = prev + bm[k] * (wk.res - prev)
                     prev = wk._res
         return wk.res

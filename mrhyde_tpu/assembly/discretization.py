@@ -225,6 +225,20 @@ class Discretization:
                     [self.face_basis_vals[s][key]
                      for s in range(self.topo.n_side)], axis=1)
                 # (E, n_sides, nd, Qf, dim)
+        # scalar basis values at every side's quadrature points —
+        # element-INDEPENDENT (reference-element evaluation), used by
+        # DG/HDG face terms to read broken state traces inside the
+        # volume kernel (reference: the 'assemble face terms' side
+        # worksets, assemblyManager.cpp:2414-2425)
+        self.face_scal_all = {}
+        for key in unique_keys:
+            if key[0] in ("HDIV", "HDIV-DG", "HCURL", "HDIV_AC",
+                          "HDIV_AC-DG", "HFACE"):
+                continue
+            self.face_scal_all[key] = np.stack(
+                [self.face_basis_vals[s][key]
+                 for s in range(self.topo.n_side)], axis=0)
+            # (n_sides, nd, Qf)
 
         # boundary groups per sideset, split by local side
         self.boundary_groups: list[BoundaryGroup] = []

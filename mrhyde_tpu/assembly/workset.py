@@ -27,7 +27,7 @@ class Workset:
                  extra_fields=None, dtype=None, deltat=1.0,
                  is_transient=False, basis_vecs=None, basis_divs=None,
                  basis_curls=None, face_wts=None, face_normals=None,
-                 face_vecs=None, hface_vals=None):
+                 face_vecs=None, face_scals=None, hface_vals=None):
         self.dim = dim
         self.deltat = deltat
         self.is_transient = is_transient
@@ -37,6 +37,7 @@ class Workset:
         self.face_wts = face_wts            # (n_sides, Qf)
         self.face_normals = face_normals    # (n_sides, Qf, dim)
         self._fvec = face_vecs or {}        # key -> (n_sides, nd, Qf, dim)
+        self._fscal = face_scals or {}      # key -> (n_sides, nd, Qf)
         self._hface = hface_vals or {}      # key -> (npe, Qf) trace basis
         self.wts = wts                      # (Q,)
         self.ip = ip                        # (Q, dim)
@@ -239,6 +240,24 @@ class Workset:
         npe = tbl.shape[0]
         dofs = self.u[st + side * npe: st + (side + 1) * npe]
         return jnp.einsum("k,kq->q", dofs, tbl)
+
+    def face_sol(self, var, side):
+        """Scalar (HGRAD/HGRAD-DG/HVOL) solution at side quadrature
+        points, (Qf,) — the broken-state trace DG/HDG face terms read
+        (reference: side workset solution fields in faceResidual,
+        assemblyManager.cpp:2414-2425)."""
+        st, nd = self.offsets[var]
+        tbl = self._fscal[self._var_keys[var]][side]   # (nd, Qf)
+        return jnp.einsum("i,iq->q", self.u[st:st + nd], tbl)
+
+    def add_face_source(self, var, side, svals):
+        """res_i += sum_q s(q) phi_i(q) w_f(q) on one side, for a
+        scalar variable (the DG/HDG numerical-flux face term)."""
+        st, nd = self.offsets[var]
+        tbl = self._fscal[self._var_keys[var]][side]
+        contrib = jnp.einsum("iq,q->i", tbl,
+                             svals * self.face_wts[side])
+        self._res = self._res.at[st:st + nd].add(contrib)
 
     def face_sol_vec(self, var, side):
         """HDIV(-DG) solution at side quadrature points, (Qf, dim)."""

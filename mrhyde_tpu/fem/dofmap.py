@@ -450,6 +450,18 @@ def _build_vector_var(mesh: Mesh, name: str, basis) -> VarDofMap:
                      mix_pair=mix_pair, mix_w=mix_w)
 
 
+def _build_hface1d_var(mesh: Mesh, name: str, basis) -> VarDofMap:
+    """1D HFACE: one trace dof per mesh VERTEX (facets of line cells),
+    shared between the two adjacent elements. eldofs[:, s] is the
+    global node id of local side s."""
+    if getattr(mesh, "periodic_maps", None):
+        raise NotImplementedError("periodic 1D meshes with HFACE traces")
+    n_dof = mesh.nodes.shape[0]
+    eldofs = mesh.conn[:, :2].astype(np.int64).copy()
+    return VarDofMap(name, basis, n_dof, eldofs,
+                     mesh.nodes.astype(float).copy())
+
+
 def _build_hface_var(mesh: Mesh, name: str, basis) -> VarDofMap:
     """HFACE order >= 1 (2D): (order+1) dofs per mesh edge, numbered
     low-corner -> high-corner in global node order; elements whose
@@ -636,7 +648,9 @@ def build_dofmap(mesh: Mesh, variables: list[tuple[str, str, int]]) -> DofMap:
             vbasis = get_vector_basis(mesh.cell_type, space,
                                       max(order, 0))
             topo3d = cell_topology(mesh.cell_type).dim == 3
-            if vbasis.order >= 1 and topo3d:
+            if cell_topology(mesh.cell_type).dim == 1:
+                vars_.append(_build_hface1d_var(mesh, name, vbasis))
+            elif vbasis.order >= 1 and topo3d:
                 vars_.append(_build_hface3d_var(mesh, name, vbasis))
             elif vbasis.order >= 1:
                 vars_.append(_build_hface_var(mesh, name, vbasis))

@@ -400,6 +400,12 @@ def get_vector_basis(cell: str, space: str, order: int = 1) -> VectorBasis:
         # bases, src/tools/Intrepid2_HFACE_*.hpp): per-facet line
         # polynomials of degree `order`; order 0 = facet constants.
         # Each facet's dofs are independent (discontinuous at corners).
+        if topo.dim == 1:
+            # 1D facets are vertices: one trace dof per side regardless
+            # of the requested order (a point value is a constant)
+            ents = tuple(("face", i) for i in range(len(topo.sides)))
+            return VectorBasis(cell=cell, space="HFACE", order=0,
+                               ndof=len(ents), dof_entity=ents)
         if topo.dim == 2:
             npe = order + 1
             ents = tuple(("edge", i)

@@ -162,6 +162,10 @@ class FusedP1Assembly:
             return None
         if not all(hasattr(m, "qp_density") for m in asm.modules):
             return None
+        # DG/HDG face terms assemble on the general path
+        if getattr(asm, "assemble_face_terms", False) \
+                and getattr(asm, "face_modules", None):
+            return None
         # active boundary groups do NOT disqualify: their additive
         # contributions ride the general vmapped path and are attached
         # to the fused volume result in Assembler.res_and_jac
@@ -592,6 +596,11 @@ class FusedP1Assembly:
         # equal the steady() values, specialize the kernel — the udot
         # lane family and 2 of 3 input DMA slabs vanish entirely
         def _steady_check():
+            # the static marker survives jit (TimeCoeffs.is_steady is
+            # aux data); the dynamic check only works on concrete
+            # (eager) coefficients
+            if getattr(tc, "is_steady", False):
+                return True
             try:
                 # float()/bool() raise on tracers -> not specializable
                 return (float(tc.alpha_t) == 0.0

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from mrhyde_tpu.physics.base import PhysicsModule
 from mrhyde_tpu.physics.euler import Euler
 from mrhyde_tpu.physics.registry import register
 
@@ -21,11 +22,71 @@ __all__ = ["CNS"]
 @register("cns")
 class CNS(Euler):
     name = "cns"
+    # viscous dissipation stabilizes the CG form: no Peraire interface
+    # stabilization / trace variables needed (the Euler base is HDG)
+    requires_stab = False
 
     def __init__(self, settings=None, dim: int = 2):
         super().__init__(settings, dim)
         self.mu = float(self.settings.get("mu", 1e-3))
         self.Pr = float(self.settings.get("PrNum", 0.7))
+
+    def variables(self):
+        out = [("rho", "HGRAD", 1), ("rhoux", "HGRAD", 1)]
+        if self.dim > 1:
+            out.append(("rhouy", "HGRAD", 1))
+        if self.dim > 2:
+            out.append(("rhouz", "HGRAD", 1))
+        out.append(("rhoE", "HGRAD", 1))
+        return out
+
+    def augment_initial_conditions(self, ics):
+        pass                                # no trace variables
+
+    # CG: no interface fluxes — restore the base no-op so the
+    # assembler's face-module detection skips cns entirely
+    face_residual = PhysicsModule.face_residual
+
+    def boundary_residual(self, wk):
+        """CG collapse of the characteristic far-field flux:
+        F_hat.n = F(S).n + A-(S)(S_inf - S) (the HDG trace collapses
+        to the interior state; reference: euler.cpp
+        computeBoundaryTerm)."""
+        import jax
+
+        bct = wk.bcs.get("rho") or wk.bcs.get("rhoux")
+        if bct not in ("Far-field", "Slip"):
+            return
+        dim = self.dim
+        g = self.gamma
+        names = self._names()
+        S = jnp.stack([wk.sol(v) for v in names], axis=1)   # (Qf, neq)
+        n = wk.normals                                      # (Qf, dim)
+        if bct == "Slip":
+            rho = S[:, 0]
+            mom = S[:, 1:1 + dim]
+            rhoE = S[:, 1 + dim]
+            p0 = (g - 1.0) * (rhoE
+                              - 0.5 * jnp.sum(mom * mom, axis=1) / rho)
+            for d, name in enumerate(self._mom_names()):
+                wk.add_source(name, p0 * n[:, d])
+            return
+        Sinf = jnp.stack(
+            [jnp.broadcast_to(
+                wk.qp(wk.f(f"Far-field {v} {wk.side_name}", "side ip")),
+                S.shape[:1]) for v in names], axis=1)
+
+        from mrhyde_tpu.physics.euler import _eig_jnp, _flux_n
+
+        def fhat(s, nn, sinf):
+            Fn = _flux_n(s, nn, g)
+            L, lam, R = _eig_jnp(s, nn, g, dim)
+            lam_m = 0.5 * (lam - jnp.abs(lam))
+            return Fn + R @ (lam_m * (L @ (sinf - s)))
+
+        tot = jax.vmap(fhat)(S, n, Sinf)
+        for i, v in enumerate(names):
+            wk.add_source(v, tot[:, i])
 
     def volume_residual(self, wk):
         super().volume_residual(wk)         # inviscid part + sources

@@ -215,9 +215,16 @@ class Problem:
             self.disc, self.fm, phys_cfg, self.params,
             use_weak_dirichlet=use_weak)
 
+        # 'assemble face terms' (reference: physicsInterface reads
+        # "assemble face terms"/"build face terms" per set/block and
+        # assemblyManager.cpp:2414-2425 runs the per-side faceResidual
+        # sweep); default: on iff a module defines face terms
+        aft = phys_cfg.get("assemble face terms",
+                           phys_cfg.get("build face terms"))
         self.assembler = Assembler(self.disc, self.modules, self.fm,
                                    self.params,
-                                   fixed_dofs=self.bcs.fixed_dofs)
+                                   fixed_dofs=self.bcs.fixed_dofs,
+                                   assemble_face_terms=aft)
         data_tag = str(mesh_cfg.get("data file", "none"))
         if data_tag != "none":
             # mesh element data import (reference: importMeshData,
@@ -450,6 +457,14 @@ class Problem:
         if not hasattr(self, "_ic_jit"):
             ics = self.phys_cfg.get("Initial conditions", {}) or {}
             ics = {k: v for k, v in ics.items() if k != "scalar data"}
+            for m in self.modules:
+                if hasattr(m, "augment_initial_conditions"):
+                    m.augment_initial_conditions(ics)
+            # drop ICs for variables not in this discretization (e.g.
+            # module-augmented trace ICs under 'Active variables'
+            # restriction); keys may be components like 'E[x]'
+            ics = {k: v for k, v in ics.items()
+                   if k.split("[")[0] in self.disc.dofmap.offsets}
             ic_type = self.solver_cfg.get("initial type", "L2-projection")
 
             def _ic(t):

@@ -21,6 +21,7 @@ def _cfg():
         "Mesh": {"dimension": 2, "element type": "quad",
                  "NX": 8, "NY": 8},
         "Physics": {"modules": "Euler",
+                    "max EV stabilization": True,
                     "Far-field conditions": {
                         v: {"all boundaries": str(val)}
                         for v, val in FREE.items()},
@@ -35,12 +36,14 @@ def _cfg():
     }
 
 
-def _freestream_vec(p):
+def _freestream_vec(p, free=None):
+    free = free or FREE
     u = jnp.zeros(p.n_dof)
     dm = p.assembler.disc.dofmap
     for i, v in enumerate(dm.vars):
         st = int(dm.var_start[i])
-        u = u.at[st:st + v.n_dof].set(FREE[v.name])
+        name = v.name[:-4] if v.name.endswith("_hat") else v.name
+        u = u.at[st:st + v.n_dof].set(free[name])
     return u
 
 
@@ -85,11 +88,7 @@ def test_slip_wall_preserves_tangential_freestream():
     cfg["Physics"]["Initial conditions"] = {
         "scalar data": True, **free}
     p = Problem(cfg)
-    u = jnp.zeros(p.n_dof)
-    dm = p.assembler.disc.dofmap
-    for i, v in enumerate(dm.vars):
-        st = int(dm.var_start[i])
-        u = u.at[st:st + v.n_dof].set(free[v.name])
+    u = _freestream_vec(p, free)
     tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
     r = p.assembler.residual(u, tc, None)
     assert float(jnp.abs(r).max()) < 1e-12

@@ -38,13 +38,15 @@ def test_euler_acoustic_pulse_runs():
     cfg = {
         "Mesh": {"dimension": 1, "element type": "interval", "NX": 32},
         "Physics": {"modules": "Euler", "gamma": 1.4,
+                    "max EV stabilization": True,
                     "Initial conditions": {
                         "rho": "1.0 + 0.01*exp(-200*(x-0.5)*(x-0.5))",
                         "rhoux": "0.0",
                         "rhoE": "(1.0/0.4) + 0.01*exp(-200*(x-0.5)*(x-0.5))"},
-                    "Dirichlet conditions": {
-                        "scalar data": True,
-                        "rhoux": {"left": 0.0, "right": 0.0}}},
+                    # reflective ends = slip walls (euler.cpp
+                    # computeBoundaryTerm slip branch)
+                    "Slip conditions": {
+                        "rho": {"left": "0", "right": "0"}}},
         "Discretization": {"order": {"rho": 1, "rhoux": 1, "rhoE": 1},
                            "quadrature": 2},
         "Solver": {"solver": "transient", "final time": 0.02,
@@ -62,18 +64,15 @@ def test_euler_acoustic_pulse_runs():
 @pytest.mark.slow
 def test_cns_viscous_pulse_decays():
     # with viscosity, the acoustic pulse loses energy vs inviscid Euler
-    def run(modname, extra):
+    def run(modname, extra, bcs):
         cfg = {
             "Mesh": {"dimension": 1, "element type": "interval", "NX": 32},
-            "Physics": {"modules": modname, "gamma": 1.4, **extra,
+            "Physics": {"modules": modname, "gamma": 1.4, **extra, **bcs,
                         "Initial conditions": {
                             "rho": "1.0 + 0.01*exp(-200*(x-0.5)*(x-0.5))",
                             "rhoux": "0.0",
                             "rhoE":
-                                "(1.0/0.4) + 0.01*exp(-200*(x-0.5)*(x-0.5))"},
-                        "Dirichlet conditions": {
-                            "scalar data": True,
-                            "rhoux": {"left": 0.0, "right": 0.0}}},
+                                "(1.0/0.4) + 0.01*exp(-200*(x-0.5)*(x-0.5))"}},
             "Discretization": {"order": {"rho": 1, "rhoux": 1, "rhoE": 1},
                                "quadrature": 2},
             "Solver": {"solver": "transient", "final time": 0.02,
@@ -82,13 +81,18 @@ def test_cns_viscous_pulse_decays():
                        "max nonlinear iters": 6},
             "Postprocess": {"compute errors": False},
         }
-        return np.asarray(Problem(cfg).run().u)
+        p = Problem(cfg)
+        u = np.asarray(p.run().u)
+        mom = u[np.asarray(p.disc.dofmap.all_dofs("rhoux"))]
+        return u, mom
 
-    u_euler = run("Euler", {})
-    u_cns = run("cns", {"mu": 0.05})
+    u_euler, mom_euler = run(
+        "Euler", {"max EV stabilization": True},
+        {"Slip conditions": {"rho": {"left": "0", "right": "0"}}})
+    u_cns, mom_cns = run(
+        "cns", {"mu": 0.05},
+        {"Dirichlet conditions": {"scalar data": True,
+                                  "rhoux": {"left": 0.0, "right": 0.0}}})
     assert np.isfinite(u_cns).all()
     # momentum magnitude damped by viscosity
-    n = 33
-    mom_e = np.abs(u_euler[n:2 * n]).max()
-    mom_v = np.abs(u_cns[n:2 * n]).max()
-    assert mom_v < mom_e
+    assert np.abs(mom_cns).max() < np.abs(mom_euler).max()
