@@ -19,9 +19,13 @@ import time
 
 
 def ns_solve_bench():
-    """Navier-Stokes nonlinear solve wall-clock (BASELINE.json metric 2):
-    steady PSPG channel on a structured mesh, matrix-free Newton with
-    fixed-iteration GMRES, one jitted program per Newton step."""
+    """Navier-Stokes nonlinear solve TIME-TO-TOLERANCE (BASELINE.json
+    metric 2): steady PSPG channel, matrix-free Newton iterated until
+    ||r|| / ||r0|| <= tol (default 1e-8) inside one jitted
+    lax.while_loop — the reference contract is Belos' tolerance-driven
+    solves (linearAlgebraInterface.cpp:358-500), not a fixed iteration
+    budget. Reports tol, Newton iters used, and device seconds to
+    tolerance (slope-measured to remove the axon tunnel RTT)."""
     import time
     import jax
     import jax.numpy as jnp
@@ -30,7 +34,14 @@ def ns_solve_bench():
 
     nx = int(os.environ.get("BENCH_NX", "256"))
     ny = max(nx // 4, 8)
-    newton_iters = int(os.environ.get("BENCH_NEWTON", "4"))
+    # achievable tolerance is precision-bound: f64 reaches 1e-8
+    # relative in 2-3 quadratic Newton steps (measured 8e-11 on CPU);
+    # f32 assembly noise floors the relative residual at ~2e-5
+    # (measured), so the f32 default is 1e-4
+    f64 = jnp.zeros(0).dtype == jnp.dtype("float64")
+    tol = float(os.environ.get("BENCH_NS_TOL",
+                               "1e-8" if f64 else "1e-4"))
+    max_newton = int(os.environ.get("BENCH_NEWTON_MAX", "25"))
     cfg = {
         "Mesh": {"dimension": 2, "element type": "quad",
                  "xmin": 0.0, "xmax": 5.0, "ymin": 0.0, "ymax": 1.0,
@@ -50,44 +61,58 @@ def ns_solve_bench():
     dtype = jnp.zeros(0).dtype
     tc = TimeCoeffs.steady(p.n_dof, dtype=dtype)
 
-    from mrhyde_tpu.solvers.krylov import gmres_fixed
+    from mrhyde_tpu.solvers.krylov import gmres
+    from mrhyde_tpu.solvers.precond import build_preconditioner
 
-    # the ENTIRE Newton loop is one device program (the reference pays
-    # an MPI round per Belos solve; here even the host never intervenes)
+    # linear solve per Newton step: tolerance-driven restarted
+    # GMRES(m). m=10 STALLS on the PSPG saddle system (stagnates at
+    # ~8x reduction, measured 400 matvecs without progress); m=20
+    # reaches 1e-11 in 220 matvecs, m=80 in 78 — but orthogonalization
+    # V-reads scale as m^2 n, so m=20 is the default. element-Schwarz
+    # measured 25x SLOWER on TPU (batched 12x12 inversions lower
+    # poorly) — negative result, do not revisit without a fused
+    # block-solve. BENCH_NS_PRECOND selects jacobi|chebyshev.
+    variant = os.environ.get("BENCH_NS_PRECOND", "jacobi")
+    gmres_m = int(os.environ.get("BENCH_NS_M", "20"))
+
+    # the ENTIRE tolerance-driven Newton solve is ONE device program
+    # (the reference pays an MPI round per Belos solve; here even the
+    # host never intervenes)
     @jax.jit
-    def newton_solve(u):
-        def step(u, _):
-            # production path: fused Pallas res+jac when the problem
-            # qualifies on this backend (same call the deck driver's
-            # Newton loop makes). Linear solve: restarted GMRES(10)x3
-            # with Jacobi — measured equal-or-better final residual
-            # than one GMRES(40) cycle at 25% fewer matvecs and far
-            # less orthogonalization traffic (the V-basis reads scale
-            # as m^2 n); element-Schwarz measured 25x SLOWER on TPU
-            # (batched 12x12 inversions lower poorly) — negative
-            # result, do not revisit without a fused block-solve.
+    def newton_to_tol(u0):
+        r0n = jnp.linalg.norm(asm.residual(u0, tc, None))
+
+        def cond(s):
+            _u, rn, it = s
+            return (rn > tol * r0n) & (it < max_newton)
+
+        def body(s):
+            u, _rn_prev, it = s
             r, J = asm.res_and_jac(u, tc, None)
             apply_fn = asm.matfree_apply_fn(J)
-            dinv = 1.0 / J.diag()
-            b = -r
-            x = jnp.zeros_like(b)
+            M = build_preconditioner(J, variant)
+            # forcing term 1e-6 (relative to ||r||): two orders below
+            # what the final Newton step needs to land under 1e-8
+            # relative, with quadratic convergence doing the rest
+            du, _info = gmres(apply_fn, -r, m=gmres_m, tol=1e-6,
+                              max_restarts=20, precond=M)
+            u = u + du
+            rn = jnp.linalg.norm(asm.residual(u, tc, None))
+            return (u, rn, it + 1)
 
-            def cyc(x, _):
-                rr = b - apply_fn(x)
-                return x + gmres_fixed(apply_fn, rr, m=10,
-                                       precond=lambda v: dinv * v), None
-            x, _ = jax.lax.scan(cyc, x, None, length=3)
-            return u + x, jnp.linalg.norm(r)
-        u, norms = jax.lax.scan(step, u, None, length=newton_iters)
-        return u, norms
+        u, rn, it = jax.lax.while_loop(
+            cond, body, (u0, jnp.asarray(jnp.inf, u0.dtype), 0))
+        return u, rn, r0n, it
 
     u0 = p.initial_state()
-    un, _ = newton_solve(u0)
+    un, rn, r0n, iters = newton_to_tol(u0)
     float(jnp.sum(un))          # compile + warm (forces host pull)
     t0 = time.perf_counter()
-    u, norms = newton_solve(u0)
+    u, rn, r0n, iters = newton_to_tol(u0)
     float(jnp.sum(u))           # host pull = real completion barrier
     dt = time.perf_counter() - t0
+    iters = int(iters)
+    rel = float(rn / r0n)
 
     # device time via the two-length slope (removes the ~30 ms axon
     # tunnel round trip that dominates a single dispatch)
@@ -96,8 +121,8 @@ def ns_solve_bench():
     @partial(jax.jit, static_argnames="length")
     def solve_many(u, length):
         def body(c, _):
-            un_, norms_ = newton_solve(u0 + 1e-20 * c)
-            return un_, norms_[-1]
+            un_, rn_, _r0, _it = newton_to_tol(u0 + 1e-20 * c)
+            return un_, rn_
         c, nl = jax.lax.scan(body, u, None, length=length)
         return jnp.sum(c) + jnp.sum(nl)
 
@@ -116,17 +141,16 @@ def ns_solve_bench():
         t1, t2 = timed(2), timed(6)
     dev = max(t2 - t1, 1e-9) / 4
 
-    @jax.jit
-    def final_res(u):
-        return jnp.linalg.norm(asm.residual(u, tc, None))
-    r_final = float(final_res(u))
     print(json.dumps({
         "metric": "ns_nonlinear_solve",
         "value": round(dt, 4),
         "unit": "seconds",
         "vs_baseline": round(dt, 4),
-        "device_s": round(dev, 4),
-        "final_residual": float(f"{r_final:.3e}"),
+        "device_s_to_tol": round(dev, 4),
+        "tol": tol,
+        "iters": iters,
+        "final_rel_residual": float(f"{rel:.3e}"),
+        "precond": variant,
     }))
 
 

@@ -65,6 +65,15 @@ class DifferentiableForward:
                                   self.bdf_order)
         self.startup_steps = int(sc.get("transient startup steps",
                                         self.bdf_order))
+        # adjoint memory policy (VERDICT r3 item 7): window the step
+        # loop with jax.checkpoint so reverse-mode stores only window
+        # boundaries and rematerializes inside — O(sqrt(nsteps)) live
+        # states instead of O(nsteps) (the reference stores EVERY
+        # accepted step in RAM, solutionStorage.hpp:19-110, and its own
+        # TODO at solverManager.cpp:1420 acknowledges the gap).
+        # 0 = auto (sqrt windows once the step count is large enough
+        # to matter); negative = disabled.
+        self.ckpt_window = int(sc.get("adjoint checkpoint window", 0))
 
     # ------------------------------------------------------------------
 
@@ -100,61 +109,86 @@ class DifferentiableForward:
             n for n in p.param_manager.discretized_names()
             if p.param_manager.specs[n].dynamic)
 
-        def pvec_at(step):
+        def pvec_at_p(step, pv):
             # dynamic discretized params: row per step (the gradient
             # flows back into the right row through the traced slice)
-            out = pvec
-            if pvec and dyn:
-                out = dict(pvec)
+            out = pv
+            if pv and dyn:
+                out = dict(pv)
                 for nm in dyn:
                     v = out.get(nm)
                     if v is not None and getattr(v, "ndim", 1) == 2:
                         out[nm] = v[min(step, v.shape[0] - 1)]
             return out
 
-        for step in range(self.nsteps):
-            pvec_k = pvec_at(step)
-            A, b, c, w = self._tables(step)
-            nstage = len(b)
-            u_prev = jnp.roll(u_prev, 1, axis=0).at[0].set(u)
-            u_step_start = u
-            u_stages = []
-            u_new = u
-            for s in range(nstage):
-                alpha_u = A[s, s] / b[s]
-                beta_u = (1.0 - alpha_u) * u_prev[0]
-                for r in range(s):
-                    beta_u = beta_u + (A[s, r] / b[r]) * (u_stages[r]
-                                                          - u_prev[0])
-                timewt = 1.0 / (dt * b[s])
-                alpha_t = w[0] * timewt
-                beta_t = jnp.zeros(n, dtype=dtype)
-                for k in range(1, len(w)):
-                    beta_t = beta_t + w[k] * u_prev[k - 1]
-                beta_t = beta_t * timewt
-                t_stage = t + c[s] * dt
-                tc = TimeCoeffs(jnp.asarray(alpha_u, dtype), beta_u,
-                                jnp.asarray(alpha_t, dtype), beta_t,
-                                jnp.asarray(t_stage, dtype),
-                                jnp.asarray(dt, dtype))
-                g = p.bcs.dirichlet_values(t_stage).astype(dtype)
-                z = self.stage_solve(u_step_start, tc, pvec_k, g)
-                u_stages.append(z)
-                if nstage > 1:
-                    u_new = u_new + z - u_prev[0]
-                else:
-                    u_new = z
-            u = u_new
-            # PARITY QUIRK: the reference records the step objective at
-            # the workset time left by the LAST STAGE (t_n + c_last*dt),
-            # not the step end t_{n+1} — for BWE (c=1) they coincide,
-            # but DIRK-1,2's midpoint stage shifts the target functions
-            # by dt/2 (verified digit-exact vs ODE/DIRK-1,2-Optimization
-            # iter-0 value 1.705985e-03; the 'correct' time gives
-            # 4.772e-04)
-            t_obj = t + c[-1] * dt
-            t = t + dt
-            total = total + self.objective_fn(u, t_obj, pvec_k)
+        def run_steps(carry, pvec, steps):
+            u, u_prev, total = carry
+            for step in steps:
+                t = self.t0 + step * dt
+                pvec_k = pvec_at_p(step, pvec)
+                A, b, c, w = self._tables(step)
+                nstage = len(b)
+                u_prev = jnp.roll(u_prev, 1, axis=0).at[0].set(u)
+                u_step_start = u
+                u_stages = []
+                u_new = u
+                for s in range(nstage):
+                    alpha_u = A[s, s] / b[s]
+                    beta_u = (1.0 - alpha_u) * u_prev[0]
+                    for r in range(s):
+                        beta_u = beta_u + (A[s, r] / b[r]) * (
+                            u_stages[r] - u_prev[0])
+                    timewt = 1.0 / (dt * b[s])
+                    alpha_t = w[0] * timewt
+                    beta_t = jnp.zeros(n, dtype=dtype)
+                    for k in range(1, len(w)):
+                        beta_t = beta_t + w[k] * u_prev[k - 1]
+                    beta_t = beta_t * timewt
+                    t_stage = t + c[s] * dt
+                    tc = TimeCoeffs(jnp.asarray(alpha_u, dtype), beta_u,
+                                    jnp.asarray(alpha_t, dtype), beta_t,
+                                    jnp.asarray(t_stage, dtype),
+                                    jnp.asarray(dt, dtype))
+                    g = p.bcs.dirichlet_values(t_stage).astype(dtype)
+                    z = self.stage_solve(u_step_start, tc, pvec_k, g)
+                    u_stages.append(z)
+                    if nstage > 1:
+                        u_new = u_new + z - u_prev[0]
+                    else:
+                        u_new = z
+                u = u_new
+                # PARITY QUIRK: the reference records the step objective
+                # at the workset time left by the LAST STAGE
+                # (t_n + c_last*dt), not the step end t_{n+1} — for BWE
+                # (c=1) they coincide, but DIRK-1,2's midpoint stage
+                # shifts the target functions by dt/2 (verified
+                # digit-exact vs ODE/DIRK-1,2-Optimization iter-0 value
+                # 1.705985e-03; the 'correct' time gives 4.772e-04)
+                t_obj = t + c[-1] * dt
+                total = total + self.objective_fn(u, t_obj, pvec_k)
+            return (u, u_prev, total)
+
+        W = self.ckpt_window
+        # auto threshold 40: regression-scale inversions (<= ~20 steps)
+        # keep the exact one-graph trace the golds were pinned on;
+        # long transients get sqrt windows automatically
+        if W == 0 and self.nsteps >= 40:
+            W = int(np.ceil(np.sqrt(self.nsteps)))
+        carry = (u, u_prev, total)
+        if W and W > 0 and self.nsteps > W:
+            # sqrt-windowed rematerialization: reverse-mode stores only
+            # the window-boundary states; forward states inside each
+            # window are recomputed during the backward sweep
+            for k0 in range(0, self.nsteps, W):
+                steps = tuple(range(k0, min(k0 + W, self.nsteps)))
+
+                def block(c_, pv, _steps=steps):
+                    return run_steps(c_, pv, _steps)
+
+                carry = jax.checkpoint(block)(carry, pvec)
+        else:
+            carry = run_steps(carry, pvec, range(self.nsteps))
+        _u, _u_prev, total = carry
         return total
 
     def gradient(self, pvec):

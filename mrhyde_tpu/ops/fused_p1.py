@@ -254,7 +254,7 @@ class FusedP1Assembly:
                 for v in self.vars for d in range(self.dim)]
 
     def _accumulate(self, ue, ud, iotas, alpha_u, alpha_t, t, params,
-                    steady, dtype):
+                    steady, dtype, mode="full"):
         """Shared weak-form accumulation: the per-tile qp loop with
         trace-time sparse forward AD. Runs identically on VMEM tiles
         (inside the kernel) and on tiny probe arrays (outside, to
@@ -262,6 +262,19 @@ class FusedP1Assembly:
         is ELEMENT-INDEPENDENT, the uniform-mesh analog of the
         reference's compressed basis database storing one unique
         element matrix (assemblyManager.cpp buildDatabase :4249).
+
+        mode:
+          "full" — primal densities + Jacobian (the one-kernel path);
+          "lin"  — AFFINE SPLIT state part: the caller passes the pure
+                   state contribution (u without betas) in ue/ud, and
+                   the qp densities are replaced by their directional
+                   derivative sum_k D_k z_k (out0 is traced but unused
+                   so XLA dead-code-eliminates the state-independent
+                   coefficient/source work); no Jacobian.
+        The matching coord part is mode "full" at the zero state (ue =
+        betas only) — for densities affine in (u, u_t, grad u) the two
+        parts sum exactly to the one-kernel result, and everything in
+        the coord part is loop-invariant across Newton iterations.
 
         Returns (res, jac) flat lists whose entries are None
         (structural zero), 0-d/python scalars (element-independent), or
@@ -335,6 +348,31 @@ class FusedP1Assembly:
                     D.append(f_lin(tz))
 
             w = float(wts[q])
+            if mode == "lin":
+                # directional derivative along the state itself:
+                # out_lin[oi] = sum_k D[k][oi] * z0_k (None-sparse);
+                # out0 goes unused -> its coefficient/source trace is
+                # dead code in this kernel
+                out_lin = [None] * len(out0)
+                for k in range(n_in):
+                    zk = z0[k]
+                    for oi, dk in enumerate(D[k]):
+                        if dk is not None:
+                            out_lin[oi] = acc2(out_lin[oi], dk * zk)
+                for vi in range(n_var):
+                    Sv = out_lin[vi]
+                    for c in range(nc):
+                        a = None
+                        if Sv is not None:
+                            a = acc2(a, phi[c, q] * Sv)
+                        for d in range(dim):
+                            Fd = out_lin[n_var + vi * dim + d]
+                            if Fd is not None:
+                                a = acc2(a, grad[c, q, d] * Fd)
+                        if a is not None:
+                            res[vi * nc + c] = acc2(res[vi * nc + c],
+                                                    w * a)
+                continue
             # residual accumulation
             for vi, v in enumerate(vars_):
                 Sv = out0[vi]
@@ -389,7 +427,7 @@ class FusedP1Assembly:
         return res, jac
 
     def _probe(self, alpha_u, alpha_t, t, deltat, pvec_scalars, steady,
-               dtype, salt=0.0):
+               dtype, salt=0.0, mode="full", state_salt=None):
         """Classify res/jac entries by running `_accumulate` on tiny
         (2,)-shaped stand-ins for every element-varying input (corner
         values, beta grids, element-index iotas). An entry that comes
@@ -404,21 +442,33 @@ class FusedP1Assembly:
         params.update(pvec_scalars)
         nc, dim = self.nc, self.dim
 
-        def dummy(seed):
+        def dummy(seed, s=None):
             # arbitrary distinct values; only the array-ness matters
             # (`salt` shifts them so a second probe can cross-check the
-            # classification — see the double-probe at the call site)
-            return jnp.asarray([0.37 + 0.11 * seed + salt,
-                                0.81 + 0.07 * seed + salt],
+            # classification; `state_salt` lets the affine detector
+            # vary the state dummies while holding betas/iotas fixed)
+            s = salt if s is None else s
+            return jnp.asarray([0.37 + 0.11 * seed + s,
+                                0.81 + 0.07 * seed + s],
                                dtype=dtype)
 
+        ssalt = salt if state_salt is None else state_salt
         ue, ud = {}, {}
         k = 0
         for v in self.vars:
             ue[v], ud[v] = [], []
             for _c in range(nc):
-                uc = dummy(k)
-                if steady:
+                uc = dummy(k, ssalt)
+                if mode == "zero":
+                    # zero STATE, betas kept (the Newton-loop-invariant
+                    # evaluation point of the affine split)
+                    ue[v].append(0.0 if steady else dummy(k + 1))
+                    ud[v].append(0.0 if steady else dummy(k + 2))
+                elif mode == "lin":
+                    # pure state contribution (no betas)
+                    ue[v].append(uc if steady else alpha_u * uc)
+                    ud[v].append(0.0 if steady else alpha_t * uc)
+                elif steady:
                     ue[v].append(uc)
                     ud[v].append(0.0)
                 else:
@@ -427,16 +477,104 @@ class FusedP1Assembly:
                 k += 3
         iotas = [dummy(k + a) for a in range(dim)]
         return self._accumulate(ue, ud, iotas, alpha_u, alpha_t, t,
-                                params, steady, dtype)
+                                params, steady, dtype,
+                                mode="lin" if mode == "lin" else "full")
+
+    def _detect_affine(self, steady, dtype, pvec_names):
+        """True iff every module's qp density is AFFINE in
+        (u, u_t, grad u) — the precondition for the coord/state kernel
+        split. Checked by randomized probing with concrete stand-ins
+        for every runtime scalar (affinity is structural, so concrete
+        parameter values are sound up to measure-zero coincidences;
+        the check also verifies full == zero-state + linear-part on the
+        same dummies). Any tracer leaking into the comparison, or any
+        probe failure, returns False (the one-kernel path is always
+        correct)."""
+        key = ("_affine", steady, tuple(pvec_names))
+        if key in self.__dict__.setdefault("_affine_cache", {}):
+            return self._affine_cache[key]
+        rng = np.random.RandomState(1234)
+        a_u = 1.0 if steady else float(rng.uniform(0.6, 1.4))
+        a_t = 0.0 if steady else float(rng.uniform(0.6, 1.4))
+        t = float(rng.uniform(0.1, 0.9))
+        dt_ = float(rng.uniform(0.1, 0.9))
+        pv = {k: float(rng.uniform(0.3, 1.7)) for k in pvec_names}
+        # probe in the widest available float (f64 under x64, else
+        # f32); tolerances sized for f32 roundoff, still orders of
+        # magnitude below any real nonlinearity at O(1) probe states
+        if jax.config.jax_enable_x64:
+            pdt, rtol, atol = jnp.dtype("float64"), 1e-9, 1e-12
+        else:
+            pdt, rtol, atol = jnp.dtype("float32"), 3e-5, 1e-6
+
+        def conc(v):
+            return np.asarray(v, dtype=float)
+
+        ok = True
+        try:
+            # the probes run on concrete dummies but an AMBIENT jit
+            # trace would still capture them (linearize fallback /
+            # primitive binds re-route through the active trace);
+            # compile-time eval keeps every value concrete
+            args = (a_u, a_t, t, dt_, pv, steady, pdt)
+            with jax.ensure_compile_time_eval():
+                r1, j1 = self._probe(*args, salt=0.123,
+                                     state_salt=0.519)
+                _r2, j2 = self._probe(*args, salt=0.123,
+                                      state_salt=-0.41)
+            for e1, e2 in zip(j1, j2):
+                if (e1 is None) != (e2 is None):
+                    ok = False
+                    break
+                if e1 is not None and not np.allclose(
+                        conc(e1), conc(e2), rtol=rtol, atol=atol):
+                    ok = False
+                    break
+            if ok:
+                with jax.ensure_compile_time_eval():
+                    rz, _ = self._probe(*args, salt=0.123,
+                                        state_salt=0.519, mode="zero")
+                    rl, _ = self._probe(*args, salt=0.123,
+                                        state_salt=0.519, mode="lin")
+                for k in range(self.nd):
+                    full = 0.0 if r1[k] is None else conc(r1[k])
+                    part = ((0.0 if rz[k] is None else conc(rz[k]))
+                            + (0.0 if rl[k] is None else conc(rl[k])))
+                    if not np.allclose(full, part, rtol=rtol,
+                                       atol=atol):
+                        ok = False
+                        break
+        except Exception:  # noqa: BLE001 — tracers/unsupported: no split
+            ok = False
+        self._affine_cache[key] = ok
+        return ok
+
+    def n_slabs(self, steady, mode="full"):
+        """HBM node-grid inputs per kernel variant: full = u (+betas),
+        coord = betas only (state-independent -> loop-invariant),
+        state = u only."""
+        return {"full": 1 if steady else 3,
+                "coord": 0 if steady else 2,
+                "state": 1}[mode]
 
     def _kernel(self, tiles, dtype, pvec_names, steady, res_idx,
-                jac_idx):
+                jac_idx, mode="full"):
         """Kernel writing ONLY the element-varying res/jac entries
         (res_idx / jac_idx, from `_probe`); element-independent entries
         never touch HBM — for constant-coefficient physics the entire
         nd^2-per-element Jacobian write (and its re-read in every
         Krylov matvec) vanishes, exactly like the reference database
-        path storing one element matrix for a uniform mesh."""
+        path storing one element matrix for a uniform mesh.
+
+        mode (affine split, see `_accumulate`):
+          "full"  — one kernel: res+jac at the combined state;
+          "coord" — the state-INDEPENDENT part: densities at zero
+                    state (betas only) + the full Jacobian (affine =>
+                    state-independent). No u input, so XLA hoists the
+                    whole call out of Newton/scan loops;
+          "state" — the state part: directional-derivative residual
+                    rows only, reading just the u grid.
+        """
         dim, n_var, nd = self.dim, self.n_var, self.nd
         vars_, corners = self.vars, self.corners
         # DMA slab: majors +1, second-minor +8, minor +128
@@ -448,25 +586,19 @@ class FusedP1Assembly:
             slab[k] += 1
         slab = tuple(slab)
         tile_shape = tuple(tiles)
+        n_slab = self.n_slabs(steady, mode)
 
         def kernel(scal_ref, *refs):
-            pos = 0
-            if steady:
-                u_ref = refs[0]
-                bu_ref = bt_ref = None
-                pos = 1
-            else:
-                u_ref, bu_ref, bt_ref = refs[:3]
-                pos = 3
+            slab_refs = refs[:n_slab]
+            pos = n_slab
             res_ref = refs[pos] if res_idx else None
             jac_ref = refs[pos + (1 if res_idx else 0)] if jac_idx \
                 else None
             pids = [pl.program_id(a) * tiles[a] for a in range(dim)]
 
-            def inner(su, sbu, sbt, sem):
-                pairs = ((u_ref, su),) if steady else \
-                    ((u_ref, su), (bu_ref, sbu), (bt_ref, sbt))
-                for hbm, sv in pairs:
+            def inner(*svs_sem):
+                svs, sem = svs_sem[:-1], svs_sem[-1]
+                for hbm, sv in zip(slab_refs, svs):
                     idx = tuple([slice(None)]
                                 + [pl.ds(p, s) for p, s in
                                    zip(pids, slab)])
@@ -494,24 +626,41 @@ class FusedP1Assembly:
                     ue[v] = []
                     ud[v] = []
                     for off in corners:
-                        uc = corner_tile(su, vi, off)
-                        if steady:
+                        if mode == "coord":
+                            if steady:
+                                ue[v].append(0.0)
+                                ud[v].append(0.0)
+                            else:
+                                ue[v].append(
+                                    corner_tile(svs[0], vi, off))
+                                ud[v].append(
+                                    corner_tile(svs[1], vi, off))
+                            continue
+                        uc = corner_tile(svs[0], vi, off)
+                        if mode == "state":
+                            ue[v].append(uc if steady
+                                         else alpha_u * uc)
+                            ud[v].append(0.0 if steady
+                                         else alpha_t * uc)
+                        elif steady:
                             ue[v].append(uc)
                             ud[v].append(0.0)
                         else:
                             ue[v].append(alpha_u * uc
-                                         + corner_tile(sbu, vi, off))
+                                         + corner_tile(svs[1], vi,
+                                                       off))
                             ud[v].append(alpha_t * uc
-                                         + corner_tile(sbt, vi, off))
+                                         + corner_tile(svs[2], vi,
+                                                       off))
 
                 iotas = [
                     (jax.lax.broadcasted_iota(jnp.int32, tile_shape, a)
                      + pids[a]).astype(dtype)
                     for a in range(dim)]
 
-                res, jac = self._accumulate(ue, ud, iotas, alpha_u,
-                                            alpha_t, t, params, steady,
-                                            dtype)
+                res, jac = self._accumulate(
+                    ue, ud, iotas, alpha_u, alpha_t, t, params, steady,
+                    dtype, mode="lin" if mode == "state" else "full")
 
                 # classification safety: the probe and the kernel run
                 # the same code, so an entry the probe called constant
@@ -537,20 +686,17 @@ class FusedP1Assembly:
                 for pos_, k in enumerate(jac_idx):
                     jac_ref[pos_] = store(jac[k])
 
-            if steady:
-                pl.run_scoped(
-                    lambda su, sem: inner(su, None, None, sem),
-                    su=pltpu.VMEM((n_var,) + slab, dtype),
-                    sem=pltpu.SemaphoreType.DMA(()),
-                )
+            if n_slab == 0:
+                inner(None)        # no DMA, no scratch
             else:
+                kwargs = {f"s{i}": pltpu.VMEM((n_var,) + slab, dtype)
+                          for i in range(n_slab)}
+                kwargs["sem"] = pltpu.SemaphoreType.DMA(())
                 pl.run_scoped(
-                    inner,
-                    su=pltpu.VMEM((n_var,) + slab, dtype),
-                    sbu=pltpu.VMEM((n_var,) + slab, dtype),
-                    sbt=pltpu.VMEM((n_var,) + slab, dtype),
-                    sem=pltpu.SemaphoreType.DMA(()),
-                )
+                    lambda **kw: inner(*[kw[f"s{i}"]
+                                         for i in range(n_slab)],
+                                       kw["sem"]),
+                    **kwargs)
 
         return kernel
 
@@ -664,11 +810,53 @@ class FusedP1Assembly:
                     f"jac[{k}] classified constant but its probe value "
                     "depends on element data (shape-collapsing qp "
                     "density?)")
-        res_pos = {k: i for i, k in enumerate(res_idx)}
-        jac_pos = {k: i for i, k in enumerate(jac_idx)}
-        # bench/diagnostic introspection (set at trace time)
-        self.stats = {"steady": steady, "n_res_rows": len(res_idx),
-                      "n_jac_rows": len(jac_idx)}
+        # ------- AFFINE SPLIT: coord kernel (state-independent,
+        # loop-invariant across Newton iterations — XLA hoists it out
+        # of scan/while bodies) + state kernel (reads only the u grid).
+        # The FEM classic "assemble the load vector once per step"
+        # taken to trace time; one-kernel path when not affine.
+        import os as _os
+        split = (_os.environ.get("MRHYDE_NO_SPLIT") != "1"
+                 and self._detect_affine(steady, dtype, tuple(names)))
+
+        def classify(mode):
+            args = (1.0 if steady else tc.alpha_u,
+                    0.0 if steady else tc.alpha_t,
+                    tc.time, tc.deltat, pvec_scalars, steady, dtype)
+            p1r, p1j = self._probe(*args, salt=0.0, mode=mode)
+            p2r, p2j = self._probe(*args, salt=0.293, mode=mode)
+            ridx = tuple(k for k in range(nd) if _is_varying(p1r[k]))
+            jidx = tuple(k for k in range(nd * nd)
+                         if _is_varying(p1j[k]))
+            ridx2 = tuple(k for k in range(nd) if _is_varying(p2r[k]))
+            jidx2 = tuple(k for k in range(nd * nd)
+                          if _is_varying(p2j[k]))
+            if ridx2 != ridx or jidx2 != jidx:
+                raise AssertionError(
+                    f"fused-path {mode!r} probe classification depends "
+                    "on dummy values — qp densities must be pointwise "
+                    "in element data")
+            return p1r, p1j, ridx, jidx
+
+        if split:
+            res0_p, jac0_p, res0_idx, jac0_idx = classify("zero")
+            reslin_p, _lj, reslin_idx, _li = classify("lin")
+            if jac0_idx != jac_idx:
+                split = False       # safety: fall back to one kernel
+
+        # bench/diagnostic introspection (set at trace time).
+        # n_res_rows/n_jac_rows = PER-ITERATION HBM rows (state kernel
+        # under the split; coord-kernel rows are Newton-loop-invariant)
+        if split:
+            self.stats = {"steady": steady, "split": True,
+                          "n_res_rows": len(reslin_idx),
+                          "n_jac_rows": 0,
+                          "coord_res_rows": len(res0_idx),
+                          "coord_jac_rows": len(jac0_idx)}
+        else:
+            self.stats = {"steady": steady, "split": False,
+                          "n_res_rows": len(res_idx),
+                          "n_jac_rows": len(jac_idx)}
 
         gu = grids(u)
         grid = tuple(k // t for k, t in zip(kdims, tiles))
@@ -676,48 +864,64 @@ class FusedP1Assembly:
         def omap(*pids):
             return (0,) + pids
 
-        out_specs, out_shape = [], []
-        if res_idx:
-            out_specs.append(pl.BlockSpec((len(res_idx),) + tiles,
-                                          omap))
-            out_shape.append(
-                jax.ShapeDtypeStruct((len(res_idx),) + kdims, dtype))
-        if jac_idx:
-            out_specs.append(pl.BlockSpec((len(jac_idx),) + tiles,
-                                          omap))
-            out_shape.append(
-                jax.ShapeDtypeStruct((len(jac_idx),) + kdims, dtype))
-
         hbm = pl.BlockSpec(memory_space=pl.ANY)
-        outs = ()
-        if out_shape:
-            kern = self._kernel(tiles, dtype, names, steady, res_idx,
-                                jac_idx)
-            if steady:
-                outs = pl.pallas_call(
-                    kern, grid=grid,
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                              hbm],
-                    out_specs=out_specs, out_shape=out_shape,
-                    interpret=interpret,
-                )(scal, gu)
-            else:
-                gbu, gbt = grids(tc.beta_u), grids(tc.beta_t)
-                outs = pl.pallas_call(
-                    kern, grid=grid,
-                    in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                              hbm, hbm, hbm],
-                    out_specs=out_specs, out_shape=out_shape,
-                    interpret=interpret,
-                )(scal, gu, gbu, gbt)
+        gbu = gbt = None
+        if not steady:
+            gbu, gbt = grids(tc.beta_u), grids(tc.beta_t)
+
+        def run_call(mode, ridx, jidx):
+            """One pallas_call; returns (res_out, jac_out) pad-sliced
+            (None where that output family is empty)."""
+            out_specs, out_shape = [], []
+            if ridx:
+                out_specs.append(pl.BlockSpec((len(ridx),) + tiles,
+                                              omap))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((len(ridx),) + kdims, dtype))
+            if jidx:
+                out_specs.append(pl.BlockSpec((len(jidx),) + tiles,
+                                              omap))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((len(jidx),) + kdims, dtype))
+            if not out_shape:
+                return None, None
+            slabs = {"full": [gu] if steady else [gu, gbu, gbt],
+                     "coord": [] if steady else [gbu, gbt],
+                     "state": [gu]}[mode]
+            kern = self._kernel(tiles, dtype, names, steady, ridx,
+                                jidx, mode)
+            outs = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [hbm] * len(slabs),
+                out_specs=out_specs, out_shape=out_shape,
+                interpret=interpret,
+            )(scal, *slabs)
             if not isinstance(outs, (tuple, list)):
                 outs = (outs,)
+            real = tuple(slice(0, d) for d in dims)
+            ro = outs[0][(slice(None),) + real] if ridx else None
+            jo = outs[1 if ridx else 0][(slice(None),) + real] \
+                if jidx else None
+            return ro, jo
 
-        # discard the tile-rounding pad elements
-        real = tuple(slice(0, d) for d in dims)
-        res_out = outs[0][(slice(None),) + real] if res_idx else None
-        jac_out = outs[1 if res_idx else 0][(slice(None),) + real] \
-            if jac_idx else None
+        if split:
+            res0_out, jac_out = run_call("coord", res0_idx, jac0_idx)
+            reslin_out, _ = run_call("state", reslin_idx, ())
+            res_parts = [
+                ({k: i for i, k in enumerate(res0_idx)}, res0_out,
+                 res0_p),
+                ({k: i for i, k in enumerate(reslin_idx)}, reslin_out,
+                 reslin_p)]
+            jac_pos = {k: i for i, k in enumerate(jac0_idx)}
+            jac_consts = jac0_p
+        else:
+            res_out, jac_out = run_call("full", res_idx, jac_idx)
+            res_parts = [
+                ({k: i for i, k in enumerate(res_idx)}, res_out,
+                 res_p)]
+            jac_pos = {k: i for i, k in enumerate(jac_idx)}
+            jac_consts = jac_p
 
         # node scatter as pad+sum (ONE fused XLA pass — a chain of
         # .at[slice].add costs a full read+write of the accumulator per
@@ -728,12 +932,17 @@ class FusedP1Assembly:
             acc = None
             for c, off in enumerate(self.corners):
                 k = vi * self.nc + c
-                if k in res_pos:
-                    tilev = res_out[res_pos[k]]
-                elif res_p[k] is not None:
-                    tilev = jnp.broadcast_to(
-                        jnp.asarray(res_p[k], dtype), dims)
-                else:
+                tilev = None
+                for pos_map, out_arr, pvals in res_parts:
+                    if k in pos_map:
+                        tv = out_arr[pos_map[k]]
+                    elif pvals[k] is not None:
+                        tv = jnp.broadcast_to(
+                            jnp.asarray(pvals[k], dtype), dims)
+                    else:
+                        continue
+                    tilev = tv if tilev is None else tilev + tv
+                if tilev is None:
                     continue
                 part = jnp.pad(
                     tilev, [(o, gn - d - o) for o, d, gn in
@@ -752,10 +961,10 @@ class FusedP1Assembly:
         for k in range(nd * nd):
             if k in jac_pos:
                 rows.append(jac_out[jac_pos[k]].reshape(E))
-            elif jac_p[k] is None:
+            elif jac_consts[k] is None:
                 rows.append(None)
             else:
-                rows.append(jnp.asarray(jac_p[k], dtype))
+                rows.append(jnp.asarray(jac_consts[k], dtype))
         return r, rows
 
     def res_jac_blocks(self, u, tc, pvec=None, interpret=False):
