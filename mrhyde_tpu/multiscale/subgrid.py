@@ -820,6 +820,15 @@ class SubgridDtN:
         return [(self.jacobian_contribution(u_macro, tc, pvec),
                  self._sub_lids())]
 
+    def jacobian_block_elems(self):
+        """Macro element index per jacobian_blocks row (STATIC — lets
+        the DOF-sharded path assign each block to its element's shard
+        without evaluating the fine solves)."""
+        import numpy as np
+        if self.owns_all:
+            return [np.arange(self.n_macro_elems())]
+        return [np.asarray(self.elems)]
+
     # ---- integrator hooks (synchronous stage stepping) ---------------
 
     def stage_ms_entry(self, stages, s, A, b, w, timewt, dtype,
@@ -1412,6 +1421,12 @@ class MultiscaleModels:
         for i, m in enumerate(self.models):
             out.extend(m.jacobian_blocks(u_macro, tc,
                                          self._sub_pvec(pvec, i)))
+        return out
+
+    def jacobian_block_elems(self):
+        out = []
+        for m in self.models:
+            out.extend(m.jacobian_block_elems())
         return out
 
     def compute_errors(self, u_macro, time=0.0, pvec=None) -> dict:

@@ -549,6 +549,51 @@ class FusedP1Assembly:
         self._affine_cache[key] = ok
         return ok
 
+    def _coord_eval(self, tc, pvec_scalars, steady, dtype, res0_idx,
+                    jac0_idx):
+        """State-independent (coord) part of the affine split as PLAIN
+        XLA on the full element grid: zero-state densities + the full
+        Jacobian. Pure HLO, so XLA's while-loop-invariant code motion
+        hoists it out of Newton loops (a pallas custom-call would be
+        re-run every iteration). Returns kernel-shaped
+        ((n_rows,) + dims) stacks for the varying rows."""
+        dims, dim = self.dims, self.dim
+        grid_nodes = tuple(d + 1 for d in dims)
+        ng = int(np.prod(grid_nodes))
+        iotas = [jax.lax.broadcasted_iota(jnp.int32, dims, a)
+                 .astype(dtype) for a in range(dim)]
+        params = dict(self.asm.params)
+        params["__deltat"] = tc.deltat
+        params.update(pvec_scalars)
+        alpha_u = 1.0 if steady else tc.alpha_u
+        alpha_t = 0.0 if steady else tc.alpha_t
+        if steady:
+            ue = {v: [0.0] * self.nc for v in self.vars}
+            ud = {v: [0.0] * self.nc for v in self.vars}
+        else:
+            def corner_slices(vec):
+                out = {}
+                for v in self.vars:
+                    st = self.starts[v]
+                    g = vec[st:st + ng].reshape(grid_nodes)
+                    out[v] = [g[tuple(slice(o, o + d) for o, d in
+                                      zip(off, dims))]
+                              for off in self.corners]
+                return out
+            ue = corner_slices(tc.beta_u)
+            ud = corner_slices(tc.beta_t)
+        res0, jac0 = self._accumulate(ue, ud, iotas, alpha_u, alpha_t,
+                                      tc.time, params, steady, dtype)
+
+        def stack(entries, idx):
+            if not idx:
+                return None
+            return jnp.stack([
+                jnp.broadcast_to(jnp.asarray(entries[k], dtype), dims)
+                for k in idx])
+
+        return stack(res0, res0_idx), stack(jac0, jac0_idx)
+
     def n_slabs(self, steady, mode="full"):
         """HBM node-grid inputs per kernel variant: full = u (+betas),
         coord = betas only (state-independent -> loop-invariant),
@@ -906,7 +951,15 @@ class FusedP1Assembly:
             return ro, jo
 
         if split:
-            res0_out, jac_out = run_call("coord", res0_idx, jac0_idx)
+            # the coord part is emitted as PLAIN XLA on the full
+            # element grid (not a pallas_call): XLA's while-loop
+            # invariant code motion hoists pure HLO out of Newton
+            # scan/while bodies, but treats custom-calls (pallas) as
+            # opaque and re-runs them every iteration (measured 46 us
+            # vs 33 us one-kernel — a regression — when the coord part
+            # was a second pallas kernel)
+            res0_out, jac_out = self._coord_eval(
+                tc, pvec_scalars, steady, dtype, res0_idx, jac0_idx)
             reslin_out, _ = run_call("state", reslin_idx, ())
             res_parts = [
                 ({k: i for i, k in enumerate(res0_idx)}, res0_out,

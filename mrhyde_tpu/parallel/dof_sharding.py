@@ -219,8 +219,6 @@ class DofShardedStep:
             raise NotImplementedError(
                 "discretized field params on active boundary groups "
                 "under DOF sharding")
-        if assembler.multiscale is not None:
-            raise NotImplementedError("multiscale under DOF sharding")
         self.asm = assembler
         self.mesh = mesh
         self.axis = axis
@@ -362,6 +360,43 @@ class DofShardedStep:
             own_idx[s, :len(o)] = o
         self.own_idx = put(own_idx)
 
+        # multiscale (subgrid DtN) under DOF sharding — BOTH
+        # parallelism axes composed, the reference's domain
+        # decomposition x 'multiscale split comm'
+        # (split_mpi_communicators.cpp:31-41, multiscaleManager.cpp:
+        # 92-140): the fine DtN solves run OUTSIDE the shard_map on the
+        # replicated macro state (device-sharded internally when
+        # enable_device_sharding is on), and their upscaled residual /
+        # flux-Jacobian blocks enter the sharded step as additional
+        # owned-slice inputs. Each macro block row is assigned to the
+        # shard owning its element; its dofs are inside that shard's
+        # owned+ghost set by construction, so the blocks ride the same
+        # halo machinery as boundary-group Jacobians.
+        self._ms_meta = None
+        if assembler.multiscale is not None:
+            metas = []
+            nd_e = np.asarray(assembler.lids).shape[1]
+            glids_all = np.asarray(assembler.lids)
+            for elems in assembler.multiscale.jacobian_block_elems():
+                elems = np.asarray(elems)
+                shard_of = (np.searchsorted(cuts, elems, side="right")
+                            - 1)
+                counts = np.bincount(shard_of, minlength=S)
+                bmax = max(int(counts.max()), 1)
+                gidx = np.full((S, bmax), len(elems), dtype=np.int64)
+                lids_m = np.full((S, bmax, nd_e), p.ext_len - 1,
+                                 dtype=np.int64)
+                glids = glids_all[elems]
+                for s in range(S):
+                    rows = np.where(shard_of == s)[0]
+                    if rows.size:
+                        gidx[s, :rows.size] = rows
+                        lids_m[s, :rows.size] = p.ext_index(
+                            s, glids[rows])
+                metas.append({"gidx": put(gidx),
+                              "lids": put(lids_m)})
+            self._ms_meta = metas
+
     # ---- traced global <-> sharded conversion ------------------------
 
     def gather_global(self, vec):
@@ -378,6 +413,29 @@ class DofShardedStep:
             jnp.where(self.valid, arr, 0.0).ravel(),
             self.own_idx.ravel(), num_segments=self.part.n_dof + 1
         )[:-1]
+
+    def _ms_inputs(self, u_sh, tc, pvec):
+        """Multiscale contributions for one sharded step: flat dict
+        {'r': (S, nmax) owned-slice residual, 'b{i}'/'l{i}': per-shard
+        block chunks + ext-indexed lids}, or {} when no multiscale.
+        The fine solves see the REPLICATED macro state reconstructed
+        from the owned slices (scatter_global is exact — owners
+        partition the dofs)."""
+        ms = self.asm.multiscale
+        if ms is None or self._ms_meta is None:
+            return {}
+        u_glob = self.scatter_global(u_sh)
+        out = {"r": self.gather_global(
+            ms.residual_contribution(u_glob, tc, pvec))}
+        sh = NamedSharding(self.mesh, P(self.axis))
+        for i, ((blk, _lids), meta) in enumerate(zip(
+                ms.jacobian_blocks(u_glob, tc, pvec), self._ms_meta)):
+            bp = jnp.concatenate(
+                [blk, jnp.zeros((1,) + blk.shape[1:], blk.dtype)])
+            out[f"b{i}"] = jax.lax.with_sharding_constraint(
+                bp[meta["gidx"]], sh)
+            out[f"l{i}"] = meta["lids"]
+        return out
 
     def _extra_chunk(self, pvec):
         """Per-element extra channel chunked to (S, emax, ...)."""
@@ -421,7 +479,7 @@ class DofShardedStep:
     def _elem_arrays(self, blk):
         """Unpack one shard's blocks (leading dim 1 from shard_map)."""
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, extra, mix, garrs) = blk
+         ip, wts, bg, wsc, extra, mix, garrs, ms) = blk
         sq = lambda x: x[0]
         lids, signs, ip = sq(lids), sq(signs), sq(ip)
         u, bu, bt = sq(u), sq(bu), sq(bt)
@@ -435,12 +493,13 @@ class DofShardedStep:
         extra = jax.tree_util.tree_map(sq, extra)
         mix = jax.tree_util.tree_map(sq, mix)
         garrs = jax.tree_util.tree_map(sq, garrs)
+        ms = jax.tree_util.tree_map(sq, ms)
         return (u, bu, bt, lids, signs, send_next, send_prev, fixed,
-                valid, ip, wts, bg, wsc, extra, mix, garrs)
+                valid, ip, wts, bg, wsc, extra, mix, garrs, ms)
 
     def _local_res_jac(self, tc, pvec, blk, want_jac=True):
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, extra, mix, garrs) = self._elem_arrays(blk)
+         ip, wts, bg, wsc, extra, mix, garrs, ms) = self._elem_arrays(blk)
         mp, mw, mwT = (mix.get("p"), mix.get("w"), mix.get("wT"))
         ext_u = self._halo_gather(u, send_next, send_prev)
         ext_bu = self._halo_gather(bu, send_next, send_prev)
@@ -500,20 +559,33 @@ class DofShardedStep:
                 bnd_jacs.append((jac_b, glids))
 
         r = self._halo_reduce(seg, send_next, send_prev)
+        if ms:
+            # upscaled subgrid residual: already globally assembled
+            # outside the shard_map, enters as this shard's owned slice
+            r = r + ms["r"]
+            if want_jac:
+                # flux-Jacobian blocks ride the boundary-group channel
+                # (ext-indexed lids; halo reduce handles cross-shard
+                # macro-element dofs)
+                i = 0
+                while f"b{i}" in ms:
+                    bnd_jacs.append((ms[f"b{i}"], ms[f"l{i}"]))
+                    i += 1
         r = jnp.where(fixed, 0.0, jnp.where(valid, r, 0.0))
         return r, (jac_e, bnd_jacs), (lids, signs, send_next, send_prev,
                                       fixed, valid)
 
-    def _make_blk(self, u, bu, bt, extra=None):
+    def _make_blk(self, u, bu, bt, extra=None, ms=None):
         garrs = tuple(ga for _, ga in self._groups)
         return (u, bu, bt, self.lids, self.signs, self.send_next,
                 self.send_prev, self.fixed, self.valid, self.g_ip,
                 self.g_wts, self.g_bg,
                 self.e_wscale if self.uniform
                 else jnp.zeros((self.part.n_shards, 1)),
-                extra if extra is not None else {}, self.mix, garrs)
+                extra if extra is not None else {}, self.mix, garrs,
+                ms if ms is not None else {})
 
-    def _in_specs(self, extra=None):
+    def _in_specs(self, extra=None, ms=None):
         sh, rp = P(self.axis), P()
         wts_spec = rp if self.uniform else sh
         bg_spec = jax.tree_util.tree_map(
@@ -523,8 +595,10 @@ class DofShardedStep:
         mix_spec = jax.tree_util.tree_map(lambda _: sh, self.mix)
         g_spec = tuple(jax.tree_util.tree_map(lambda _: sh, ga)
                        for _, ga in self._groups)
+        ms_spec = jax.tree_util.tree_map(
+            lambda _: sh, ms if ms is not None else {})
         return (sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, wts_spec,
-                bg_spec, sh, ex_spec, mix_spec, g_spec)
+                bg_spec, sh, ex_spec, mix_spec, g_spec, ms_spec)
 
     # ---- public API ---------------------------------------------------
 
@@ -562,14 +636,18 @@ class DofShardedStep:
                                               want_jac=False)
                 return r[None]
 
-            smapped = _shard_map(
-                f, self.mesh, in_specs=(P(),) + self._in_specs(extra0),
-                out_specs=P(self.axis))
-            self._jit_cache[key] = jax.jit(
-                lambda u, bu, bt, tc_: smapped(
+            def wrapper(u, bu, bt, tc_):
+                ms = self._ms_inputs(u, tc_, pvec or {})
+                smapped = _shard_map(
+                    f, self.mesh,
+                    in_specs=(P(),) + self._in_specs(extra0, ms),
+                    out_specs=P(self.axis))
+                return smapped(
                     self._strip_tc(tc_),
                     *self._make_blk(u, bu, bt,
-                                    self._extra_chunk(pvec or {}))))
+                                    self._extra_chunk(pvec or {}),
+                                    ms))
+            self._jit_cache[key] = jax.jit(wrapper)
         return self._jit_cache[key]
 
     def _build_apply_diag(self, jac_e, bnd_jacs, idx):
@@ -716,13 +794,14 @@ class DofShardedStep:
             extra = self._extra_chunk(pvec)
             if extra_struct is None:
                 extra = None
+            ms = self._ms_inputs(u, tc_, pvec)
             pv_spec = jax.tree_util.tree_map(lambda _: P(), pvec)
             smapped = _shard_map(
                 f, self.mesh,
-                in_specs=(P(), pv_spec) + self._in_specs(extra),
+                in_specs=(P(), pv_spec) + self._in_specs(extra, ms),
                 out_specs=P(self.axis))
             return smapped(self._strip_tc(tc_), pvec,
-                           *self._make_blk(u, bu, bt, extra))
+                           *self._make_blk(u, bu, bt, extra, ms))
 
         fn = jax.jit(wrapper)
         self._jit_cache[key] = fn
@@ -764,14 +843,15 @@ class DofShardedStep:
             extra = self._extra_chunk(pvec)
             if extra_struct is None:
                 extra = None
+            ms = self._ms_inputs(u, tc_, pvec)
             pv_spec = jax.tree_util.tree_map(lambda _: P(), pvec)
             ex_probe = extra if extra is not None else None
             smapped = _shard_map(
                 f, self.mesh,
-                in_specs=(P(), pv_spec) + self._in_specs(ex_probe),
+                in_specs=(P(), pv_spec) + self._in_specs(ex_probe, ms),
                 out_specs=(P(axis), P()))
             return smapped(self._strip_tc(tc_), pvec,
-                           *self._make_blk(u, bu, bt, extra))
+                           *self._make_blk(u, bu, bt, extra, ms))
 
         fn = jax.jit(wrapper)
         self._jit_cache[key] = fn

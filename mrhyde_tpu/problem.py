@@ -579,16 +579,20 @@ class Problem:
 
     def _newton_fn(self):
         """newton_solve or its sharded drop-in when shards > 1:
-        DOF-sharded (v2 halo scheme) for standard decks; multiscale
-        decks take the element-sharded scheme with device-sharded
-        subgrid fine solves and a replicated macro vector."""
+        DOF-sharded (v2 halo scheme) for all decks — multiscale decks
+        compose BOTH parallelism axes (macro DOFs sharded with halo
+        rings, fine DtN solves assembled outside the shard_map, the
+        reference's DD x 'multiscale split comm'); 'sharded scheme:
+        replicated' falls back to the v1 element-sharded scheme."""
         if self.shards <= 1:
             return newton_solve
         if self._sharded_newton is None:
             from mrhyde_tpu.parallel.deck_sharded import (
                 ReplicatedShardedNewton, ShardedNewton)
+            scheme = str(self.solver_cfg.get("sharded scheme", "dof"))
             cls = (ReplicatedShardedNewton
-                   if self.assembler.multiscale is not None
+                   if (scheme == "replicated"
+                       and self.assembler.multiscale is not None)
                    else ShardedNewton)
             self._sharded_newton = cls(
                 self.assembler, self.shards,

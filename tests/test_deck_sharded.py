@@ -106,10 +106,15 @@ def test_multiscale_deck_sharded_matches_gold():
     them through the element-sharded scheme (replicated macro vector,
     device-sharded subgrid fine solves — ReplicatedShardedNewton).
     The 2D_verification_multiscale gold norms must reproduce at 8
-    shards AND match the unsharded run to solver precision."""
+    shards AND match the unsharded run to solver precision.
+    (8 shards on the 4x4 macro mesh exceeds the DOF-sharded halo-ring
+    neighbor limit, so this deck requests the replicated scheme
+    explicitly — the DOF-sharded composition is covered below.)"""
     from test_multiscale import CFG
-    a = _norms(CFG, 0)
-    b = _norms(CFG, 8)
+    cfg = copy.deepcopy(CFG)
+    cfg.setdefault("Solver", {})["sharded scheme"] = "replicated"
+    a = _norms(cfg, 0)
+    b = _norms(cfg, 8)
     assert set(a) == set(b)
     for k in a:
         assert a[k] == pytest.approx(b[k], rel=1e-9, abs=1e-13), \
@@ -147,3 +152,24 @@ def test_field_param_forward_sharded_matches():
     u8 = solve(8)
     assert np.linalg.norm(u0) > 1e-3
     np.testing.assert_allclose(u8, u0, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.slow
+def test_multiscale_deck_sharded_matches():
+    """Multiscale (subgrid DtN2) under DOF sharding (VERDICT r3 item
+    4): macro DOFs sharded with ppermute halo rings while the fine DtN
+    solves assemble outside the shard_map — gold L2-face 0.198706
+    (thermal/2D_verification_multiscale) reproduced through
+    `Solver: shards: 4` with diff vs replicated at solver precision."""
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_multiscale import CFG
+    cfg = copy.deepcopy(CFG)
+    a = _norms(cfg, 0)
+    b = _norms(cfg, 4)     # 4x4 macro mesh: one row per shard minimum
+    assert set(a) == set(b)
+    for k in a:
+        assert a[k] == pytest.approx(b[k], rel=1e-10, abs=1e-14), \
+            (k, a[k], b[k])
+    key = [k for k in b if k[1] == "L2-face"][0]
+    assert b[key] == pytest.approx(0.198706, rel=1e-3)
