@@ -272,6 +272,9 @@ def _assembly_stats(asm, p, dt):
 
 def assembly_bench():
     nx = int(os.environ.get("BENCH_NX", "512"))
+    # BENCH_CASE=const skips the varying-Jacobian case (fast iteration
+    # on the headline kernel); default runs both
+    case = os.environ.get("BENCH_CASE", "both")
 
     def mesh_phys(kappa, source):
         return {
@@ -293,22 +296,26 @@ def assembly_bench():
     # nonlinear solve, assemblyManager.cpp:2356-2510). Measured at a
     # nonconstant state (zeros would re-constant-fold the rows).
     import numpy as np
-    rng = np.random.RandomState(7)
-    n_nodes = (nx + 1) * (nx + 1)
-    u_init = 0.5 + 0.1 * rng.rand(n_nodes)
-    dt_v, asm_v, p_v = _assembly_measure(
-        mesh_phys("1.0 + e*e", "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"),
-        u_init=u_init)
-    g_v, roof_v, stats_v, nd = _assembly_stats(asm_v, p_v, dt_v)
-    print(json.dumps({
-        "metric": "element_jacobian_assembly_varying",
-        "value": round(g_v, 4),
-        "unit": "GDOF/s",
-        "vs_baseline": round(g_v / 1.0, 4),
-        "roofline_frac": round(roof_v, 3),
-        "jac_rows_varying": None if stats_v is None
-        else [stats_v["n_jac_rows"], nd * nd],
-    }))
+    g_v = roof_v = None
+    if case in ("both", "varying"):
+        rng = np.random.RandomState(7)
+        n_nodes = (nx + 1) * (nx + 1)
+        u_init = 0.5 + 0.1 * rng.rand(n_nodes)
+        dt_v, asm_v, p_v = _assembly_measure(
+            mesh_phys("1.0 + e*e", "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)"),
+            u_init=u_init)
+        g_v, roof_v, stats_v, nd = _assembly_stats(asm_v, p_v, dt_v)
+        print(json.dumps({
+            "metric": "element_jacobian_assembly_varying",
+            "value": round(g_v, 4),
+            "unit": "GDOF/s",
+            "vs_baseline": round(g_v / 1.0, 4),
+            "roofline_frac": round(roof_v, 3),
+            "jac_rows_varying": None if stats_v is None
+            else [stats_v["n_jac_rows"], nd * nd],
+        }))
+    if case == "varying":
+        return
 
     # 2) HEADLINE: constant-coefficient steady thermal — the database-
     # compressed best case (all Jacobian rows elide to scalars)
@@ -323,8 +330,9 @@ def assembly_bench():
         "roofline_frac": round(roof, 3),
         "jac_rows_varying": None if stats is None
         else [stats["n_jac_rows"], nd * nd],
-        "varying_gdofs": round(g_v, 4),
-        "varying_roofline_frac": round(roof_v, 3),
+        **({} if g_v is None else {
+            "varying_gdofs": round(g_v, 4),
+            "varying_roofline_frac": round(roof_v, 3)}),
     }))
 
 

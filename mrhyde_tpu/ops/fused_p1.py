@@ -982,11 +982,19 @@ class FusedP1Assembly:
         # constant residual parts broadcast into their pad lazily
         r = jnp.zeros(asm.n_dof, dtype=dtype)
         for vi, v in enumerate(self.vars):
+            # pad+sum PER PART, then sum the parts: under the affine
+            # split the coord part's pad+sum chain is built purely from
+            # Newton-loop-invariant arrays, so XLA's loop-invariant code
+            # motion hoists the whole scattered coord residual out of
+            # scan/while bodies — mixing parts per corner (tile_coord +
+            # tile_state, then pad) made every pad depend on the state
+            # and re-read the coord rows every iteration (measured 4E
+            # floats/iter of avoidable HBM traffic on 512^2 thermal)
             acc = None
-            for c, off in enumerate(self.corners):
-                k = vi * self.nc + c
-                tilev = None
-                for pos_map, out_arr, pvals in res_parts:
+            for pos_map, out_arr, pvals in res_parts:
+                pacc = None
+                for c, off in enumerate(self.corners):
+                    k = vi * self.nc + c
                     if k in pos_map:
                         tv = out_arr[pos_map[k]]
                     elif pvals[k] is not None:
@@ -994,13 +1002,12 @@ class FusedP1Assembly:
                             jnp.asarray(pvals[k], dtype), dims)
                     else:
                         continue
-                    tilev = tv if tilev is None else tilev + tv
-                if tilev is None:
-                    continue
-                part = jnp.pad(
-                    tilev, [(o, gn - d - o) for o, d, gn in
-                            zip(off, dims, grid_nodes)])
-                acc = part if acc is None else acc + part
+                    part = jnp.pad(
+                        tv, [(o, gn - d - o) for o, d, gn in
+                             zip(off, dims, grid_nodes)])
+                    pacc = part if pacc is None else pacc + part
+                if pacc is not None:
+                    acc = pacc if acc is None else acc + pacc
             if acc is None:
                 acc = jnp.zeros(grid_nodes, dtype=dtype)
             st = self.starts[v]
