@@ -18,6 +18,7 @@ import json
 import os
 import signal
 import sys
+import time as _time
 import traceback
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -218,8 +219,14 @@ def main():
     out_path = os.path.join(_ROOT, "tools", "sweep_results.json")
     key = _code_key()
     results = {}
+    prior_elapsed = {}
     if os.path.exists(out_path):
         cached = json.load(open(out_path))
+        # even a stale cache's per-deck durations are good ORDERING
+        # hints (ordering never affects correctness)
+        prior_elapsed = {d: v.get("elapsed") for d, v in cached.items()
+                        if isinstance(v, dict)
+                        and v.get("elapsed") is not None}
         # "unknown" keys (rev-parse failure) never match: two unknown
         # states are not known to be the same state.
         if cached.get("_code_key") == key and key != "unknown":
@@ -228,13 +235,22 @@ def main():
             print(f"cache stale (code changed); re-running all decks",
                   flush=True)
     results["_code_key"] = key
+    # fastest-first: a bounded sweep window covers the most decks, and
+    # the heavy tail (WG 3D) can't starve everything behind it
+    decks.sort(key=lambda d: (prior_elapsed.get(d, 60.0), d))
     for deck in decks:
         prev = results.get(deck)
         if (prev and not filters
                 and prev["status"] not in ("ERROR", "TIMEOUT")):
             continue
         print(f"=== {deck}", flush=True)
+        t_deck = _time.perf_counter()
         limit = int(os.environ.get("SWEEP_DECK_TIMEOUT", "900"))
+        # the WG 3D deck's general (unfused, CPU) path is the one deck
+        # measured to need more than the default budget (it MATCHes
+        # given time — see VERDICT r3 item 5); give it a 3x allowance
+        if "WeakGalerkin_3D" in deck:
+            limit *= 3
         signal.alarm(limit)
         try:
             results[deck] = _finalize(deck, run_deck(deck))
@@ -247,6 +263,7 @@ def main():
                              "type": type(e).__name__}
         finally:
             signal.alarm(0)
+        results[deck]["elapsed"] = round(_time.perf_counter() - t_deck, 1)
         print(f"    {results[deck]['status']}", flush=True)
         json.dump(results, open(out_path, "w"), indent=1)
     counts = {}
