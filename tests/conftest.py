@@ -19,3 +19,25 @@ import jax  # noqa: E402
 # run on the local virtual-device CPU backend in f64.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# --- opt-in periodic compile-cache clearing -------------------------
+# Hypothesis test for the XLA-CPU crash that forces the chunked full
+# suite (tools/run_full_suite.sh): the backend segfaults in
+# backend_compile_and_load after ~25-35 min of ACCUMULATED compiles in
+# one process. MRHYDE_CLEAR_CACHES_EVERY=N drops every jit/pjit
+# executable cache after each N tests (costing recompiles, changing no
+# semantics). If a full one-process run survives with this on, the
+# crash is cache-growth-driven and the chunked runner can be retired.
+import pytest  # noqa: E402
+
+_CLEAR_EVERY = int(os.environ.get("MRHYDE_CLEAR_CACHES_EVERY", "0"))
+_TEST_TICK = {"n": 0}
+
+
+@pytest.fixture(autouse=_CLEAR_EVERY > 0)
+def _periodic_cache_clear():
+    yield
+    _TEST_TICK["n"] += 1
+    if _CLEAR_EVERY and _TEST_TICK["n"] % _CLEAR_EVERY == 0:
+        jax.clear_caches()
