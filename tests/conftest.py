@@ -31,7 +31,14 @@ jax.config.update("jax_enable_x64", True)
 # crash is cache-growth-driven and the chunked runner can be retired.
 import pytest  # noqa: E402
 
-_CLEAR_EVERY = int(os.environ.get("MRHYDE_CLEAR_CACHES_EVERY", "0"))
+try:
+    _CLEAR_EVERY = int(os.environ.get("MRHYDE_CLEAR_CACHES_EVERY", "0"))
+except ValueError:                    # bad opt-in: ignore, don't abort
+    import warnings
+
+    warnings.warn("MRHYDE_CLEAR_CACHES_EVERY is not an integer; "
+                  "disabling periodic cache clearing")
+    _CLEAR_EVERY = 0
 _TEST_TICK = {"n": 0}
 
 
