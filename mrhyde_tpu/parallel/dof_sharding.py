@@ -215,10 +215,6 @@ class DofShardedStep:
 
     def __init__(self, assembler, mesh: Mesh, axis: str = "dp",
                  cg_iters: int = 25):
-        if assembler.field_params and assembler._active_bnd_groups():
-            raise NotImplementedError(
-                "discretized field params on active boundary groups "
-                "under DOF sharding")
         self.asm = assembler
         self.mesh = mesh
         self.axis = axis
@@ -309,10 +305,27 @@ class DofShardedStep:
                 lambda v: np.zeros((S, bmax) + np.asarray(v).shape[1:],
                                    dtype=np.asarray(v).dtype),
                 gdict["bg"])
+            # runtime gather index global boundary row -> (S, bmax)
+            # (pad -> trash row B): the traced boundary extra channel
+            # (discretized field params at side qps,
+            # parameterManager.cpp:272 distributes them like state)
+            # chunks through it per call
+            B = elems.shape[0]
+            gidx_g = np.full((S, bmax), B, dtype=np.int64)
+            # per-block physics mask at boundary elements is STATIC —
+            # bake its chunks once
+            bmask_g = None
+            if getattr(assembler, "module_masks", None) is not None:
+                bm = np.asarray(assembler.module_masks)[elems]
+                bmask_g = np.zeros((S, bmax) + bm.shape[1:],
+                                   dtype=bm.dtype)
             for s in range(S):
                 rows = np.where(shard_of == s)[0]
                 if rows.size == 0:
                     continue
+                gidx_g[s, :rows.size] = rows
+                if bmask_g is not None:
+                    bmask_g[s, :rows.size] = bm[rows]
                 lids_g[s, :rows.size] = p.ext_index(s, glids[rows])
                 signs_g[s, :rows.size] = np.asarray(gdict["signs"])[rows]
                 if bnd_mix:
@@ -330,6 +343,7 @@ class DofShardedStep:
                 "lids": put(lids_g), "signs": put(signs_g, dtype),
                 "wts": put(wts_g, dtype), "ip": put(ip_g, dtype),
                 "normals": put(nrm_g, dtype),
+                "gidx": put(gidx_g),
                 "bg": jax.tree_util.tree_map(lambda v: put(v, dtype),
                                              bg_g),
                 "mix": ({} if not bnd_mix else
@@ -337,6 +351,8 @@ class DofShardedStep:
                          "wT": put(np.take_along_axis(mixw_g, mixp_g,
                                                       axis=2), dtype)}),
             }
+            if bmask_g is not None:
+                arrays["bmask"] = put(bmask_g, dtype)
             self._groups.append((gdict, arrays))
 
         self._perm_fwd = [(i, i + 1) for i in range(S - 1)]
@@ -452,6 +468,30 @@ class DofShardedStep:
 
         return {k: gath(v) for k, v in extra.items()}
 
+    def _bextra_chunk(self, pvec):
+        """Discretized-field-param side-qp values per active boundary
+        group, chunked to (S, bmax, ...) — the boundary analog of
+        `_extra_chunk` (reference: parameterManager.cpp:272 distributes
+        discretized params through the same owned/overlapped maps as
+        state, so side worksets see them on every rank). Returns a
+        tuple over active groups of {} or {name: (S, bmax, Qf)}."""
+        out = []
+        for gdict, ga in self._groups:
+            bex = self.asm._field_param_boundary_values(pvec, gdict)
+            if not bex:
+                out.append({})
+                continue
+            gidx = ga["gidx"]
+
+            def gath(a):
+                a = jnp.asarray(a)
+                ap = jnp.concatenate(
+                    [a, jnp.zeros((1,) + a.shape[1:], dtype=a.dtype)])
+                return ap[gidx]
+
+            out.append({k: gath(v) for k, v in bex.items()})
+        return tuple(out)
+
     # ---- SPMD building blocks (run inside shard_map, block shapes) ---
 
     def _halo_gather(self, u_own, send_next, send_prev):
@@ -479,7 +519,7 @@ class DofShardedStep:
     def _elem_arrays(self, blk):
         """Unpack one shard's blocks (leading dim 1 from shard_map)."""
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, extra, mix, garrs, ms) = blk
+         ip, wts, bg, wsc, extra, mix, garrs, bextra, ms) = blk
         sq = lambda x: x[0]
         lids, signs, ip = sq(lids), sq(signs), sq(ip)
         u, bu, bt = sq(u), sq(bu), sq(bt)
@@ -493,13 +533,15 @@ class DofShardedStep:
         extra = jax.tree_util.tree_map(sq, extra)
         mix = jax.tree_util.tree_map(sq, mix)
         garrs = jax.tree_util.tree_map(sq, garrs)
+        bextra = jax.tree_util.tree_map(sq, bextra)
         ms = jax.tree_util.tree_map(sq, ms)
         return (u, bu, bt, lids, signs, send_next, send_prev, fixed,
-                valid, ip, wts, bg, wsc, extra, mix, garrs, ms)
+                valid, ip, wts, bg, wsc, extra, mix, garrs, bextra, ms)
 
     def _local_res_jac(self, tc, pvec, blk, want_jac=True):
         (u, bu, bt, lids, signs, send_next, send_prev, fixed, valid,
-         ip, wts, bg, wsc, extra, mix, garrs, ms) = self._elem_arrays(blk)
+         ip, wts, bg, wsc, extra, mix, garrs, bextra,
+         ms) = self._elem_arrays(blk)
         mp, mw, mwT = (mix.get("p"), mix.get("w"), mix.get("wT"))
         ext_u = self._halo_gather(u, send_next, send_prev)
         ext_bu = self._halo_gather(bu, send_next, send_prev)
@@ -533,7 +575,9 @@ class DofShardedStep:
         # boundary groups: gather from the SAME extended vector,
         # accumulate into the SAME pre-Export partial sums
         bnd_jacs = []
-        for (gdict, _), ga in zip(self._groups, garrs):
+        if not bextra:
+            bextra = ({},) * len(self._groups)
+        for (gdict, _), ga, bex in zip(self._groups, garrs, bextra):
             glids, gsigns = ga["lids"], ga["signs"]
             gmix = ga.get("mix", {})
             gmp, gmw, gmwT = (gmix.get("p"), gmix.get("w"),
@@ -544,17 +588,24 @@ class DofShardedStep:
             bfn = partial(self.asm._belem_residual, gdict,
                           alpha_u=tc.alpha_u, alpha_t=tc.alpha_t,
                           time=tc.time, pvec=pvec, deltat=tc.deltat)
+            bex = bex or None
+            bm = ga.get("bmask")
+            bax = (0, 0, 0, 0, 0, 0, 0,
+                   None if bex is None else 0,
+                   None if bm is None else 0)
             res_b = _fold_WT(
-                jax.vmap(bfn)(ub, bub, btb, ga["wts"], ga["ip"],
-                              ga["normals"], ga["bg"]),
+                jax.vmap(bfn, in_axes=bax)(
+                    ub, bub, btb, ga["wts"], ga["ip"],
+                    ga["normals"], ga["bg"], bex, bm),
                 gsigns, gmp, gmwT)
             seg = seg + jax.ops.segment_sum(
                 res_b.ravel(), glids.ravel(),
                 num_segments=self.part.ext_len)
             if want_jac:
-                jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0))(
+                jac_b = jax.vmap(jax.jacfwd(bfn, argnums=0),
+                                 in_axes=bax)(
                     ub, bub, btb, ga["wts"], ga["ip"], ga["normals"],
-                    ga["bg"])
+                    ga["bg"], bex, bm)
                 jac_b = _fold_jac_WT_W(jac_b, gsigns, gmp, gmwT)
                 bnd_jacs.append((jac_b, glids))
 
@@ -575,7 +626,7 @@ class DofShardedStep:
         return r, (jac_e, bnd_jacs), (lids, signs, send_next, send_prev,
                                       fixed, valid)
 
-    def _make_blk(self, u, bu, bt, extra=None, ms=None):
+    def _make_blk(self, u, bu, bt, extra=None, ms=None, bextra=None):
         garrs = tuple(ga for _, ga in self._groups)
         return (u, bu, bt, self.lids, self.signs, self.send_next,
                 self.send_prev, self.fixed, self.valid, self.g_ip,
@@ -583,9 +634,10 @@ class DofShardedStep:
                 self.e_wscale if self.uniform
                 else jnp.zeros((self.part.n_shards, 1)),
                 extra if extra is not None else {}, self.mix, garrs,
+                bextra if bextra is not None else (),
                 ms if ms is not None else {})
 
-    def _in_specs(self, extra=None, ms=None):
+    def _in_specs(self, extra=None, ms=None, bextra=None):
         sh, rp = P(self.axis), P()
         wts_spec = rp if self.uniform else sh
         bg_spec = jax.tree_util.tree_map(
@@ -595,10 +647,13 @@ class DofShardedStep:
         mix_spec = jax.tree_util.tree_map(lambda _: sh, self.mix)
         g_spec = tuple(jax.tree_util.tree_map(lambda _: sh, ga)
                        for _, ga in self._groups)
+        bex_spec = jax.tree_util.tree_map(
+            lambda _: sh, bextra if bextra is not None else ())
         ms_spec = jax.tree_util.tree_map(
             lambda _: sh, ms if ms is not None else {})
         return (sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, wts_spec,
-                bg_spec, sh, ex_spec, mix_spec, g_spec, ms_spec)
+                bg_spec, sh, ex_spec, mix_spec, g_spec, bex_spec,
+                ms_spec)
 
     # ---- public API ---------------------------------------------------
 
@@ -630,6 +685,7 @@ class DofShardedStep:
         key = ("res", id(pvec) if pvec else None)
         if key not in self._jit_cache:
             extra0 = self._extra_chunk(pvec or {})
+            bex0 = self._bextra_chunk(pvec or {})
 
             def f(tc_, *blk):
                 r, _, _ = self._local_res_jac(tc_, pvec, blk,
@@ -640,13 +696,13 @@ class DofShardedStep:
                 ms = self._ms_inputs(u, tc_, pvec or {})
                 smapped = _shard_map(
                     f, self.mesh,
-                    in_specs=(P(),) + self._in_specs(extra0, ms),
+                    in_specs=(P(),) + self._in_specs(extra0, ms, bex0),
                     out_specs=P(self.axis))
                 return smapped(
                     self._strip_tc(tc_),
                     *self._make_blk(u, bu, bt,
                                     self._extra_chunk(pvec or {}),
-                                    ms))
+                                    ms, self._bextra_chunk(pvec or {})))
             self._jit_cache[key] = jax.jit(wrapper)
         return self._jit_cache[key]
 
@@ -751,6 +807,7 @@ class DofShardedStep:
             return self._jit_cache[key]
         axis = self.axis
         extra0 = self._extra_chunk(pvec or {})
+        bex0 = self._bextra_chunk(pvec or {})
 
         def f(tc_, *blk):
             r, (jac_e, bnd_jacs), idx = \
@@ -768,11 +825,13 @@ class DofShardedStep:
             return (u + x)[None], rnorm
 
         smapped = _shard_map(
-            f, self.mesh, in_specs=(P(),) + self._in_specs(extra0),
+            f, self.mesh,
+            in_specs=(P(),) + self._in_specs(extra0, bextra=bex0),
             out_specs=(P(axis), P()))
         fn = jax.jit(lambda u, bu, bt, tc_: smapped(
             self._strip_tc(tc_),
-            *self._make_blk(u, bu, bt, self._extra_chunk(pvec or {}))))
+            *self._make_blk(u, bu, bt, self._extra_chunk(pvec or {}),
+                            bextra=self._bextra_chunk(pvec or {}))))
         self._jit_cache[key] = fn
         return fn
 
@@ -794,14 +853,16 @@ class DofShardedStep:
             extra = self._extra_chunk(pvec)
             if extra_struct is None:
                 extra = None
+            bex = self._bextra_chunk(pvec)
             ms = self._ms_inputs(u, tc_, pvec)
             pv_spec = jax.tree_util.tree_map(lambda _: P(), pvec)
             smapped = _shard_map(
                 f, self.mesh,
-                in_specs=(P(), pv_spec) + self._in_specs(extra, ms),
+                in_specs=(P(), pv_spec) + self._in_specs(extra, ms,
+                                                         bex),
                 out_specs=P(self.axis))
             return smapped(self._strip_tc(tc_), pvec,
-                           *self._make_blk(u, bu, bt, extra, ms))
+                           *self._make_blk(u, bu, bt, extra, ms, bex))
 
         fn = jax.jit(wrapper)
         self._jit_cache[key] = fn
@@ -843,15 +904,17 @@ class DofShardedStep:
             extra = self._extra_chunk(pvec)
             if extra_struct is None:
                 extra = None
+            bex = self._bextra_chunk(pvec)
             ms = self._ms_inputs(u, tc_, pvec)
             pv_spec = jax.tree_util.tree_map(lambda _: P(), pvec)
             ex_probe = extra if extra is not None else None
             smapped = _shard_map(
                 f, self.mesh,
-                in_specs=(P(), pv_spec) + self._in_specs(ex_probe, ms),
+                in_specs=(P(), pv_spec) + self._in_specs(ex_probe, ms,
+                                                         bex),
                 out_specs=(P(axis), P()))
             return smapped(self._strip_tc(tc_), pvec,
-                           *self._make_blk(u, bu, bt, extra, ms))
+                           *self._make_blk(u, bu, bt, extra, ms, bex))
 
         fn = jax.jit(wrapper)
         self._jit_cache[key] = fn

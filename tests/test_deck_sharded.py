@@ -155,6 +155,46 @@ def test_field_param_forward_sharded_matches():
 
 
 @pytest.mark.slow
+def test_field_param_boundary_group_sharded_matches():
+    """Discretized field param evaluated on an ACTIVE BOUNDARY GROUP
+    (a Neumann flux referencing the param at side qps) under DOF
+    sharding — lifts the last v2 exclusion (round-4
+    dof_sharding.py:219). The reference distributes discretized
+    params through the same owned/overlapped maps as state everywhere
+    (parameterManager.cpp:272; e.g. the Neumann 'xtrac*ny' traction in
+    le/2d_sparse_simul_inversion)."""
+    cfg = copy.deepcopy(_THERMAL)
+    cfg["Functions"] = {"thermal source": "1.0 + x*y"}
+    cfg["Physics"]["Dirichlet conditions"] = {
+        "scalar data": True, "e": {"left": 0.0, "bottom": 0.0}}
+    cfg["Physics"]["Neumann conditions"] = {
+        "e": {"right": "2.0*bflux", "top": "bflux*bflux - y"}}
+    cfg["Parameters"] = {
+        "bflux": {"usage": "discretized", "basis": "HGRAD",
+                  "order": 1, "value": 1.0}}
+    del cfg["Postprocess"]
+
+    import jax.numpy as jnp
+
+    def solve(shards):
+        c = copy.deepcopy(cfg)
+        if shards:
+            c["Solver"]["shards"] = shards
+        p = Problem(c)
+        assert p.assembler._active_bnd_groups(), \
+            "deck must exercise boundary-group assembly"
+        n_p = p.assembler.field_params["bflux"]["n_dof"]
+        x = np.linspace(0.4, 1.6, n_p)
+        res = p.forward(pvec={"bflux": jnp.asarray(x)})
+        return np.asarray(res.u)
+
+    u0 = solve(0)
+    u8 = solve(8)
+    assert np.linalg.norm(u0) > 1e-3
+    np.testing.assert_allclose(u8, u0, rtol=1e-10, atol=1e-12)
+
+
+@pytest.mark.slow
 def test_multiscale_deck_sharded_matches():
     """Multiscale (subgrid DtN2) under DOF sharding (VERDICT r3 item
     4): macro DOFs sharded with ppermute halo rings while the fine DtN
