@@ -270,7 +270,10 @@ class FusedP1Assembly:
                    the qp densities are replaced by their directional
                    derivative sum_k D_k z_k (out0 is traced but unused
                    so XLA dead-code-eliminates the state-independent
-                   coefficient/source work); no Jacobian.
+                   coefficient/source work); no Jacobian;
+          "res"  — residual only at the combined state: no AD at all
+                   (the node-scatter residual kernel pairs with a
+                   jac-only element kernel on the non-affine path).
         The matching coord part is mode "full" at the zero state (ue =
         betas only) — for densities affine in (u, u_t, grad u) the two
         parts sum exactly to the one-kernel result, and everything in
@@ -332,20 +335,23 @@ class FusedP1Assembly:
             # structurally zero and may be a SCALAR for constant
             # coefficients (the SFad analog; see ops/sparse_fwd.py).
             # Falls back to dense jax.linearize on unsupported
-            # primitives.
-            try:
-                from mrhyde_tpu.ops.sparse_fwd import (
-                    SparseFwdUnsupported, sparse_jacfwd)
-                out0, D = sparse_jacfwd(f, z0)
-            except SparseFwdUnsupported:
-                out0, f_lin = jax.linearize(f, z0)
-                one = jnp.ones_like(z0[0])
-                zero = jnp.zeros_like(z0[0])
-                D = []
-                for k in range(n_in):
-                    tz = [one if i == k else zero
-                          for i in range(n_in)]
-                    D.append(f_lin(tz))
+            # primitives. mode "res" needs no derivatives at all.
+            if mode == "res":
+                out0, D = f(z0), None
+            else:
+                try:
+                    from mrhyde_tpu.ops.sparse_fwd import (
+                        SparseFwdUnsupported, sparse_jacfwd)
+                    out0, D = sparse_jacfwd(f, z0)
+                except SparseFwdUnsupported:
+                    out0, f_lin = jax.linearize(f, z0)
+                    one = jnp.ones_like(z0[0])
+                    zero = jnp.zeros_like(z0[0])
+                    D = []
+                    for k in range(n_in):
+                        tz = [one if i == k else zero
+                              for i in range(n_in)]
+                        D.append(f_lin(tz))
 
             w = float(wts[q])
             if mode == "lin":
@@ -383,6 +389,8 @@ class FusedP1Assembly:
                     for d in range(dim):
                         a = a + grad[c, q, d] * Fv[d]
                     res[vi * nc + c] = acc2(res[vi * nc + c], w * a)
+            if mode == "res":
+                continue
 
             # T[o][w,c'] combos, then Jacobian accumulation; None
             # entries (structural zeros) skip their whole
@@ -595,15 +603,16 @@ class FusedP1Assembly:
         return stack(res0, res0_idx), stack(jac0, jac0_idx)
 
     def n_slabs(self, steady, mode="full"):
-        """HBM node-grid inputs per kernel variant: full = u (+betas),
-        coord = betas only (state-independent -> loop-invariant),
-        state = u only."""
+        """HBM node-grid inputs per kernel variant: full/res = u
+        (+betas), coord = betas only (state-independent ->
+        loop-invariant), state = u only."""
         return {"full": 1 if steady else 3,
+                "res": 1 if steady else 3,
                 "coord": 0 if steady else 2,
                 "state": 1}[mode]
 
     def _kernel(self, tiles, dtype, pvec_names, steady, res_idx,
-                jac_idx, mode="full"):
+                jac_idx, mode="full", node=False, grid=None):
         """Kernel writing ONLY the element-varying res/jac entries
         (res_idx / jac_idx, from `_probe`); element-independent entries
         never touch HBM — for constant-coefficient physics the entire
@@ -612,14 +621,52 @@ class FusedP1Assembly:
         path storing one element matrix for a uniform mesh.
 
         mode (affine split, see `_accumulate`):
-          "full"  — one kernel: res+jac at the combined state;
+          "full"  — one kernel: res+jac at the combined state
+                    (res_idx=None emits the Jacobian only — out0 is
+                    traced but unused, so XLA dead-codes the primal);
           "coord" — the state-INDEPENDENT part: densities at zero
                     state (betas only) + the full Jacobian (affine =>
                     state-independent). No u input, so XLA hoists the
                     whole call out of Newton/scan loops;
           "state" — the state part: directional-derivative residual
-                    rows only, reading just the u grid.
-        """
+                    rows only, reading just the u grid;
+          "res"   — residual only at the combined state (no AD).
+
+        node=True — IN-KERNEL RESIDUAL SCATTER (PERF_r4.md round-5
+        fix; the reference's fused scatter is
+        assemblyManager.cpp:3943-4031): the grid runs over the SAME
+        aligned element tiles, but instead of emitting per-corner
+        element rows (whose 4E-float write + 4E readback around the
+        XLA pad+sum capped roofline_frac at ~0.44), each instance
+        assembles its OWN node block in VMEM — the corner rows
+        shift-sum locally via pltpu.roll + iota masks (jnp.pad lowers
+        to misaligned tpu.concatenate, which Mosaic rejects), phantom
+        elements masked via integer iota (where, not multiply:
+        NaN-safe for densities singular at pad coords).
+
+        Cross-tile spills ride VMEM carries over the SEQUENTIAL grid
+        (q fastest) — no manual DMA, whose slices Mosaic requires to
+        be (8,128)-aligned and spills are inherently thin:
+          - right spill (last lane's oj=1 corners) -> cC scratch,
+            consumed by step (p, q+1) into its A block's lane 0;
+          - bottom spill (last sublane's oi=1 corners) -> a parity
+            double-buffered node-line scratch (2, n_var, 1, K1):
+            row p writes buf[1-p%2], row p+1 consumes buf[(p+1)%2]
+            into its A blocks' sublane 0;
+          - corner spill D -> cD scratch, folded into the NEXT
+            segment's lane 0 when (p, q+1) writes its line segment
+            (node (ti(p+1), tj(q+1)) is lane 0 of segment q+1 on the
+            next node line);
+          - mesh-edge node lines (node row K0 / col K1, real only
+            when tiles divide dims exactly) -> two tiny RESIDENT
+            outputs erow (n_var,1,K1) / ecol (n_var,K0+8,1) with
+            constant index maps, written segment-wise by the last
+            tile row / column (D's at q=gj-1 hand forward through
+            cDe); the caller adds them as single node lines.
+        Outputs: A (n_var,)+tiles blocked over [0,K0)x[0,K1) node
+        windows, plus erow/ecol. Every write is a full-block or an
+        (8,128)-aligned scratch slice; no element window overlap =>
+        no halo recompute."""
         dim, n_var, nd = self.dim, self.n_var, self.nd
         vars_, corners = self.vars, self.corners
         # DMA slab: majors +1, second-minor +8, minor +128
@@ -636,10 +683,21 @@ class FusedP1Assembly:
         def kernel(scal_ref, *refs):
             slab_refs = refs[:n_slab]
             pos = n_slab
-            res_ref = refs[pos] if res_idx else None
-            jac_ref = refs[pos + (1 if res_idx else 0)] if jac_idx \
-                else None
-            pids = [pl.program_id(a) * tiles[a] for a in range(dim)]
+            carry_s = None
+            if node:
+                res_ref = refs[pos]                    # A (blocked)
+                erow_ref, ecol_ref = refs[pos + 1:pos + 3]
+                # grid-persistent VMEM carries (pallas_call
+                # scratch_shapes — run_scoped would reallocate per
+                # grid step)
+                carry_s = refs[pos + 3:pos + 7]
+                jac_ref = None
+            else:
+                res_ref = refs[pos] if res_idx else None
+                jac_ref = refs[pos + (1 if res_idx else 0)] \
+                    if jac_idx else None
+            bids = [pl.program_id(a) for a in range(dim)]
+            pids = [b * tiles[a] for a, b in enumerate(bids)]
 
             def inner(*svs_sem):
                 svs, sem = svs_sem[:-1], svs_sem[-1]
@@ -698,27 +756,35 @@ class FusedP1Assembly:
                                          + corner_tile(svs[2], vi,
                                                        off))
 
-                iotas = [
-                    (jax.lax.broadcasted_iota(jnp.int32, tile_shape, a)
-                     + pids[a]).astype(dtype)
+                # global element index per tile lane
+                iotas_i = [
+                    jax.lax.broadcasted_iota(jnp.int32, tile_shape, a)
+                    + pids[a]
                     for a in range(dim)]
+                iotas = [ii.astype(dtype) for ii in iotas_i]
 
+                acc_mode = {"state": "lin", "res": "res"}.get(
+                    mode, "full")
                 res, jac = self._accumulate(
                     ue, ud, iotas, alpha_u, alpha_t, t, params, steady,
-                    dtype, mode="lin" if mode == "state" else "full")
+                    dtype, mode=acc_mode)
 
                 # classification safety: the probe and the kernel run
                 # the same code, so an entry the probe called constant
                 # must not come back element-varying here (its probe
-                # value would silently be wrong for some elements)
-                for k in range(nd):
-                    if k not in res_idx and _is_varying(res[k]):
-                        raise AssertionError(
-                            f"res[{k}] probe/kernel class mismatch")
-                for k in range(nd * nd):
-                    if k not in jac_idx and _is_varying(jac[k]):
-                        raise AssertionError(
-                            f"jac[{k}] probe/kernel class mismatch")
+                # value would silently be wrong for some elements).
+                # Node mode emits ALL entries (constants fold
+                # in-kernel) so no res classification is needed.
+                if not node and res_idx is not None:
+                    for k in range(nd):
+                        if k not in res_idx and _is_varying(res[k]):
+                            raise AssertionError(
+                                f"res[{k}] probe/kernel class mismatch")
+                if jac_idx:
+                    for k in range(nd * nd):
+                        if k not in jac_idx and _is_varying(jac[k]):
+                            raise AssertionError(
+                                f"jac[{k}] probe/kernel class mismatch")
 
                 def store(v):
                     if v is None:
@@ -726,8 +792,151 @@ class FusedP1Assembly:
                     return jnp.broadcast_to(
                         jnp.asarray(v, dtype), tile_shape)
 
-                for pos_, k in enumerate(res_idx):
-                    res_ref[pos_] = store(res[k])
+                if node:
+                    # in-kernel scatter: phantom-mask each corner row,
+                    # shift-sum the corners into this tile's OWN node
+                    # block A (node local (li,lj) <- row_c[li-oi,
+                    # lj-oj]); spills onto neighboring blocks' first
+                    # node lines ride the grid-persistent VMEM
+                    # carries (see docstring)
+                    inside = None
+                    for a in range(dim):
+                        m = (iotas_i[a] < self.dims[a])
+                        inside = m if inside is None else inside & m
+                    zero_t = jnp.zeros(tile_shape, dtype)
+                    ti, tj = tile_shape
+                    # Mosaic-friendly shift-by-one: pltpu.roll (a
+                    # native lane/sublane rotate) + iota mask. The
+                    # jnp.pad formulation lowered to misaligned
+                    # tpu.concatenate on the lane dim, which Mosaic
+                    # rejects ("result/input offset mismatch").
+                    sub_i = jax.lax.broadcasted_iota(
+                        jnp.int32, tile_shape, 0)
+                    lan_i = jax.lax.broadcasted_iota(
+                        jnp.int32, tile_shape, 1)
+
+                    def shift(x, axis):
+                        io = sub_i if axis == 0 else lan_i
+                        return jnp.where(io == 0, zero_t,
+                                         pltpu.roll(x, 1, axis))
+
+                    def takerow(x, axis):
+                        # masked reduce: the LAST sublane row (axis=0,
+                        # -> (1,tj)) or lane column (axis=1, ->
+                        # (ti,1)) without slice/concat lowering
+                        io, last = ((sub_i, ti - 1) if axis == 0
+                                    else (lan_i, tj - 1))
+                        return jnp.sum(jnp.where(io == last, x,
+                                                 zero_t),
+                                       axis=axis, keepdims=True)
+
+                    line_s, cC_s, cD_s, cDe_s = carry_s
+                    p, q = bids
+                    gi, gj = grid
+                    cur = jax.lax.rem(p, jnp.asarray(2, p.dtype))
+                    lan_row = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, tj), 1)
+                    sub_col = jax.lax.broadcasted_iota(
+                        jnp.int32, (ti, 1), 0)
+                    z_row = jnp.zeros((1, tj), dtype)
+                    z_col = jnp.zeros((ti, 1), dtype)
+                    for vi in range(n_var):
+                        aA = aB = aC = aD = None
+
+                        def add(a, b):
+                            return b if a is None else a + b
+
+                        for c, off in enumerate(corners):
+                            e = res[vi * self.nc + c]
+                            if e is None:
+                                continue
+                            row = jnp.where(
+                                inside,
+                                jnp.broadcast_to(
+                                    jnp.asarray(e, dtype), tile_shape),
+                                zero_t)
+                            oi, oj = off
+                            sl = shift(row, 1) if oj else row
+                            aA = add(aA, shift(sl, 0) if oi else sl)
+                            if oi:
+                                aB = add(aB, takerow(sl, 0))
+                            if oj:
+                                ss = shift(row, 0) if oi else row
+                                aC = add(aC, takerow(ss, 1))
+                            if oi and oj:
+                                aD = add(aD, jnp.sum(
+                                    jnp.where((sub_i == ti - 1)
+                                              & (lan_i == tj - 1),
+                                              row, zero_t),
+                                    axis=(0, 1), keepdims=True))
+                        aA = zero_t if aA is None else aA
+                        aB = z_row if aB is None else aB
+                        aC = z_col if aC is None else aC
+                        aD = jnp.zeros((1, 1), dtype) \
+                            if aD is None else aD
+                        # consume carries from earlier steps: the
+                        # node line above (written by tile row p-1,
+                        # D-corners already folded at lane 0) and the
+                        # left tile's right spill. Uninitialized
+                        # first-row/col reads are where-SELECTED away
+                        # (no arithmetic touches the garbage).
+                        seg = line_s[cur, vi, :, pl.ds(q * tj, tj)]
+                        aA = aA + jnp.where(
+                            (sub_i == 0) & (p > 0),
+                            jnp.broadcast_to(seg, tile_shape), zero_t)
+                        aA = aA + jnp.where(
+                            (lan_i == 0) & (q > 0),
+                            jnp.broadcast_to(cC_s[vi], tile_shape),
+                            zero_t)
+                        res_ref[vi] = aA
+                        # produce the node line below: D from
+                        # (p, q-1) is lane 0 of THIS segment
+                        bseg = aB + jnp.where(
+                            (lan_row == 0) & (q > 0),
+                            jnp.broadcast_to(cD_s[vi], (1, tj)),
+                            z_row)
+
+                        @pl.when(p == gi - 1)
+                        def _():
+                            erow_ref[vi, :, pl.ds(q * tj, tj)] = bseg
+
+                        @pl.when(p < gi - 1)
+                        def _():
+                            line_s[1 - cur, vi, :,
+                                   pl.ds(q * tj, tj)] = bseg
+
+                        @pl.when(q == gj - 1)
+                        def _():
+                            # edge column: the row's last C spill + D
+                            # handed down from the tile above (node
+                            # row ti*p is sublane 0 here)
+                            cvals = aC + jnp.where(
+                                (sub_col == 0) & (p > 0),
+                                jnp.broadcast_to(cDe_s[vi], (ti, 1)),
+                                z_col)
+                            ecol_ref[vi, pl.ds(p * ti, ti), :] = cvals
+                            cDe_s[vi] = aD
+
+                        @pl.when(q < gj - 1)
+                        def _():
+                            cC_s[vi] = aC
+                            cD_s[vi] = aD
+
+                        @pl.when((p == gi - 1) & (q == gj - 1))
+                        def _():
+                            # the very last D: node (K0, K1)
+                            sub8 = jax.lax.broadcasted_iota(
+                                jnp.int32, (8, 1), 0)
+                            ecol_ref[vi, pl.ds(gi * ti, 8), :] = \
+                                jnp.where(
+                                    sub8 == 0,
+                                    jnp.broadcast_to(aD, (8, 1)),
+                                    jnp.zeros((8, 1), dtype))
+                    return
+
+                if res_idx:
+                    for pos_, k in enumerate(res_idx):
+                        res_ref[pos_] = store(res[k])
                 for pos_, k in enumerate(jac_idx):
                     jac_ref[pos_] = store(jac[k])
 
@@ -736,10 +945,10 @@ class FusedP1Assembly:
             else:
                 kwargs = {f"s{i}": pltpu.VMEM((n_var,) + slab, dtype)
                           for i in range(n_slab)}
+                names_s = [f"s{i}" for i in range(n_slab)]
                 kwargs["sem"] = pltpu.SemaphoreType.DMA(())
                 pl.run_scoped(
-                    lambda **kw: inner(*[kw[f"s{i}"]
-                                         for i in range(n_slab)],
+                    lambda **kw: inner(*[kw[nm] for nm in names_s],
                                        kw["sem"]),
                     **kwargs)
 
@@ -762,9 +971,18 @@ class FusedP1Assembly:
 
         grid_nodes = tuple(d + 1 for d in dims)
         ng = int(np.prod(grid_nodes))
+        # in-kernel residual scatter (node-window kernel): 2D only —
+        # in 3D the halo recompute waste ((t+1)^3/t^3 at small tiles)
+        # and the node-grid block padding overwhelm the saved
+        # row readback, so 3D keeps the pad+sum scatter
+        import os as _os
+        use_node = (self.dim == 2 and min(tiles) >= 2
+                    and _os.environ.get("MRHYDE_NO_NODE_SCATTER")
+                    != "1")
         # stacked node grids, padded to the DMA slab granularity over
         # the tile-rounded element grid (kdims >= dims; pad elements
-        # see zero node values and are discarded at scatter)
+        # see zero node values and are discarded at scatter /
+        # phantom-masked in the node-scatter kernel)
         pads = [k + 1 for k in kdims]
         pads[-1] = kdims[-1] + 128
         if len(pads) >= 2:
@@ -897,11 +1115,13 @@ class FusedP1Assembly:
                           "n_res_rows": len(reslin_idx),
                           "n_jac_rows": 0,
                           "coord_res_rows": len(res0_idx),
-                          "coord_jac_rows": len(jac0_idx)}
+                          "coord_jac_rows": len(jac0_idx),
+                          "node_scatter": use_node}
         else:
             self.stats = {"steady": steady, "split": False,
                           "n_res_rows": len(res_idx),
-                          "n_jac_rows": len(jac_idx)}
+                          "n_jac_rows": len(jac_idx),
+                          "node_scatter": use_node}
 
         gu = grids(u)
         grid = tuple(k // t for k, t in zip(kdims, tiles))
@@ -914,9 +1134,16 @@ class FusedP1Assembly:
         if not steady:
             gbu, gbt = grids(tc.beta_u), grids(tc.beta_t)
 
+        def _slabs(mode):
+            return {"full": [gu] if steady else [gu, gbu, gbt],
+                    "res": [gu] if steady else [gu, gbu, gbt],
+                    "coord": [] if steady else [gbu, gbt],
+                    "state": [gu]}[mode]
+
         def run_call(mode, ridx, jidx):
-            """One pallas_call; returns (res_out, jac_out) pad-sliced
-            (None where that output family is empty)."""
+            """One pallas_call over ELEMENT tiles; returns
+            (res_out, jac_out) pad-sliced (None where that output
+            family is empty). ridx=None emits the Jacobian only."""
             out_specs, out_shape = [], []
             if ridx:
                 out_specs.append(pl.BlockSpec((len(ridx),) + tiles,
@@ -930,9 +1157,7 @@ class FusedP1Assembly:
                     jax.ShapeDtypeStruct((len(jidx),) + kdims, dtype))
             if not out_shape:
                 return None, None
-            slabs = {"full": [gu] if steady else [gu, gbu, gbt],
-                     "coord": [] if steady else [gbu, gbt],
-                     "state": [gu]}[mode]
+            slabs = _slabs(mode)
             kern = self._kernel(tiles, dtype, names, steady, ridx,
                                 jidx, mode)
             outs = pl.pallas_call(
@@ -950,6 +1175,54 @@ class FusedP1Assembly:
                 if jidx else None
             return ro, jo
 
+        def run_node_call(mode):
+            """In-kernel residual scatter: one pallas_call over the
+            element tiles emitting per-tile assembled node blocks A
+            (aligned blocked output); cross-tile spills ride VMEM
+            carries over the sequential grid (see `_kernel` node=True
+            docstring), and the two mesh-edge node lines (real only
+            when tiles divide dims exactly) come back as tiny
+            resident outputs erow/ecol added here as single lines.
+            mode: "state" (split) or "res" (non-affine)."""
+            slabs = _slabs(mode)
+            kern = self._kernel(tiles, dtype, names, steady, None,
+                                (), mode, node=True, grid=grid)
+            K0, K1 = kdims
+            outs = pl.pallas_call(
+                kern, grid=grid,
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [hbm] * len(slabs),
+                out_specs=[
+                    pl.BlockSpec((n_var,) + tiles, omap),
+                    pl.BlockSpec((n_var, 1, K1), lambda *_: (0, 0, 0)),
+                    pl.BlockSpec((n_var, K0 + 8, 1),
+                                 lambda *_: (0, 0, 0))],
+                out_shape=[
+                    jax.ShapeDtypeStruct((n_var,) + kdims, dtype),
+                    jax.ShapeDtypeStruct((n_var, 1, K1), dtype),
+                    jax.ShapeDtypeStruct((n_var, K0 + 8, 1), dtype)],
+                scratch_shapes=[
+                    pltpu.VMEM((2, n_var, 1, K1), dtype),
+                    pltpu.VMEM((n_var, tiles[0], 1), dtype),
+                    pltpu.VMEM((n_var, 1, 1), dtype),
+                    pltpu.VMEM((n_var, 1, 1), dtype)],
+                interpret=interpret,
+            )(scal, *slabs)
+            A, erow, ecol = outs
+            N0, N1 = grid_nodes
+            # A covers nodes [0, K) per axis; crop to the node grid
+            c0, c1 = min(K0, N0), min(K1, N1)
+            acc = jax.lax.pad(A[:, :c0, :c1], jnp.asarray(0.0, dtype),
+                              [(0, 0, 0), (0, N0 - c0, 0),
+                               (0, N1 - c1, 0)])
+            if K0 < N0:        # exact-division: node row K0 is real
+                acc = acc.at[:, N0 - 1:N0, :c1].add(erow[:, :, :c1])
+            if K1 < N1:        # exact-division: node col K1 is real
+                acc = acc.at[:, :, N1 - 1:N1].add(ecol[:, :N0, :])
+            return acc
+
+        n_var = self.n_var
+        node_res = None
         if split:
             # the coord part is emitted as PLAIN XLA on the full
             # element grid (not a pallas_call): XLA's while-loop
@@ -960,19 +1233,35 @@ class FusedP1Assembly:
             # was a second pallas kernel)
             res0_out, jac_out = self._coord_eval(
                 tc, pvec_scalars, steady, dtype, res0_idx, jac0_idx)
-            reslin_out, _ = run_call("state", reslin_idx, ())
             res_parts = [
                 ({k: i for i, k in enumerate(res0_idx)}, res0_out,
-                 res0_p),
-                ({k: i for i, k in enumerate(reslin_idx)}, reslin_out,
-                 reslin_p)]
+                 res0_p)]
+            if use_node:
+                # state part arrives fully node-scattered; the coord
+                # part stays a pad+sum of Newton-loop-invariant arrays
+                # (hoisted by XLA)
+                node_res = run_node_call("state")
+            else:
+                reslin_out, _ = run_call("state", reslin_idx, ())
+                res_parts.append(
+                    ({k: i for i, k in enumerate(reslin_idx)},
+                     reslin_out, reslin_p))
             jac_pos = {k: i for i, k in enumerate(jac0_idx)}
             jac_consts = jac0_p
         else:
-            res_out, jac_out = run_call("full", res_idx, jac_idx)
-            res_parts = [
-                ({k: i for i, k in enumerate(res_idx)}, res_out,
-                 res_p)]
+            if use_node:
+                # res rides the node-window kernel; the element-tile
+                # kernel emits ONLY the Jacobian rows (the primal
+                # densities it traces are dead code). Two calls, but
+                # the per-corner residual row write+readback is gone.
+                node_res = run_node_call("res")
+                _ro, jac_out = run_call("full", None, jac_idx)
+                res_parts = []
+            else:
+                res_out, jac_out = run_call("full", res_idx, jac_idx)
+                res_parts = [
+                    ({k: i for i, k in enumerate(res_idx)}, res_out,
+                     res_p)]
             jac_pos = {k: i for i, k in enumerate(jac_idx)}
             jac_consts = jac_p
 
@@ -1008,6 +1297,9 @@ class FusedP1Assembly:
                     pacc = part if pacc is None else pacc + part
                 if pacc is not None:
                     acc = pacc if acc is None else acc + pacc
+            if node_res is not None:
+                acc = node_res[vi] if acc is None \
+                    else acc + node_res[vi]
             if acc is None:
                 acc = jnp.zeros(grid_nodes, dtype=dtype)
             st = self.starts[v]
