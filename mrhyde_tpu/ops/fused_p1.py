@@ -124,12 +124,36 @@ class FusedP1Assembly:
         s = asm._structured
         self.dims = tuple(int(d) for d in s["dims"])
         self.dim = len(self.dims)
-        self.corners = s["corners"]
+        self.p = 2 if s["plan"][0][0] == "p2" else 1
+        if self.p == 1:
+            self.corners = s["corners"]
+        else:
+            # pN lattice offsets of each local dof IN DOFMAP-LOCAL
+            # ORDER (so the flat k = vi*nc + c indexing stays aligned
+            # with asm.lids columns and the phi/grad tables), read off
+            # the nodal basis's dof coordinates on [-1,1]^dim
+            from mrhyde_tpu.fem.basis import get_basis
+            b = get_basis(disc.mesh.cell_type, "HGRAD", self.p)
+            lat = np.rint((np.asarray(b.dof_coords) + 1.0) / 2.0
+                          * self.p).astype(int)
+            self.corners = [tuple(int(x) for x in r) for r in lat]
         self.nc = len(self.corners)
+        # parity classes (docs/DESIGN_fused_p2.md): the fine pN
+        # lattice splits by residue mod p per axis into p^dim class
+        # grids, each behaving exactly like the p1 node grid — local
+        # dof (a, b) gathers class (a%p, b%p) at offset (a//p, b//p)
+        self.ncls = self.p ** self.dim
+        self.cls_of = [sum((o % self.p) * self.p ** (self.dim - 1 - d)
+                           for d, o in enumerate(off))
+                       for off in self.corners]
+        self.off_of = [tuple(o // self.p for o in off)
+                       for off in self.corners]
         self.vars = [name for (_k, name, _st) in s["plan"]]
         self.starts = {name: st for (_k, name, st) in s["plan"]}
         self.n_var = len(self.vars)
         self.nd = self.n_var * self.nc
+        if self.p > 1:
+            self._build_fine_maps(asm)
 
         mesh = disc.mesh
         bounds = mesh.box_info["bounds"]
@@ -147,12 +171,48 @@ class FusedP1Assembly:
         self.h_elem = float(np.sum(self.wts) ** (1.0 / self.dim))
         self.fm = asm.fm
 
+    def _build_fine_maps(self, asm):
+        """Static fine-lattice <-> dof bijections for pN variables
+        (2D): fine node (p*I+a, p*J+b) <- element (I,J) local dof with
+        lattice (a, b), filled from asm.lids (consistent across
+        elements sharing the node). dof2fine inverts per variable."""
+        p = self.p
+        N0, N1 = self.dims
+        fshape = (p * N0 + 1, p * N1 + 1)
+        lids = np.asarray(asm.lids)
+        self.fine_shape = fshape
+        self.fine_idx = {}           # var -> (fshape) global dof ids
+        self.dof2fine = {}           # var -> (n_var_dofs,) flat fine
+        eI, eJ = np.meshgrid(np.arange(N0), np.arange(N1),
+                             indexing="ij")
+        for vi, v in enumerate(self.vars):
+            fine = np.full(fshape, -1, dtype=np.int64)
+            for c, off in enumerate(self.corners):
+                a, b = off
+                fine[p * eI + a, p * eJ + b] = \
+                    lids[:, vi * self.nc + c].reshape(N0, N1)
+            if (fine < 0).any():
+                raise AssertionError("p2 fine lattice has unmapped "
+                                     "nodes — non-C-order elements?")
+            st = self.starts[v]
+            nvd = fshape[0] * fshape[1]
+            d2f = np.empty(nvd, dtype=np.int64)
+            d2f[fine.ravel() - st] = np.arange(nvd)
+            self.fine_idx[v] = jnp.asarray(fine)
+            self.dof2fine[v] = jnp.asarray(d2f)
+
     # ------------------------------------------------------------------
 
     @staticmethod
     def build(asm):
         s = asm._structured
-        if s is None or any(k != "p1" for (k, _n, _st) in s["plan"]):
+        if s is None:
+            return None
+        kinds = {k for (k, _n, _st) in s["plan"]}
+        # all-p1 (2D/3D) or all-p2 (2D quad, parity-class grids);
+        # mixed orders would break the uniform vi*nc+c row layout
+        if not (kinds == {"p1"}
+                or (kinds == {"p2"} and len(s["dims"]) == 2)):
             return None
         if len(s["dims"]) not in (2, 3) or asm.has_signs:
             return None
@@ -582,6 +642,13 @@ class FusedP1Assembly:
             def corner_slices(vec):
                 out = {}
                 for v in self.vars:
+                    if self.p > 1:
+                        vf = vec[self.fine_idx[v]]
+                        out[v] = [vf[tuple(
+                            slice(o, o + self.p * (d - 1) + 1, self.p)
+                            for o, d in zip(off, dims))]
+                            for off in self.corners]
+                        continue
                     st = self.starts[v]
                     g = vec[st:st + ng].reshape(grid_nodes)
                     out[v] = [g[tuple(slice(o, o + d) for o, d in
@@ -649,10 +716,10 @@ class FusedP1Assembly:
         be (8,128)-aligned and spills are inherently thin:
           - right spill (last lane's oj=1 corners) -> cC scratch,
             consumed by step (p, q+1) into its A block's lane 0;
-          - bottom spill (last sublane's oi=1 corners) -> a parity
-            double-buffered node-line scratch (2, n_var, 1, K1):
-            row p writes buf[1-p%2], row p+1 consumes buf[(p+1)%2]
-            into its A blocks' sublane 0;
+          - bottom spill (last sublane's oi=1 corners) -> a node-line
+            scratch (n_var, 1, K1): row p writes segment q, step
+            (p+1, q) consumes it into its A block's sublane 0
+            strictly before rewriting it (no double-buffer needed);
           - corner spill D -> cD scratch, folded into the NEXT
             segment's lane 0 when (p, q+1) writes its line segment
             (node (ti(p+1), tj(q+1)) is lane 0 of segment q+1 on the
@@ -660,9 +727,10 @@ class FusedP1Assembly:
           - mesh-edge node lines (node row K0 / col K1, real only
             when tiles divide dims exactly) -> two tiny RESIDENT
             outputs erow (n_var,1,K1) / ecol (n_var,K0+8,1) with
-            constant index maps, written segment-wise by the last
-            tile row / column (D's at q=gj-1 hand forward through
-            cDe); the caller adds them as single node lines.
+            constant index maps, written BRANCHLESSLY by every step
+            (the sequential grid makes the correct writer — last
+            tile row / column — win; D's at q=gj-1 hand forward
+            through cDe); the caller adds them as single node lines.
         Outputs: A (n_var,)+tiles blocked over [0,K0)x[0,K1) node
         windows, plus erow/ecol. Every write is a full-block or an
         (8,128)-aligned scratch slice; no element window overlap =>
@@ -687,11 +755,11 @@ class FusedP1Assembly:
             if node:
                 res_ref = refs[pos]                    # A (blocked)
                 erow_ref, ecol_ref = refs[pos + 1:pos + 3]
+                jac_ref = refs[pos + 3] if jac_idx else None
                 # grid-persistent VMEM carries (pallas_call
                 # scratch_shapes — run_scoped would reallocate per
                 # grid step)
-                carry_s = refs[pos + 3:pos + 7]
-                jac_ref = None
+                carry_s = refs[pos + 3 + (1 if jac_idx else 0):]
             else:
                 res_ref = refs[pos] if res_idx else None
                 jac_ref = refs[pos + (1 if res_idx else 0)] \
@@ -717,9 +785,12 @@ class FusedP1Assembly:
                 for k, name in enumerate(pvec_names):
                     params[name] = scal_ref[4 + k]
 
-                def corner_tile(svar, vi, off):
-                    idx = tuple([vi] + [slice(o, o + s) for o, s in
-                                        zip(off, tile_shape)])
+                def corner_tile(svar, vi, c):
+                    # local dof c: class slab (a%p, b%p) at offset
+                    # (a//p, b//p) — for p1 this is the corner gather
+                    idx = tuple([vi * self.ncls + self.cls_of[c]]
+                                + [slice(o, o + s) for o, s in
+                                   zip(self.off_of[c], tile_shape)])
                     return svar[idx]
 
                 # stage-combined corner values per var
@@ -728,18 +799,18 @@ class FusedP1Assembly:
                 for vi, v in enumerate(vars_):
                     ue[v] = []
                     ud[v] = []
-                    for off in corners:
+                    for c in range(self.nc):
                         if mode == "coord":
                             if steady:
                                 ue[v].append(0.0)
                                 ud[v].append(0.0)
                             else:
                                 ue[v].append(
-                                    corner_tile(svs[0], vi, off))
+                                    corner_tile(svs[0], vi, c))
                                 ud[v].append(
-                                    corner_tile(svs[1], vi, off))
+                                    corner_tile(svs[1], vi, c))
                             continue
-                        uc = corner_tile(svs[0], vi, off)
+                        uc = corner_tile(svs[0], vi, c)
                         if mode == "state":
                             ue[v].append(uc if steady
                                          else alpha_u * uc)
@@ -751,10 +822,10 @@ class FusedP1Assembly:
                         else:
                             ue[v].append(alpha_u * uc
                                          + corner_tile(svs[1], vi,
-                                                       off))
+                                                       c))
                             ud[v].append(alpha_t * uc
                                          + corner_tile(svs[2], vi,
-                                                       off))
+                                                       c))
 
                 # global element index per tile lane
                 iotas_i = [
@@ -791,6 +862,13 @@ class FusedP1Assembly:
                         return jnp.zeros(tile_shape, dtype)
                     return jnp.broadcast_to(
                         jnp.asarray(v, dtype), tile_shape)
+
+                # Jacobian rows first: in node mode the SAME call
+                # emits both (one slab read serves residual scatter
+                # and jac rows — a separate jac-only element call was
+                # measured 17% slower end-to-end on the varying case)
+                for pos_, k in enumerate(jac_idx):
+                    jac_ref[pos_] = store(jac[k])
 
                 if node:
                     # in-kernel scatter: phantom-mask each corner row,
@@ -833,7 +911,6 @@ class FusedP1Assembly:
                     line_s, cC_s, cD_s, cDe_s = carry_s
                     p, q = bids
                     gi, gj = grid
-                    cur = jax.lax.rem(p, jnp.asarray(2, p.dtype))
                     lan_row = jax.lax.broadcasted_iota(
                         jnp.int32, (1, tj), 1)
                     sub_col = jax.lax.broadcasted_iota(
@@ -874,13 +951,28 @@ class FusedP1Assembly:
                         aC = z_col if aC is None else aC
                         aD = jnp.zeros((1, 1), dtype) \
                             if aD is None else aD
-                        # consume carries from earlier steps: the
-                        # node line above (written by tile row p-1,
-                        # D-corners already folded at lane 0) and the
-                        # left tile's right spill. Uninitialized
-                        # first-row/col reads are where-SELECTED away
-                        # (no arithmetic touches the garbage).
-                        seg = line_s[cur, vi, :, pl.ds(q * tj, tj)]
+                        # ALL carry traffic below is BRANCHLESS: at
+                        # ~128 grid steps for a 512^2 mesh each step
+                        # is only ~200 ns of vector work, so per-step
+                        # scalar branches (pl.when) and dynamic
+                        # double-buffer indexing measurably halve
+                        # throughput (measured 39 -> ~76 GDOF/s
+                        # without carries). Writes that are only
+                        # *finally* correct on the last writing step
+                        # (erow at p=gi-1, ecol rows at q=gj-1) are
+                        # simply written EVERY step — the sequential
+                        # grid guarantees the last writer wins. The
+                        # line buffer needs no parity double-buffer:
+                        # step (p,q) consumes segment q (written by
+                        # (p-1,q)) strictly before rewriting it for
+                        # row p+1.
+                        #
+                        # Consume: the node line above (D-corners
+                        # already folded at lane 0) and the left
+                        # tile's right spill. Uninitialized first-
+                        # row/col reads are where-SELECTED away (no
+                        # arithmetic touches the garbage).
+                        seg = line_s[vi, :, pl.ds(q * tj, tj)]
                         aA = aA + jnp.where(
                             (sub_i == 0) & (p > 0),
                             jnp.broadcast_to(seg, tile_shape), zero_t)
@@ -895,56 +987,40 @@ class FusedP1Assembly:
                             (lan_row == 0) & (q > 0),
                             jnp.broadcast_to(cD_s[vi], (1, tj)),
                             z_row)
-
-                        @pl.when(p == gi - 1)
-                        def _():
-                            erow_ref[vi, :, pl.ds(q * tj, tj)] = bseg
-
-                        @pl.when(p < gi - 1)
-                        def _():
-                            line_s[1 - cur, vi, :,
-                                   pl.ds(q * tj, tj)] = bseg
-
-                        @pl.when(q == gj - 1)
-                        def _():
-                            # edge column: the row's last C spill + D
-                            # handed down from the tile above (node
-                            # row ti*p is sublane 0 here)
-                            cvals = aC + jnp.where(
-                                (sub_col == 0) & (p > 0),
-                                jnp.broadcast_to(cDe_s[vi], (ti, 1)),
-                                z_col)
-                            ecol_ref[vi, pl.ds(p * ti, ti), :] = cvals
-                            cDe_s[vi] = aD
-
-                        @pl.when(q < gj - 1)
-                        def _():
-                            cC_s[vi] = aC
-                            cD_s[vi] = aD
-
-                        @pl.when((p == gi - 1) & (q == gj - 1))
-                        def _():
-                            # the very last D: node (K0, K1)
-                            sub8 = jax.lax.broadcasted_iota(
-                                jnp.int32, (8, 1), 0)
-                            ecol_ref[vi, pl.ds(gi * ti, 8), :] = \
-                                jnp.where(
-                                    sub8 == 0,
-                                    jnp.broadcast_to(aD, (8, 1)),
-                                    jnp.zeros((8, 1), dtype))
+                        line_s[vi, :, pl.ds(q * tj, tj)] = bseg
+                        erow_ref[vi, :, pl.ds(q * tj, tj)] = bseg
+                        # edge column: the row's last C spill + D
+                        # handed down from the tile above (node row
+                        # ti*p is sublane 0 here); q=gj-1 writes last
+                        cvals = aC + jnp.where(
+                            (sub_col == 0) & (p > 0),
+                            jnp.broadcast_to(cDe_s[vi], (ti, 1)),
+                            z_col)
+                        ecol_ref[vi, pl.ds(p * ti, ti), :] = cvals
+                        # the very last D: node (K0, K1); the final
+                        # grid step writes last
+                        sub8 = jax.lax.broadcasted_iota(
+                            jnp.int32, (8, 1), 0)
+                        ecol_ref[vi, pl.ds(gi * ti, 8), :] = \
+                            jnp.where(sub8 == 0,
+                                      jnp.broadcast_to(aD, (8, 1)),
+                                      jnp.zeros((8, 1), dtype))
+                        cDe_s[vi] = jnp.where(q == gj - 1, aD,
+                                              cDe_s[vi])
+                        cC_s[vi] = aC
+                        cD_s[vi] = aD
                     return
 
                 if res_idx:
                     for pos_, k in enumerate(res_idx):
                         res_ref[pos_] = store(res[k])
-                for pos_, k in enumerate(jac_idx):
-                    jac_ref[pos_] = store(jac[k])
 
             if n_slab == 0:
                 inner(None)        # no DMA, no scratch
             else:
-                kwargs = {f"s{i}": pltpu.VMEM((n_var,) + slab, dtype)
-                          for i in range(n_slab)}
+                kwargs = {f"s{i}": pltpu.VMEM(
+                    (n_var * self.ncls,) + slab, dtype)
+                    for i in range(n_slab)}
                 names_s = [f"s{i}" for i in range(n_slab)]
                 kwargs["sem"] = pltpu.SemaphoreType.DMA(())
                 pl.run_scoped(
@@ -976,7 +1052,7 @@ class FusedP1Assembly:
         # and the node-grid block padding overwhelm the saved
         # row readback, so 3D keeps the pad+sum scatter
         import os as _os
-        use_node = (self.dim == 2 and min(tiles) >= 2
+        use_node = (self.dim == 2 and self.p == 1 and min(tiles) >= 2
                     and _os.environ.get("MRHYDE_NO_NODE_SCATTER")
                     != "1")
         # stacked node grids, padded to the DMA slab granularity over
@@ -993,11 +1069,23 @@ class FusedP1Assembly:
         def grids(vec):
             gs = []
             for v in self.vars:
-                st = self.starts[v]
-                g = vec[st:st + ng].reshape(grid_nodes)
-                g = jnp.pad(g, [(0, p - gn) for p, gn in
-                                zip(pads, grid_nodes)])
-                gs.append(g)
+                if self.p == 1:
+                    st = self.starts[v]
+                    g = vec[st:st + ng].reshape(grid_nodes)
+                    g = jnp.pad(g, [(0, pd - gn) for pd, gn in
+                                    zip(pads, grid_nodes)])
+                    gs.append(g)
+                    continue
+                # pN: one static gather dof->fine lattice, then the
+                # p^dim parity-class grids as strided slices (class
+                # (r0,r1) is a p1-like node grid; see cls_of/off_of)
+                vf = vec[self.fine_idx[v]]
+                for r0 in range(self.p):
+                    for r1 in range(self.p):
+                        g = vf[r0::self.p, r1::self.p]
+                        g = jnp.pad(g, [(0, pd - sh) for pd, sh in
+                                        zip(pads, g.shape)])
+                        gs.append(g)
             return jnp.stack(gs)
 
         # trace-time steady detection: when the TimeCoeffs leaves are
@@ -1175,7 +1263,7 @@ class FusedP1Assembly:
                 if jidx else None
             return ro, jo
 
-        def run_node_call(mode):
+        def run_node_call(mode, jidx=()):
             """In-kernel residual scatter: one pallas_call over the
             element tiles emitting per-tile assembled node blocks A
             (aligned blocked output); cross-tile spills ride VMEM
@@ -1183,32 +1271,46 @@ class FusedP1Assembly:
             docstring), and the two mesh-edge node lines (real only
             when tiles divide dims exactly) come back as tiny
             resident outputs erow/ecol added here as single lines.
-            mode: "state" (split) or "res" (non-affine)."""
+            mode "full" emits the Jacobian rows too (jidx), from the
+            SAME slab reads; "state" (split) is residual-only.
+            Returns (node residual (n_var,)+grid_nodes, jac_out)."""
             slabs = _slabs(mode)
             kern = self._kernel(tiles, dtype, names, steady, None,
-                                (), mode, node=True, grid=grid)
+                                tuple(jidx), mode, node=True,
+                                grid=grid)
             K0, K1 = kdims
+            out_specs = [
+                pl.BlockSpec((n_var,) + tiles, omap),
+                pl.BlockSpec((n_var, 1, K1), lambda *_: (0, 0, 0)),
+                pl.BlockSpec((n_var, K0 + 8, 1),
+                             lambda *_: (0, 0, 0))]
+            out_shape = [
+                jax.ShapeDtypeStruct((n_var,) + kdims, dtype),
+                jax.ShapeDtypeStruct((n_var, 1, K1), dtype),
+                jax.ShapeDtypeStruct((n_var, K0 + 8, 1), dtype)]
+            if jidx:
+                out_specs.append(
+                    pl.BlockSpec((len(jidx),) + tiles, omap))
+                out_shape.append(
+                    jax.ShapeDtypeStruct((len(jidx),) + kdims, dtype))
             outs = pl.pallas_call(
                 kern, grid=grid,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [hbm] * len(slabs),
-                out_specs=[
-                    pl.BlockSpec((n_var,) + tiles, omap),
-                    pl.BlockSpec((n_var, 1, K1), lambda *_: (0, 0, 0)),
-                    pl.BlockSpec((n_var, K0 + 8, 1),
-                                 lambda *_: (0, 0, 0))],
-                out_shape=[
-                    jax.ShapeDtypeStruct((n_var,) + kdims, dtype),
-                    jax.ShapeDtypeStruct((n_var, 1, K1), dtype),
-                    jax.ShapeDtypeStruct((n_var, K0 + 8, 1), dtype)],
+                out_specs=out_specs,
+                out_shape=out_shape,
                 scratch_shapes=[
-                    pltpu.VMEM((2, n_var, 1, K1), dtype),
+                    pltpu.VMEM((n_var, 1, K1), dtype),
                     pltpu.VMEM((n_var, tiles[0], 1), dtype),
                     pltpu.VMEM((n_var, 1, 1), dtype),
                     pltpu.VMEM((n_var, 1, 1), dtype)],
                 interpret=interpret,
             )(scal, *slabs)
-            A, erow, ecol = outs
+            A, erow, ecol = outs[:3]
+            jac_out = None
+            if jidx:
+                jac_out = outs[3][tuple(slice(0, d) for d in
+                                        (len(jidx),) + dims)]
             N0, N1 = grid_nodes
             # A covers nodes [0, K) per axis; crop to the node grid
             c0, c1 = min(K0, N0), min(K1, N1)
@@ -1219,7 +1321,7 @@ class FusedP1Assembly:
                 acc = acc.at[:, N0 - 1:N0, :c1].add(erow[:, :, :c1])
             if K1 < N1:        # exact-division: node col K1 is real
                 acc = acc.at[:, :, N1 - 1:N1].add(ecol[:, :N0, :])
-            return acc
+            return acc, jac_out
 
         n_var = self.n_var
         node_res = None
@@ -1240,7 +1342,7 @@ class FusedP1Assembly:
                 # state part arrives fully node-scattered; the coord
                 # part stays a pad+sum of Newton-loop-invariant arrays
                 # (hoisted by XLA)
-                node_res = run_node_call("state")
+                node_res, _ = run_node_call("state")
             else:
                 reslin_out, _ = run_call("state", reslin_idx, ())
                 res_parts.append(
@@ -1250,12 +1352,11 @@ class FusedP1Assembly:
             jac_consts = jac0_p
         else:
             if use_node:
-                # res rides the node-window kernel; the element-tile
-                # kernel emits ONLY the Jacobian rows (the primal
-                # densities it traces are dead code). Two calls, but
-                # the per-corner residual row write+readback is gone.
-                node_res = run_node_call("res")
-                _ro, jac_out = run_call("full", None, jac_idx)
+                # ONE call: the node-scattered residual AND the
+                # Jacobian rows off the same slab reads — the
+                # per-corner residual row write+readback is gone and
+                # nothing is read twice.
+                node_res, jac_out = run_node_call("full", jac_idx)
                 res_parts = []
             else:
                 res_out, jac_out = run_call("full", res_idx, jac_idx)
@@ -1271,6 +1372,11 @@ class FusedP1Assembly:
         # constant residual parts broadcast into their pad lazily
         r = jnp.zeros(asm.n_dof, dtype=dtype)
         for vi, v in enumerate(self.vars):
+            st = self.starts[v]
+            if self.p > 1:
+                r = r.at[st:st + len(self.dof2fine[v])].set(
+                    self._scatter_p2(vi, v, res_parts, dtype))
+                continue
             # pad+sum PER PART, then sum the parts: under the affine
             # split the coord part's pad+sum chain is built purely from
             # Newton-loop-invariant arrays, so XLA's loop-invariant code
@@ -1302,7 +1408,6 @@ class FusedP1Assembly:
                     else acc + node_res[vi]
             if acc is None:
                 acc = jnp.zeros(grid_nodes, dtype=dtype)
-            st = self.starts[v]
             r = r.at[st:st + ng].set(acc.ravel())
         r = jnp.where(asm.fixed, 0.0, r)
 
@@ -1318,6 +1423,50 @@ class FusedP1Assembly:
             else:
                 rows.append(jnp.asarray(jac_consts[k], dtype))
         return r, rows
+
+    def _scatter_p2(self, vi, v, res_parts, dtype):
+        """pN residual scatter: the p1 pad+sum applied PER PARITY
+        CLASS (each class grid is p1-like; local dof (a,b) pads class
+        (a%p, b%p) at offset (a//p, b//p)), classes interleaved into
+        the fine lattice by a pure reshape/transpose (no XLA scatter),
+        then one static gather back to dofmap dof order."""
+        p = self.p
+        N0, N1 = self.dims
+        cls_acc = []
+        for r0 in range(p):
+            for r1 in range(p):
+                cshape = (N0 + (r0 == 0), N1 + (r1 == 0))
+                acc = None
+                for pos_map, out_arr, pvals in res_parts:
+                    pacc = None
+                    for c in range(self.nc):
+                        if self.cls_of[c] != r0 * p + r1:
+                            continue
+                        k = vi * self.nc + c
+                        if k in pos_map:
+                            tv = out_arr[pos_map[k]]
+                        elif pvals[k] is not None:
+                            tv = jnp.broadcast_to(
+                                jnp.asarray(pvals[k], dtype),
+                                self.dims)
+                        else:
+                            continue
+                        o = self.off_of[c]
+                        part = jnp.pad(
+                            tv, [(o[0], cshape[0] - N0 - o[0]),
+                                 (o[1], cshape[1] - N1 - o[1])])
+                        pacc = part if pacc is None else pacc + part
+                    if pacc is not None:
+                        acc = pacc if acc is None else acc + pacc
+                if acc is None:
+                    acc = jnp.zeros(cshape, dtype=dtype)
+                cls_acc.append(jnp.pad(
+                    acc, [(0, N0 + 1 - cshape[0]),
+                          (0, N1 + 1 - cshape[1])]))
+        F = jnp.stack(cls_acc).reshape(p, p, N0 + 1, N1 + 1)
+        fine = jnp.transpose(F, (2, 0, 3, 1)).reshape(
+            p * (N0 + 1), p * (N1 + 1))[:p * N0 + 1, :p * N1 + 1]
+        return fine.ravel()[self.dof2fine[v]]
 
     def res_jac_blocks(self, u, tc, pvec=None, interpret=False):
         """(residual, jac blocks (E, nd, nd)) — AoS layout for the
