@@ -555,10 +555,17 @@ class Assembler:
                 plan.append(("hvol", name, start))
             elif key == ("HGRAD", 1):
                 plan.append(("p1", name, start))
+            elif key == ("HGRAD", 2) and mesh.cell_type == "quad":
+                # parity-class node grids (docs/DESIGN_fused_p2.md):
+                # consumed ONLY by the fused TPU kernel — the general
+                # gather/scatter below stays p1/hvol (see "general")
+                plan.append(("p2", name, start))
             else:
                 return None
         return {"dims": dims, "corners": corners, "plan": plan,
-                "grid": [d + 1 for d in dims]}
+                "grid": [d + 1 for d in dims],
+                "general": all(k in ("p1", "hvol")
+                               for (k, _n, _st) in plan)}
 
     def _gather_structured(self, u):
         s = self._structured
@@ -781,7 +788,7 @@ class Assembler:
         else:
             mixp = mixw = None
         if lids is self.lids and self._structured is not None \
-                and not self.has_signs:
+                and self._structured["general"] and not self.has_signs:
             return (self._gather_structured(u_st),
                     self._gather_structured(tc.beta_u),
                     self._gather_structured(tc.beta_t))
@@ -803,7 +810,8 @@ class Assembler:
             u_e, bu_e, bt_e, self.g_wts, self.g_ip, self.g_bg, extra)
         if self.has_signs:
             res_e = _fold_WT(res_e, self.signs, self.mixp, self.mixwT)
-        if self._structured is not None and not self.has_signs:
+        if self._structured is not None \
+                and self._structured["general"] and not self.has_signs:
             r = self._scatter_structured(res_e)
         else:
             flat = jnp.concatenate([res_e.ravel(),
@@ -969,7 +977,8 @@ class Assembler:
         """v -> J v, using the structured slice path when available
         (drop-in faster replacement for BlockJacobian.apply inside
         Krylov loops)."""
-        if self._structured is None or self.has_signs:
+        if self._structured is None or self.has_signs \
+                or not self._structured["general"]:
             return J.apply
 
         def apply(v):

@@ -184,3 +184,79 @@ def test_fused_composes_with_boundary_groups():
     assert float(jnp.max(jnp.abs(J_f.diag() - J_ref.diag()))) < 1e-11
     av = asm.matfree_apply_fn(J_f)(v)
     assert float(jnp.max(jnp.abs(av - J_ref.apply(v)))) < 1e-10
+
+
+@pytest.mark.slow
+def test_thermal_p2_matches_general():
+    """p2 HGRAD through the parity-class fused path
+    (docs/DESIGN_fused_p2.md): nonlinear + spatially varying
+    diffusion, non-divisible dims, full 9x9 element Jacobians. The
+    reference's hot loop serves every basis through one optimized path
+    (assemblyManager.cpp:2356 + buildDatabase :4249)."""
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 6, "NY": 5},
+        "Functions": {"thermal source": "sin(2*pi*x)*sin(2*pi*y)",
+                      "thermal diffusion": "1.0 + 0.5*x*y + e*e"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 2}, "quadrature": 4},
+        "Solver": {"solver": "steady-state"},
+    })
+    tc = TimeCoeffs.steady(p.n_dof, dtype=jnp.zeros(0).dtype)
+    _compare(p, tc, tol=1e-10)
+
+
+@pytest.mark.slow
+def test_ns_p2_transient_multivariable_matches_general():
+    """Equal-order p2 NS (PSPG+SUPG) with transient seeding: 3 vars x
+    9 lattice dofs (nd=27) through the class-grid gather and the
+    27x27 Jacobian row machinery."""
+    p = Problem({
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 2, "NY": 2},
+        "Physics": {"modules": "navier stokes", "usePSPG": True,
+                    "useSUPG": True,
+                    "Dirichlet conditions": {
+                        "scalar data": True,
+                        "ux": {"bottom": 0.0, "top": 1.0}}},
+        "Functions": {"viscosity": "0.05"},
+        "Discretization": {"order": {"ux": 2, "uy": 2, "pr": 2},
+                           "quadrature": 2},
+        "Solver": {"solver": "transient", "delta t": 0.1},
+    })
+    p.assembler.is_transient = True
+    rng = np.random.RandomState(5)
+    dt = jnp.asarray(0.1)
+    bu = jnp.asarray(rng.randn(p.n_dof) * 0.05)
+    bt = jnp.asarray(rng.randn(p.n_dof) * 0.05)
+    tc = TimeCoeffs(jnp.asarray(1.0), bu, jnp.asarray(10.0), bt,
+                    jnp.asarray(0.2), dt)
+    _compare(p, tc, tol=1e-10)
+
+
+@pytest.mark.slow
+def test_thermal_p2_forward_solve_matches_general():
+    """End-to-end p2 Newton solve through Assembler.res_and_jac with
+    the fused path forced on (interpret): same solution as the
+    general path, and the fused path must actually engage."""
+    import os
+    cfg = {
+        "Mesh": {"dimension": 2, "element type": "quad",
+                 "NX": 5, "NY": 4},
+        "Functions": {"thermal source": "8*(pi*pi)*sin(2*pi*x)*sin(2*pi*y)",
+                      "thermal diffusion": "1.0 + e*e"},
+        "Physics": {"modules": "thermal",
+                    "Dirichlet conditions": {"e": {"all boundaries": 0.0}}},
+        "Discretization": {"order": {"e": 2}, "quadrature": 4},
+        "Solver": {"solver": "steady-state", "max nonlinear iters": 10},
+    }
+    p0 = Problem(cfg)
+    u0 = p0.forward().u
+    p1 = Problem(cfg)
+    fk = FusedP1Assembly.build(p1.assembler)
+    assert fk is not None and fk.p == 2
+    p1.assembler.__dict__["_fused_cache"] = (fk, True)
+    u1 = p1.forward().u
+    assert p1.assembler.fused_active
+    assert float(jnp.max(jnp.abs(u1 - u0))) < 1e-9
