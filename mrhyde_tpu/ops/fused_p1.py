@@ -678,6 +678,28 @@ class FusedP1Assembly:
                 "coord": 0 if steady else 2,
                 "state": 1}[mode]
 
+    def _slab_shape(self, tiles):
+        """DMA slab dims: majors +1, second-minor +8, minor +128 (the
+        +1 node halo rounded up to (8,128) DMA granularity)."""
+        slab = list(tiles)
+        slab[-1] += 128
+        if len(slab) >= 2:
+            slab[-2] += 8
+        for k in range(len(slab) - 2):
+            slab[k] += 1
+        return tuple(slab)
+
+    def _slab_scratch(self, tiles, n_slab, dtype):
+        """pallas_call scratch for the double-buffered slab pipeline:
+        two landing buffers per HBM slab array + a (2, n_slab) DMA
+        semaphore array."""
+        if not n_slab:
+            return []
+        sl = self._slab_shape(tiles)
+        return ([pltpu.VMEM((2, self.n_var * self.ncls) + sl, dtype)
+                 for _ in range(n_slab)]
+                + [pltpu.SemaphoreType.DMA((2, n_slab))])
+
     def _kernel(self, tiles, dtype, pvec_names, steady, res_idx,
                 jac_idx, mode="full", node=False, grid=None):
         """Kernel writing ONLY the element-varying res/jac entries
@@ -737,14 +759,7 @@ class FusedP1Assembly:
         no halo recompute."""
         dim, n_var, nd = self.dim, self.n_var, self.nd
         vars_, corners = self.vars, self.corners
-        # DMA slab: majors +1, second-minor +8, minor +128
-        slab = list(tiles)
-        slab[-1] += 128
-        if len(slab) >= 2:
-            slab[-2] += 8
-        for k in range(len(slab) - 2):
-            slab[k] += 1
-        slab = tuple(slab)
+        slab = self._slab_shape(tiles)
         tile_shape = tuple(tiles)
         n_slab = self.n_slabs(steady, mode)
 
@@ -756,26 +771,24 @@ class FusedP1Assembly:
                 res_ref = refs[pos]                    # A (blocked)
                 erow_ref, ecol_ref = refs[pos + 1:pos + 3]
                 jac_ref = refs[pos + 3] if jac_idx else None
-                # grid-persistent VMEM carries (pallas_call
-                # scratch_shapes — run_scoped would reallocate per
-                # grid step)
-                carry_s = refs[pos + 3 + (1 if jac_idx else 0):]
+                spos = pos + 3 + (1 if jac_idx else 0)
             else:
                 res_ref = refs[pos] if res_idx else None
                 jac_ref = refs[pos + (1 if res_idx else 0)] \
                     if jac_idx else None
+                spos = pos + (1 if res_ref is not None else 0) \
+                    + (1 if jac_ref is not None else 0)
+            # scratch (grid-persistent, pallas_call scratch_shapes):
+            # double-buffered slab landing buffers + DMA semaphores,
+            # then the node-scatter carries
+            vbufs = refs[spos:spos + n_slab]
+            sems = refs[spos + n_slab] if n_slab else None
+            if node:
+                carry_s = refs[spos + n_slab + (1 if n_slab else 0):]
             bids = [pl.program_id(a) for a in range(dim)]
             pids = [b * tiles[a] for a, b in enumerate(bids)]
 
-            def inner(*svs_sem):
-                svs, sem = svs_sem[:-1], svs_sem[-1]
-                for hbm, sv in zip(slab_refs, svs):
-                    idx = tuple([slice(None)]
-                                + [pl.ds(p, s) for p, s in
-                                   zip(pids, slab)])
-                    dma = pltpu.make_async_copy(hbm.at[idx], sv, sem)
-                    dma.start()
-                    dma.wait()
+            def inner(svs):
                 alpha_u = 1.0 if steady else scal_ref[0]
                 alpha_t = 0.0 if steady else scal_ref[1]
                 t = scal_ref[2]
@@ -1016,17 +1029,56 @@ class FusedP1Assembly:
                         res_ref[pos_] = store(res[k])
 
             if n_slab == 0:
-                inner(None)        # no DMA, no scratch
-            else:
-                kwargs = {f"s{i}": pltpu.VMEM(
-                    (n_var * self.ncls,) + slab, dtype)
-                    for i in range(n_slab)}
-                names_s = [f"s{i}" for i in range(n_slab)]
-                kwargs["sem"] = pltpu.SemaphoreType.DMA(())
-                pl.run_scoped(
-                    lambda **kw: inner(*[kw[nm] for nm in names_s],
-                                       kw["sem"]),
-                    **kwargs)
+                inner(None)        # no DMA, no slabs
+                return
+
+            # DOUBLE-BUFFERED slab pipeline: issue the NEXT grid
+            # step's halo-slab DMAs before computing this step's tile,
+            # so the synchronous per-step DMA wait (which serialized
+            # transfer behind compute) overlaps with the density/AD
+            # work. Classic two-deep manual pipeline — BlockSpec
+            # pipelining can't express the (+1 halo) overlapping
+            # windows, hence manual async copies on grid-persistent
+            # scratch buffers with a (2, n_slab) semaphore array.
+            gsz = grid
+            step = bids[0]
+            for a in range(1, dim):
+                step = step * gsz[a] + bids[a]
+            nsteps = int(np.prod(gsz))
+            slot = jax.lax.rem(step, jnp.asarray(2, step.dtype))
+
+            # next step's multi-index (ripple increment)
+            nb = list(bids)
+            carry = jnp.asarray(1, step.dtype)
+            for a in range(dim - 1, -1, -1):
+                v = nb[a] + carry
+                wrap = v == gsz[a]
+                nb[a] = jnp.where(wrap, 0, v)
+                carry = wrap.astype(step.dtype)
+            npids = [b * tiles[a] for a, b in enumerate(nb)]
+
+            def dma(i, slot_, pids_):
+                idx = tuple([slice(None)]
+                            + [pl.ds(p_, s) for p_, s in
+                               zip(pids_, slab)])
+                return pltpu.make_async_copy(
+                    slab_refs[i].at[idx], vbufs[i].at[slot_],
+                    sems.at[slot_, i])
+
+            @pl.when(step == 0)
+            def _():
+                for i in range(n_slab):
+                    dma(i, slot, pids).start()
+
+            @pl.when(step + 1 < nsteps)
+            def _():
+                nxt = 1 - slot
+                for i in range(n_slab):
+                    dma(i, nxt, npids).start()
+
+            for i in range(n_slab):
+                dma(i, slot, pids).wait()
+            inner([b.at[slot] for b in vbufs])
 
         return kernel
 
@@ -1247,12 +1299,14 @@ class FusedP1Assembly:
                 return None, None
             slabs = _slabs(mode)
             kern = self._kernel(tiles, dtype, names, steady, ridx,
-                                jidx, mode)
+                                jidx, mode, grid=grid)
             outs = pl.pallas_call(
                 kern, grid=grid,
                 in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [hbm] * len(slabs),
                 out_specs=out_specs, out_shape=out_shape,
+                scratch_shapes=self._slab_scratch(
+                    tiles, len(slabs), dtype),
                 interpret=interpret,
             )(scal, *slabs)
             if not isinstance(outs, (tuple, list)):
@@ -1299,7 +1353,8 @@ class FusedP1Assembly:
                 + [hbm] * len(slabs),
                 out_specs=out_specs,
                 out_shape=out_shape,
-                scratch_shapes=[
+                scratch_shapes=self._slab_scratch(
+                    tiles, len(slabs), dtype) + [
                     pltpu.VMEM((n_var, 1, K1), dtype),
                     pltpu.VMEM((n_var, tiles[0], 1), dtype),
                     pltpu.VMEM((n_var, 1, 1), dtype),
