@@ -20,6 +20,21 @@ import jax.numpy as jnp
 # the 3x MXU cost lands only on the general path and postprocessing.
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: deck-CLI runs are separate processes,
+# and on the TPU-tunnel setup a cold jit program costs ~45s-6min of
+# remote compile — without an on-disk cache every `python -m
+# mrhyde_tpu.driver deck.yaml` repays it (measured ~9 min cold vs 66 s
+# warm for a 40x40 steady thermal deck at round 4). The reference has
+# no compile step at all; this is the XLA-world equivalent of shipping
+# a prebuilt binary. Opt out with MRHYDE_NO_COMPILE_CACHE=1.
+import os as _os
+
+if _os.environ.get("MRHYDE_NO_COMPILE_CACHE") != "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      _os.environ.get("MRHYDE_COMPILE_CACHE",
+                                      "/tmp/mrhyde_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def fp64(enable: bool = True) -> None:
     """Enable (or disable) 64-bit mode globally. Call before any tracing."""
