@@ -79,6 +79,27 @@ def ns_solve_bench():
     variant = os.environ.get("BENCH_NS_PRECOND", "jacobi")
     gmres_m = int(os.environ.get("BENCH_NS_M", "20"))
 
+    hier = None
+    if variant in ("mg", "amg"):
+        # measure the in-tree hierarchies on the PSPG saddle system
+        if variant == "mg":
+            from mrhyde_tpu.solvers.multigrid import StructuredMG
+            hier = StructuredMG(asm)
+        else:
+            from mrhyde_tpu.solvers.amg import AggregationAMG
+            hier = AggregationAMG(asm)
+
+    p_mask = None
+    if variant == "simple":
+        import numpy as np
+        vs = np.asarray(asm.disc.dofmap.var_start)
+        i = asm.disc.var_names.index("pr")
+        lo = int(vs[i])
+        hi = int(vs[i + 1]) if i + 1 < len(vs) else p.n_dof
+        pm = np.zeros(p.n_dof, bool)
+        pm[lo:hi] = True
+        p_mask = jnp.asarray(pm)
+
     # the ENTIRE tolerance-driven Newton solve is ONE device program
     # (the reference pays an MPI round per Belos solve; here even the
     # host never intervenes)
@@ -94,7 +115,15 @@ def ns_solve_bench():
             u, _rn_prev, it = s
             r, J = asm.res_and_jac(u, tc, None)
             apply_fn = asm.matfree_apply_fn(J)
-            M = build_preconditioner(J, variant)
+            if variant == "simple":
+                from mrhyde_tpu.solvers.precond import (
+                    fieldsplit_simple_precond)
+                M = fieldsplit_simple_precond(J, p_mask,
+                                              apply_fn=apply_fn)
+            elif hier is not None:
+                M = hier.preconditioner(J)
+            else:
+                M = build_preconditioner(J, variant)
             # forcing term: two orders below the Newton target — an
             # f32-unreachable 1e-6 forcing makes every Newton step burn
             # all max_restarts (measured: 25x20 restarts at 1.35 s)

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ["build_preconditioner", "jacobi_precond", "chebyshev_precond",
-           "element_schwarz_precond"]
+           "element_schwarz_precond", "fieldsplit_simple_precond"]
 
 
 def jacobi_precond(J):
@@ -155,6 +155,75 @@ def element_schwarz_precond(J, damping=1.0):
         z = jax.ops.segment_sum(ze.ravel(), lids.ravel(),
                                 num_segments=J.n_dof)
         return w * z
+
+    return apply
+
+
+def fieldsplit_simple_precond(J, p_mask, *, k_A=3, k_S=3, omega=0.7,
+                              apply_fn=None):
+    """SIMPLE-style pressure-Schur fieldsplit for saddle systems
+    (equal-order NS with PSPG): the standard answer to Krylov stalling
+    on [[A, B], [C, S]] blocks — the reference reaches it through
+    MueLu/Teko block preconditioners on the NS system class
+    (linearAlgebraInterface.cpp:358-500, hpp:475-513 'varlist'
+    options).
+
+    p_mask marks the pressure dofs. All sub-solves are FIXED-iteration
+    damped Jacobi (linear, so plain right-preconditioned GMRES stays
+    valid — no FGMRES needed):
+
+      u_hat = A^{-1}~ r_u                 (k_A sweeps on the velocity
+                                           block, via masked J applies)
+      p     = S_hat^{-1}~ (r_p - C u_hat) (k_S sweeps; S_hat v =
+                                           S v - C dinvA B v, the
+                                           SIMPLE diag(A) Schur
+                                           complement, 2 J-applies per
+                                           sweep)
+      u     = u_hat - dinvA B p
+
+    Cost: ~(k_A + 2 k_S + 1) operator applies per preconditioner
+    application — only wins if the iteration count drops by more.
+    Measure before adopting (bench.py BENCH_NS_PRECOND=simple)."""
+    Jap = apply_fn if apply_fn is not None else J.apply
+    d = J.diag()
+    dinv = 1.0 / d
+    dinvA = jnp.where(p_mask, 0.0, dinv)
+    dinvS = jnp.where(p_mask, dinv, 0.0)
+
+    def mask_u(v):
+        return jnp.where(p_mask, 0.0, v)
+
+    def mask_p(v):
+        return jnp.where(p_mask, v, 0.0)
+
+    def A_apply(v):            # velocity block: u rows of J on u dofs
+        return mask_u(Jap(mask_u(v)))
+
+    def A_solve(r_u):
+        x = omega * dinvA * r_u
+        for _ in range(k_A - 1):
+            x = x + omega * dinvA * (r_u - A_apply(x))
+        return x
+
+    def S_apply(yp):           # SIMPLE Schur: S y - C dinvA B y
+        Jy = Jap(mask_p(yp))
+        By = mask_u(Jy)        # B y (u rows)
+        Sy = mask_p(Jy)        # S y (p rows)
+        return Sy - mask_p(Jap(dinvA * By))
+
+    def S_solve(r_p):
+        y = omega * dinvS * r_p
+        for _ in range(k_S - 1):
+            y = y + omega * dinvS * (r_p - S_apply(y))
+        return y
+
+    def apply(r):
+        r_u, r_p = mask_u(r), mask_p(r)
+        u_hat = A_solve(r_u)
+        r_s = r_p - mask_p(Jap(u_hat))
+        p = S_solve(r_s)
+        u = u_hat - dinvA * mask_u(Jap(mask_p(p)))
+        return u + p
 
     return apply
 
