@@ -594,14 +594,34 @@ class Problem:
                    if (scheme == "replicated"
                        and self.assembler.multiscale is not None)
                    else ShardedNewton)
-            self._sharded_newton = cls(
-                self.assembler, self.shards,
-                cg_iters=int(self.solver_cfg.get("max linear iters",
-                                                 200)),
-                gmres_m=int(self.solver_cfg.get("gmres restart length",
-                                                60)),
-                gmres_restarts=int(self.solver_cfg.get(
-                    "linear solver restarts", 4)))
+            # auto-cap the shard count on meshes too small for the
+            # +-1 halo ring (a shard must own >= one element "row" of
+            # connectivity): the reference's Tpetra maps serve any
+            # rank count on any mesh (mpiexec -n 4 on a 4x4 deck just
+            # gives ranks tiny overlaps); here the ring invariant is
+            # structural, so halve until the partition is valid and
+            # say so. 1 shard -> the ordinary single-program path.
+            shards = self.shards
+            while True:
+                try:
+                    self._sharded_newton = cls(
+                        self.assembler, shards,
+                        cg_iters=int(self.solver_cfg.get(
+                            "max linear iters", 200)),
+                        gmres_m=int(self.solver_cfg.get(
+                            "gmres restart length", 60)),
+                        gmres_restarts=int(self.solver_cfg.get(
+                            "linear solver restarts", 4)))
+                    break
+                except ValueError as e:
+                    if "non-neighbor shards" not in str(e):
+                        raise
+                    shards //= 2
+                    print(f"[mrhyde] mesh too small for the halo ring "
+                          f"at {shards * 2} shards; using {shards}")
+                    if shards <= 1:
+                        self.shards = 1
+                        return newton_solve
         return self._sharded_newton
 
     def solve_steady(self, record=True, pvec=None, u0=None) -> ForwardResult:
